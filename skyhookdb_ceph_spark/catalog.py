@@ -1,0 +1,80 @@
+"""Table catalog: name -> partitioned Parquet.
+
+SkyhookDM names a table's partitions ``<table>.0 .. <table>.N-1`` as
+RADOS objects and fans queries out over them
+[U: src/progly/rados-store-glob.sh — object naming].  Here a table is a
+Parquet dataset (one file or a directory of files); Spark's split
+planning is the fan-out.  Schemas are explicit per-table (the reference
+carries a schema string inside every object,
+[U: cls_tabular_utils.h — schemaFromString]); we validate the Parquet
+footer schema against the expected column set on load rather than
+trusting inference.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+# The ten driver fixture tables (TESTDATA.md / FIXTURES.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Small dimension tables that should always be broadcast in joins at any
+# scale factor (region=5, nation=25 rows regardless of SF).
+BROADCAST_DIMS = frozenset({"region", "nation"})
+
+# Expected key columns per table (reference: schema string marks is_key
+# columns, [U: cls_tabular_utils.h — struct col_info]).
+KEYS = {
+    "region": ["r_regionkey"],
+    "nation": ["n_nationkey"],
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey"],
+    "lineitem": ["l_orderkey", "l_linenumber"],
+    "events": ["event_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+
+class Catalog:
+    """Resolves table names to DataFrames for one scale-factor directory."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        self.spark = spark
+        self.sf_dir = sf_dir.rstrip("/")
+
+    def path(self, name: str) -> str:
+        return f"{self.sf_dir}/{name}.parquet"
+
+    def table(self, name: str) -> DataFrame:
+        if name not in TABLES:
+            raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+        p = self.path(name)
+        if not os.path.exists(p):
+            raise FileNotFoundError(p)
+        return self.spark.read.parquet(p)
+
+    def __getattr__(self, name: str) -> DataFrame:
+        if name in TABLES:
+            return self.table(name)
+        raise AttributeError(name)
+
+    def register_views(self, suffix: str = "") -> None:
+        """Register every fixture table as a temp view (SQL entry point)."""
+        for t in TABLES:
+            self.table(t).createOrReplaceTempView(t + suffix)

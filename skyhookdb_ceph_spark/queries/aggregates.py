@@ -1,0 +1,177 @@
+"""Aggregations (SURVEY.md §2.4).
+
+Reference: min/max/sum/count computed *inside the scan* as agg
+predicates, one partial row per object, client merges partials
+[U: cls_tabular_utils.h — SOT_min/max/sum/cnt;
+ run-query.cc — query a + client merge].  Spark's two-phase
+HashAggregate (partial on the mapper, final after the shuffle) is the
+same pattern, chosen automatically by the planner — at 100 TB only the
+per-group partial rows cross the network, never the raw scan.
+"""
+
+from __future__ import annotations
+
+from skyhookdb_ceph_spark.queries._util import Catalog, F, money, ratio
+from skyhookdb_ceph_spark.registry import query
+
+
+@query(
+    "q_agg_scalar",
+    oracle=(
+        "SELECT min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price, "
+        "round(sum(l_extendedprice), 2) AS sum_price, count(*) AS cnt FROM lineitem"
+    ),
+)
+def q_agg_scalar(spark, sf_dir):
+    """Global min/max/sum/count — the reference's 'query a' shape over
+    lineitem [U: run-query.cc — query a]."""
+    li = Catalog(spark, sf_dir).lineitem
+    return li.agg(
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        money(F.sum("l_extendedprice")).alias("sum_price"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+@query(
+    "q_agg_groupby",
+    oracle=(
+        "SELECT l_returnflag, l_linestatus, "
+        "round(sum(l_quantity), 2) AS sum_qty, "
+        "round(sum(l_extendedprice), 2) AS sum_base_price, "
+        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, "
+        "round(avg(l_quantity), 6) AS avg_qty, "
+        "round(avg(l_extendedprice), 4) AS avg_price, "
+        "round(avg(l_discount), 6) AS avg_disc, "
+        "count(*) AS count_order "
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02' "
+        "GROUP BY l_returnflag, l_linestatus "
+        "ORDER BY l_returnflag, l_linestatus"
+    ),
+)
+def q_agg_groupby(spark, sf_dir):
+    """FLAGSHIP: TPC-H Q1 shape — scan, pushed filter, grouped
+    multi-aggregate, order.  This is the reference's banner capability
+    composed end-to-end [P1]; Catalyst plans
+    Scan(PushedFilters) -> partial HashAggregate -> Exchange ->
+    final HashAggregate -> Sort."""
+    li = Catalog(spark, sf_dir).lineitem
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            money(F.sum("l_quantity")).alias("sum_qty"),
+            money(F.sum("l_extendedprice")).alias("sum_base_price"),
+            money(F.sum(disc_price)).alias("sum_disc_price"),
+            ratio(F.avg("l_quantity")).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            ratio(F.avg("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "q_agg_having",
+    oracle=(
+        "SELECT o_custkey, count(*) AS order_cnt, round(sum(o_totalprice), 2) AS spend "
+        "FROM orders GROUP BY o_custkey HAVING count(*) > 12"
+    ),
+)
+def q_agg_having(spark, sf_dir):
+    """Post-aggregation filter (client-side in the reference)."""
+    o = Catalog(spark, sf_dir).orders
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("order_cnt"),
+            money(F.sum("o_totalprice")).alias("spend"),
+        )
+        .filter(F.col("order_cnt") > 12)
+    )
+
+
+@query(
+    "q_agg_distinct",
+    oracle=(
+        "SELECT count(DISTINCT l_partkey) AS distinct_parts, "
+        "count(DISTINCT l_suppkey) AS distinct_supps, "
+        "count(DISTINCT l_returnflag) AS distinct_flags FROM lineitem"
+    ),
+)
+def q_agg_distinct(spark, sf_dir):
+    li = Catalog(spark, sf_dir).lineitem
+    return li.agg(
+        F.countDistinct("l_partkey").alias("distinct_parts"),
+        F.countDistinct("l_suppkey").alias("distinct_supps"),
+        F.countDistinct("l_returnflag").alias("distinct_flags"),
+    )
+
+
+@query("q_agg_approx_distinct")  # rows-only: HLL sketches differ across engines
+def q_agg_approx_distinct(spark, sf_dir):
+    """Approximate count-distinct (HyperLogLog++).  At 100 TB an exact
+    distinct is a full shuffle of the key universe; the sketch is
+    mergeable per-partition (constant memory, no row shuffle) — the same
+    partial/merge shape the reference hard-codes for exact aggs.
+    No oracle: DuckDB's approx_count_distinct uses a different HLL, so
+    the driver's rows-only check applies; tests assert rsd bounds."""
+    li = Catalog(spark, sf_dir).lineitem
+    return li.agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+    )
+
+
+@query(
+    "q_agg_rollup",
+    oracle=(
+        "SELECT l_returnflag, l_linestatus, count(*) AS cnt, "
+        "round(sum(l_quantity), 2) AS sum_qty "
+        "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"
+    ),
+)
+def q_agg_rollup(spark, sf_dir):
+    """Hierarchical subtotals (ROLLUP) — one pass, grouping-set
+    expansion happens in the aggregate, not via repeated scans."""
+    li = Catalog(spark, sf_dir).lineitem
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        money(F.sum("l_quantity")).alias("sum_qty"),
+    )
+
+
+@query(
+    "q_agg_cube",
+    oracle=(
+        "SELECT o_orderstatus, o_orderpriority, count(*) AS cnt "
+        "FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)"
+    ),
+)
+def q_agg_cube(spark, sf_dir):
+    o = Catalog(spark, sf_dir).orders
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+@query(
+    "q_agg_avg_stddev",
+    oracle=(
+        "SELECT l_returnflag, round(avg(l_quantity), 6) AS avg_qty, "
+        "round(stddev_samp(l_quantity), 6) AS sd_qty, "
+        "round(var_samp(l_quantity), 6) AS var_qty "
+        "FROM lineitem GROUP BY l_returnflag"
+    ),
+)
+def q_agg_avg_stddev(spark, sf_dir):
+    """Moment aggregates (derivable from the reference's sum/cnt model)."""
+    li = Catalog(spark, sf_dir).lineitem
+    return li.groupBy("l_returnflag").agg(
+        ratio(F.avg("l_quantity")).alias("avg_qty"),
+        ratio(F.stddev_samp("l_quantity")).alias("sd_qty"),
+        ratio(F.var_samp("l_quantity")).alias("var_qty"),
+    )

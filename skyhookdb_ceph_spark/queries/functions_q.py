@@ -1,0 +1,213 @@
+"""Scalar function families (SURVEY.md §2.8).
+
+Reference scalar surface: typed comparisons, arithmetic in the agg
+path, regex match, DATE as a storable type
+[U: cls_tabular_utils.h — SDT_DATE, SOT_like].  Everything here is
+Spark built-ins — JVM-side, inside whole-stage codegen; no Python in
+the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+from skyhookdb_ceph_spark.queries._util import Catalog, F, ratio
+from skyhookdb_ceph_spark.registry import query
+
+
+@query(
+    "q_fn_string",
+    oracle=(
+        "SELECT p_partkey, upper(p_name) AS name_up, lower(p_brand) AS brand_lo, "
+        "substr(p_name, 1, 5) AS name5, CAST(length(p_name) AS INT) AS name_len, "
+        "concat(p_brand, ':', p_type) AS brand_type, "
+        "trim(p_name) AS name_trim, replace(p_name, ' ', '_') AS name_us "
+        "FROM part"
+    ),
+)
+def q_fn_string(spark, sf_dir):
+    p = Catalog(spark, sf_dir).part
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_up"),
+        F.lower("p_brand").alias("brand_lo"),
+        F.substring("p_name", 1, 5).alias("name5"),
+        F.length("p_name").alias("name_len"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.trim(F.col("p_name")).alias("name_trim"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_us"),
+    )
+
+
+@query(
+    "q_fn_split",
+    oracle=(
+        "SELECT p_partkey, string_split(p_name, ' ')[1] AS first_word, "
+        "CAST(len(string_split(p_name, ' ')) AS INT) AS n_words FROM part"
+    ),
+)
+def q_fn_split(spark, sf_dir):
+    """split + element access (1-based in DuckDB, 0-based getItem in
+    Spark — normalized to the same first word)."""
+    p = Catalog(spark, sf_dir).part
+    words = F.split("p_name", " ")
+    return p.select(
+        "p_partkey",
+        words.getItem(0).alias("first_word"),
+        F.size(words).alias("n_words"),
+    )
+
+
+@query(
+    "q_fn_date",
+    oracle=(
+        "SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS o_year, "
+        "CAST(month(o_orderdate) AS INT) AS o_month, "
+        "date_trunc('month', o_orderdate) AS month_start, "
+        "CAST(o_orderdate AS DATE) AS o_date, "
+        "CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS INT) AS days_since "
+        "FROM orders"
+    ),
+)
+def q_fn_date(spark, sf_dir):
+    """Date/time functions over the timestamp-typed order date
+    (FIXTURES.md: timestamps, NOT dates; session TZ pinned UTC)."""
+    o = Catalog(spark, sf_dir).orders
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("o_year"),
+        F.month("o_orderdate").alias("o_month"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.to_date("o_orderdate").alias("o_date"),
+        F.datediff(F.to_date("o_orderdate"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since"
+        ),
+    )
+
+
+@query(
+    "q_fn_math",
+    oracle=(
+        "SELECT l_orderkey, l_linenumber, "
+        "round(l_extendedprice, 0) AS price_r0, "
+        "abs(l_discount - 0.05) AS disc_dev, "
+        "CAST(floor(l_quantity) AS BIGINT) AS qty_floor, "
+        "CAST(ceil(l_quantity / 7) AS BIGINT) AS qty_ceil7, "
+        "round(pow(l_quantity, 2), 4) AS qty_sq, round(ln(l_extendedprice), 6) AS price_ln, "
+        "CAST(l_quantity AS BIGINT) % 5 AS qty_mod "
+        "FROM lineitem"
+    ),
+)
+def q_fn_math(spark, sf_dir):
+    li = Catalog(spark, sf_dir).lineitem
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 0).alias("price_r0"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.floor("l_quantity").alias("qty_floor"),
+        F.ceil(F.col("l_quantity") / 7).alias("qty_ceil7"),
+        F.round(F.pow("l_quantity", F.lit(2)), 4).alias("qty_sq"),
+        ratio(F.log(F.col("l_extendedprice"))).alias("price_ln"),
+        (F.col("l_quantity").cast("bigint") % 5).alias("qty_mod"),
+    )
+
+
+@query(
+    "q_fn_case",
+    oracle=(
+        "SELECT o_orderkey, o_totalprice, "
+        "CASE WHEN o_totalprice >= 300000 THEN 'large' "
+        "WHEN o_totalprice >= 100000 THEN 'medium' ELSE 'small' END AS size_class, "
+        "CASE o_orderstatus WHEN 'F' THEN 'finished' WHEN 'O' THEN 'open' "
+        "ELSE 'other' END AS status_word "
+        "FROM orders"
+    ),
+)
+def q_fn_case(spark, sf_dir):
+    o = Catalog(spark, sf_dir).orders
+    return o.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.when(F.col("o_totalprice") >= 300000, "large")
+        .when(F.col("o_totalprice") >= 100000, "medium")
+        .otherwise("small")
+        .alias("size_class"),
+        F.when(F.col("o_orderstatus") == "F", "finished")
+        .when(F.col("o_orderstatus") == "O", "open")
+        .otherwise("other")
+        .alias("status_word"),
+    )
+
+
+@query(
+    "q_fn_cast",
+    oracle=(
+        "SELECT l_orderkey, CAST(l_quantity AS INT) AS qty_int, "
+        "CAST(l_orderkey AS VARCHAR) AS okey_str, "
+        "CAST(l_extendedprice AS DECIMAL(18,2)) AS price_dec, "
+        "CAST(l_linenumber AS DOUBLE) AS ln_dbl, "
+        "CAST(l_shipdate AS DATE) AS ship_date "
+        "FROM lineitem"
+    ),
+)
+def q_fn_cast(spark, sf_dir):
+    """Casts across the SDT-equivalent type lattice
+    ([U: cls_tabular_utils.h — SDT_* enum])."""
+    li = Catalog(spark, sf_dir).lineitem
+    return li.select(
+        "l_orderkey",
+        F.col("l_quantity").cast(T.IntegerType()).alias("qty_int"),
+        F.col("l_orderkey").cast(T.StringType()).alias("okey_str"),
+        F.col("l_extendedprice").cast(T.DecimalType(18, 2)).alias("price_dec"),
+        F.col("l_linenumber").cast(T.DoubleType()).alias("ln_dbl"),
+        F.col("l_shipdate").cast(T.DateType()).alias("ship_date"),
+    )
+
+
+@query(
+    "q_fn_array",
+    oracle=(
+        "SELECT vec_id, CAST(len(embedding) AS INT) AS dim, "
+        "round(CAST(embedding[1] AS DOUBLE), 6) AS first_val, "
+        "round(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'sum'), 6) AS vec_sum, "
+        "round(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'), 6) AS vec_sq_sum "
+        "FROM embeddings"
+    ),
+)
+def q_fn_array(spark, sf_dir):
+    """Array ops over the 64-dim embedding column: size, element access,
+    higher-order transform + aggregate (all JVM-side, no UDF)."""
+    e = Catalog(spark, sf_dir).embeddings
+    vec_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_val"),
+        F.round(
+            F.aggregate(vec_d, F.lit(0.0), lambda acc, x: acc + x), 6
+        ).alias("vec_sum"),
+        F.round(
+            F.aggregate(vec_d, F.lit(0.0), lambda acc, x: acc + x * x), 6
+        ).alias("vec_sq_sum"),
+    )
+
+
+@query(
+    "q_fn_map_json",
+    oracle=(
+        "SELECT event_type, count(*) AS cnt, "
+        "round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 6) AS avg_k "
+        "FROM events GROUP BY event_type"
+    ),
+)
+def q_fn_map_json(spark, sf_dir):
+    """JSON extraction from the events.props string column — the
+    [EXT] multimodal/semi-structured path (FIXTURES.md)."""
+    e = Catalog(spark, sf_dir).events
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        ratio(
+            F.avg(F.get_json_object("props", "$.k").cast("int"))
+        ).alias("avg_k"),
+    )

@@ -1,0 +1,224 @@
+"""Joins (SURVEY.md §2.3).
+
+Reference: no storage-side join — cross-table composition was
+client-side key lookup [P1 "future work"; U: run-query.cc — no join
+flag].  Spark provides every algorithm behind one API; what matters at
+100 TB is strategy choice per query:
+
+- fact x small dim  -> broadcast hash join (dim ships to every executor,
+  NO shuffle of the 100 TB side);
+- fact x fact       -> sort-merge on the join key (both sides shuffle
+  once; AQE splits skewed keys);
+- existence checks  -> semi/anti join (never materializes the payload).
+
+Tests assert the chosen strategy via explain() (plans/explain.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.functions import broadcast
+
+from skyhookdb_ceph_spark.queries._util import Catalog, F, money
+from skyhookdb_ceph_spark.registry import query
+
+
+@query(
+    "q_join_inner_hash",
+    oracle=(
+        "SELECT o_orderstatus, count(*) AS cnt, round(sum(l_extendedprice), 2) AS sum_price "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "GROUP BY o_orderstatus"
+    ),
+)
+def q_join_inner_hash(spark, sf_dir):
+    """Equi inner join fact<->orders, then aggregate.  shuffle_hash hint:
+    orders is far smaller than lineitem, so hashing the small side beats
+    sorting both (no sort phase at all)."""
+    c = Catalog(spark, sf_dir)
+    return (
+        c.lineitem.join(
+            c.orders.hint("shuffle_hash"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "inner",
+        )
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            money(F.sum("l_extendedprice")).alias("sum_price"),
+        )
+    )
+
+
+@query(
+    "q_join_broadcast",
+    oracle=(
+        "SELECT n_name, count(*) AS customer_cnt, round(sum(c_acctbal), 2) AS sum_bal "
+        "FROM customer JOIN nation ON c_nationkey = n_nationkey "
+        "GROUP BY n_name"
+    ),
+)
+def q_join_broadcast(spark, sf_dir):
+    """Small-dim broadcast: nation (25 rows at EVERY scale factor) ships
+    to executors; the customer side never shuffles."""
+    c = Catalog(spark, sf_dir)
+    return (
+        c.customer.join(
+            broadcast(c.nation), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("customer_cnt"),
+            money(F.sum("c_acctbal")).alias("sum_bal"),
+        )
+    )
+
+
+@query(
+    "q_join_sortmerge",
+    oracle=(
+        "SELECT l_returnflag, count(*) AS cnt, round(avg(o_totalprice), 4) AS avg_total "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "GROUP BY l_returnflag"
+    ),
+)
+def q_join_sortmerge(spark, sf_dir):
+    """Large-large sort-merge (hint('merge')): the 100-TB-safe default —
+    both sides spill-safe, skew handled by AQE."""
+    c = Catalog(spark, sf_dir)
+    return (
+        c.lineitem.hint("merge")
+        .join(c.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_total"),
+        )
+    )
+
+
+@query(
+    "q_join_left",
+    oracle=(
+        "SELECT c_custkey, count(o_orderkey) AS order_cnt "
+        "FROM customer LEFT JOIN orders ON c_custkey = o_custkey "
+        "GROUP BY c_custkey"
+    ),
+)
+def q_join_left(spark, sf_dir):
+    """Left outer: customers with zero orders survive with count 0
+    (count over a NULL key column skips NULLs in both engines)."""
+    c = Catalog(spark, sf_dir)
+    return (
+        c.customer.join(c.orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("order_cnt"))
+    )
+
+
+@query(
+    "q_join_full",
+    oracle=(
+        "SELECT coalesce(a.k, b.k) AS k, a.order_cnt, b.line_cnt FROM "
+        "(SELECT o_orderstatus AS k, count(*) AS order_cnt FROM orders GROUP BY 1) a "
+        "FULL JOIN "
+        "(SELECT l_returnflag AS k, count(*) AS line_cnt FROM lineitem GROUP BY 1) b "
+        "ON a.k = b.k"
+    ),
+)
+def q_join_full(spark, sf_dir):
+    """Full outer join over two aggregates; key domains only partially
+    overlap ({P,O,F} vs {A,N,R}) so both null sides are exercised."""
+    c = Catalog(spark, sf_dir)
+    a = c.orders.groupBy(F.col("o_orderstatus").alias("k")).agg(
+        F.count(F.lit(1)).alias("order_cnt")
+    )
+    b = c.lineitem.groupBy(F.col("l_returnflag").alias("k")).agg(
+        F.count(F.lit(1)).alias("line_cnt")
+    )
+    return a.join(b, a["k"] == b["k"], "full").select(
+        F.coalesce(a["k"], b["k"]).alias("k"), "order_cnt", "line_cnt"
+    )
+
+
+@query(
+    "q_join_semi",
+    oracle=(
+        "SELECT * FROM customer WHERE c_custkey IN "
+        "(SELECT o_custkey FROM orders WHERE o_totalprice > 400000)"
+    ),
+)
+def q_join_semi(spark, sf_dir):
+    """Existence semi-join: payload of orders never materializes; only
+    the distinct key set crosses the shuffle."""
+    c = Catalog(spark, sf_dir)
+    big = c.orders.filter(F.col("o_totalprice") > 400000)
+    return c.customer.join(
+        big, F.col("c_custkey") == F.col("o_custkey"), "left_semi"
+    )
+
+
+@query(
+    "q_join_anti",
+    oracle=(
+        "SELECT * FROM customer WHERE c_custkey NOT IN "
+        "(SELECT o_custkey FROM orders)"
+    ),
+)
+def q_join_anti(spark, sf_dir):
+    """Anti join: customers with no orders at all."""
+    c = Catalog(spark, sf_dir)
+    return c.customer.join(
+        c.orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    )
+
+
+@query(
+    "q_join_theta",
+    oracle=(
+        "SELECT s_suppkey, s_name, p_partkey, p_retailprice "
+        "FROM supplier JOIN part ON p_retailprice BETWEEN s_acctbal / 4 "
+        "AND s_acctbal / 4 + 20"
+    ),
+)
+def q_join_theta(spark, sf_dir):
+    """Non-equi (band) theta join.  Spark plans BroadcastNestedLoop with
+    the small side broadcast; at scale a band join should pre-bucket both
+    sides on range(bucket) and equi-join the bucket id — documented in
+    operators/asof.py which implements that pattern."""
+    c = Catalog(spark, sf_dir)
+    s = c.supplier.select("s_suppkey", "s_name", "s_acctbal")
+    p = c.part.select("p_partkey", "p_retailprice")
+    lo = F.col("s_acctbal") / 4
+    return (
+        broadcast(s)
+        .join(p, (F.col("p_retailprice") >= lo) & (F.col("p_retailprice") <= lo + 20))
+        .select("s_suppkey", "s_name", "p_partkey", "p_retailprice")
+    )
+
+
+@query(
+    "q_join_multiway",
+    oracle=(
+        "SELECT r_name, count(*) AS order_cnt, round(sum(o_totalprice), 2) AS sum_total "
+        "FROM region JOIN nation ON r_regionkey = n_regionkey "
+        "JOIN customer ON n_nationkey = c_nationkey "
+        "JOIN orders ON c_custkey = o_custkey "
+        "GROUP BY r_name"
+    ),
+)
+def q_join_multiway(spark, sf_dir):
+    """4-way star join region->nation->customer->orders.  Declared in
+    source order; Catalyst (CBO + AQE) reorders and broadcasts the tiny
+    dims — the plan the reference could never form (no optimizer)."""
+    c = Catalog(spark, sf_dir)
+    return (
+        broadcast(c.region)
+        .join(broadcast(c.nation), F.col("r_regionkey") == F.col("n_regionkey"))
+        .join(c.customer, F.col("n_nationkey") == F.col("c_nationkey"))
+        .join(c.orders, F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("order_cnt"),
+            money(F.sum("o_totalprice")).alias("sum_total"),
+        )
+    )

@@ -1,0 +1,87 @@
+"""Scans, projection, and format transform (SURVEY.md §2.1).
+
+Reference: full-object scan fastpath and column projection
+[U: src/progly/run-query.cc — fastpath flag, --project-cols;
+ src/cls/tabular/cls_tabular.cc — exec_query_op], and in-place object
+format transform row->columnar
+[U: cls_tabular.cc — exec_transform_db_op; CCGrid'22].
+
+Spark mapping: a Parquet split is the RADOS object; the vectorized
+Parquet reader with column pruning is the storage-side projection.
+At 100 TB the scan parallelism is the file-split count — no driver-side
+work at all; `q_scan_full` is a pure pass-through plan.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import types as T
+
+from skyhookdb_ceph_spark.queries._util import Catalog, F
+from skyhookdb_ceph_spark.registry import query
+
+
+@query("q_scan_full", oracle="SELECT * FROM lineitem")
+def q_scan_full(spark, sf_dir):
+    """Full-table scan, all columns (reference 'fastpath' select *)."""
+    return Catalog(spark, sf_dir).lineitem
+
+
+@query("q_scan_project", oracle="SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem")
+def q_scan_project(spark, sf_dir):
+    """Projection pushdown: ReadSchema in the plan must list only these
+    three columns (Catalyst ColumnPruning does what the reference's
+    derived-schema projection did)."""
+    return Catalog(spark, sf_dir).lineitem.select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
+_TRANSFORM_COLS = ["l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"]
+
+
+@query(
+    "q_transform_format",
+    oracle=(
+        "SELECT l_returnflag, count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty "
+        "FROM lineitem GROUP BY l_returnflag"
+    ),
+)
+def q_transform_format(spark, sf_dir):
+    """Format transform: row-oriented (CSV) -> columnar (Parquet),
+    the ingest-side analog of the reference's FLATBUF->ARROW object
+    rewrite.  Round-trips a projection of lineitem through CSV with an
+    explicit schema, re-lays it out as Parquet, and aggregates the
+    result — matching the oracle on the source proves the transform is
+    lossless."""
+    tmp = tempfile.mkdtemp(prefix="skyhook_transform_")
+    try:
+        src = Catalog(spark, sf_dir).lineitem.select(*_TRANSFORM_COLS)
+        csv_path, pq_path = f"{tmp}/row_format_csv", f"{tmp}/col_format_parquet"
+        src.write.mode("overwrite").option("header", True).csv(csv_path)
+        schema = T.StructType(
+            [
+                T.StructField("l_orderkey", T.LongType()),
+                T.StructField("l_linenumber", T.IntegerType()),
+                T.StructField("l_returnflag", T.StringType()),
+                T.StructField("l_quantity", T.DoubleType()),
+            ]
+        )
+        spark.read.option("header", True).schema(schema).csv(csv_path).write.mode(
+            "overwrite"
+        ).parquet(pq_path)
+        out = (
+            spark.read.parquet(pq_path)
+            .groupBy("l_returnflag")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            )
+        )
+        # Materialize before the temp dir can be cleaned up.
+        out = spark.createDataFrame(out.collect(), out.schema)
+        return out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -1,0 +1,149 @@
+"""Window / analytic functions (SURVEY.md §2.5) — [EXT] (the reference
+has no analytic executor; required for capability-complete surface).
+
+Scale note: a window partitioned by a key shuffles once on that key and
+sorts within partitions — same cost envelope as a groupBy.  A window
+with NO partition key (global running total) is a single-task
+bottleneck at 100 TB; every query below partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+
+from skyhookdb_ceph_spark.queries._util import Catalog, F, money, ratio
+from skyhookdb_ceph_spark.registry import query
+
+
+@query(
+    "q_win_rank",
+    oracle=(
+        "SELECT * FROM (SELECT o_custkey, o_orderkey, o_totalprice, "
+        "CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn, "
+        "CAST(rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rk "
+        "FROM orders) t WHERE rn <= 3"
+    ),
+)
+def q_win_rank(spark, sf_dir):
+    """Top-3 orders per customer (row_number/rank; ties broken by
+    orderkey so numbering is engine-invariant)."""
+    o = Catalog(spark, sf_dir).orders
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rk"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "q_win_running",
+    oracle=(
+        "SELECT o_custkey, o_orderkey, "
+        "round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend, "
+        "round(avg(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
+        "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS moving_avg "
+        "FROM orders"
+    ),
+)
+def q_win_running(spark, sf_dir):
+    """Running sum + 4-row moving average per customer."""
+    o = Catalog(spark, sf_dir).orders
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        money(
+            F.sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        ).alias("running_spend"),
+        F.round(
+            F.avg("o_totalprice").over(w.rowsBetween(-3, 0)), 4
+        ).alias("moving_avg"),
+    )
+
+
+@query(
+    "q_win_lag_lead",
+    oracle=(
+        "SELECT user_id, event_id, ts, "
+        "lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type, "
+        "lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type, "
+        "CAST(date_diff('second', lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) AS BIGINT) AS gap_sec "
+        "FROM events"
+    ),
+)
+def q_win_lag_lead(spark, sf_dir):
+    """Per-user event sequencing: previous/next event type and
+    inter-event gap in seconds."""
+    e = Catalog(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.lag("event_type", 1).over(w).alias("prev_type"),
+        F.lead("event_type", 1).over(w).alias("next_type"),
+        (
+            F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts", 1).over(w))
+        ).alias("gap_sec"),
+    )
+
+
+@query(
+    "q_win_ntile_pct",
+    oracle=(
+        "SELECT c_custkey, c_acctbal, "
+        "CAST(ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS INT) AS quartile, "
+        "round(percent_rank() OVER (ORDER BY c_acctbal, c_custkey), 6) AS pct_rank, "
+        "round(cume_dist() OVER (ORDER BY c_acctbal, c_custkey), 6) AS cum_dist "
+        "FROM customer"
+    ),
+)
+def q_win_ntile_pct(spark, sf_dir):
+    """Distribution analytics.  NOTE: intentionally unpartitioned to
+    match SQL semantics (global quartiles) — on a cluster this is the
+    one windowing shape to avoid on a fact table; acceptable on
+    dimension-sized input."""
+    c = Catalog(spark, sf_dir).customer
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_acctbal",
+        F.ntile(4).over(w).alias("quartile"),
+        ratio(F.percent_rank().over(w)).alias("pct_rank"),
+        ratio(F.cume_dist().over(w)).alias("cum_dist"),
+    )
+
+
+@query(
+    "q_win_range_frame",
+    oracle=(
+        "SELECT o_custkey, o_orderkey, o_totalprice, "
+        "count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice "
+        "RANGE BETWEEN 10000 PRECEDING AND 10000 FOLLOWING) AS similar_cnt "
+        "FROM orders"
+    ),
+)
+def q_win_range_frame(spark, sf_dir):
+    """Value-based (RANGE) frame: per order, how many of the same
+    customer's orders fall within +/-10000 of its price."""
+    o = Catalog(spark, sf_dir).orders
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_totalprice")
+        .rangeBetween(-10000, 10000)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.count(F.lit(1)).over(w).alias("similar_cnt"),
+    )

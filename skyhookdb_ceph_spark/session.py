@@ -1,0 +1,58 @@
+"""SparkSession factory tuned for this engine.
+
+Scale notes (100 TB design, local[32] test):
+- AQE on: runtime coalescing of shuffle partitions + skew-join splitting
+  replaces hand-tuned partition counts when data grows 1000x.
+- shuffle.partitions defaults small for local fixtures; on a real
+  cluster AQE's coalesce makes the initial number mostly irrelevant as
+  long as it's >= cluster parallelism (set via SPARK_GRAFT_SHUFFLE).
+- Session timezone pinned UTC so timestamp semantics match the DuckDB
+  oracle and are cluster-invariant.
+- Arrow enabled: pandas UDF exchange is vectorized (the moral
+  equivalent of SkyhookDM's storage-side vectorized Arrow processing,
+  [U: cls_tabular_utils.cc — processArrow]).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEF_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(
+    app_name: str = "skyhookdb_ceph_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine's SparkSession.
+
+    A single shared session is the intended usage pattern — the JVM
+    startup cost is paid once and every query after that is
+    tens-of-ms marginal cost (see BASELINE.md interpretation).
+    """
+    master = master or f"local[{_DEF_CPUS}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.cbo.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.shuffle.spill.compress", "true")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()
