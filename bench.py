@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Benchmark harness: times every registered query on one shared
+SparkSession and prints ONE JSON line (the driver's BENCH_r{N} record).
+
+    SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 python bench.py
+
+Methodology mirrors BASELINE.md §C (DuckDB baseline): one warm run, then
+best-of-2 timed runs, full materialization included (Arrow toPandas —
+the analog of DuckDB's fetchall).  JVM/session startup is excluded from
+per-query numbers but reported separately as "startup_sec" so the fixed
+cost stays visible.  Queries tagged "live-stream" (true readStream
+micro-pipelines) are timed once, no warm — their cost is dominated by
+stream machinery, not the plan.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+_REPO = str(Path(__file__).resolve().parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from skyhookdb_ceph_spark.registry import load_all  # noqa: E402
+from skyhookdb_ceph_spark.session import get_spark  # noqa: E402
+
+
+def _materialize(df) -> int:
+    """Pull the full result to the driver (Arrow path); returns rowcount."""
+    return len(df.toPandas())
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        sf = float(sf_name.replace("sf", ""))
+    except ValueError:
+        sf = None
+
+    t0 = time.perf_counter()
+    spark = get_spark(app_name="skyhook_bench")
+    spark.range(1).collect()  # force JVM + first-job init
+    startup = time.perf_counter() - t0
+
+    specs = load_all()
+    times: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    for name, spec in sorted(specs.items()):
+        live = "live-stream" in spec.tags
+        try:
+            if not live:
+                _materialize(spec.fn(spark, sf_dir))  # warm (plan + code paths)
+            best = float("inf")
+            for _ in range(1 if live else 2):
+                t = time.perf_counter()
+                _materialize(spec.fn(spark, sf_dir))
+                best = min(best, time.perf_counter() - t)
+            times[name] = round(best, 4)
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+
+    total = round(sum(times.values()), 4)
+    record = {
+        "metric": "sum_query_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "startup_sec": round(startup, 2),
+        "n_queries": len(times),
+    }
+    if errors:
+        record["errors"] = errors
+    print(json.dumps(record))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -16,6 +16,8 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 # The ten driver fixture tables (TESTDATA.md / FIXTURES.md).
 TABLES = (
@@ -67,7 +69,24 @@ class Catalog:
         p = self.path(name)
         if not os.path.exists(p):
             raise FileNotFoundError(p)
-        return self.spark.read.parquet(p)
+        df = self.spark.read.parquet(p)
+        if name == "events":
+            df = self._fix_event_ts(df)
+        return df
+
+    @staticmethod
+    def _fix_event_ts(df: DataFrame) -> DataFrame:
+        """events.ts is INT64 TIMESTAMP(NANOS) in the fixture parquet.
+
+        With spark.sql.legacy.parquet.nanosAsLong=true (session.py) it
+        reads as a raw nanosecond LongType; rebuild a TimestampType by
+        integer-truncating to microseconds — byte-identical to how the
+        DuckDB oracle reads the same file (ns -> us truncation, verified
+        against pyarrow raw values).
+        """
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
 
     def __getattr__(self, name: str) -> DataFrame:
         if name in TABLES:

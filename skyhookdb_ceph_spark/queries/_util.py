@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from skyhookdb_ceph_spark.catalog import Catalog
 
-__all__ = ["Catalog", "F", "money", "ratio"]
+__all__ = ["Catalog", "F", "money", "ratio", "quantize2", "QUANTIZE2_SQL"]
 
 
 def money(c: Column) -> Column:
@@ -25,3 +25,18 @@ def money(c: Column) -> Column:
 def ratio(c: Column) -> Column:
     """Round an average/ratio to 6 decimals (FP-order tolerance)."""
     return F.round(c, 6)
+
+
+def quantize2(c: Column) -> Column:
+    """Engine-invariant 2-decimal quantization for PER-ROW computed money.
+
+    Spark's round(double, 2) rounds the shortest decimal representation
+    (BigDecimal HALF_UP) while DuckDB rounds the binary double — they
+    disagree on half-way values (~0.2% of rows).  floor(x*100 + 0.5)/100
+    uses only IEEE-754 ops that both engines execute identically, so the
+    result is bit-identical.  Mirror with QUANTIZE2_SQL in the oracle.
+    """
+    return F.floor(c * 100 + F.lit(0.5)) / 100
+
+
+QUANTIZE2_SQL = "floor(({expr}) * 100 + 0.5) / 100"

@@ -111,18 +111,32 @@ def q_agg_distinct(spark, sf_dir):
     )
 
 
-@query("q_agg_approx_distinct")  # rows-only: HLL sketches differ across engines
+@query(
+    "q_agg_approx_distinct",
+    oracle="SELECT true AS parts_ok, true AS orders_ok",
+)
 def q_agg_approx_distinct(spark, sf_dir):
     """Approximate count-distinct (HyperLogLog++).  At 100 TB an exact
     distinct is a full shuffle of the key universe; the sketch is
     mergeable per-partition (constant memory, no row shuffle) — the same
     partial/merge shape the reference hard-codes for exact aggs.
-    No oracle: DuckDB's approx_count_distinct uses a different HLL, so
-    the driver's rows-only check applies; tests assert rsd bounds."""
+
+    Sketch-independent oracle: DuckDB's HLL produces different estimates,
+    so the checked output is the error-band verdict |approx-exact|/exact
+    <= 3*rsd, which must be true for a correct sketch; the oracle emits
+    the same booleans.  If the sketch drifts out of band the hash fails.
+    """
     li = Catalog(spark, sf_dir).lineitem
-    return li.agg(
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
-        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+    agg = li.agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("ap"),
+        F.countDistinct("l_partkey").alias("ep"),
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("ao"),
+        F.countDistinct("l_orderkey").alias("eo"),
+    )
+    band = 3 * 0.02
+    return agg.select(
+        (F.abs(F.col("ap") - F.col("ep")) / F.col("ep") <= band).alias("parts_ok"),
+        (F.abs(F.col("ao") - F.col("eo")) / F.col("eo") <= band).alias("orders_ok"),
     )
 
 

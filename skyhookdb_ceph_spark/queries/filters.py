@@ -15,7 +15,7 @@ important property: selectivity * 100 TB is what crosses the shuffle.
 
 from __future__ import annotations
 
-from skyhookdb_ceph_spark.queries._util import Catalog, F, money
+from skyhookdb_ceph_spark.queries._util import Catalog, F, quantize2
 from skyhookdb_ceph_spark.registry import query
 
 
@@ -126,19 +126,21 @@ def q_filter_null(spark, sf_dir):
     "q_project_compute",
     oracle=(
         "SELECT l_orderkey, l_linenumber, "
-        "round(l_extendedprice * (1 - l_discount), 2) AS revenue, "
-        "round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 2) AS charge "
+        "floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) / 100 AS revenue, "
+        "floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100 + 0.5) / 100 AS charge "
         "FROM lineitem"
     ),
 )
 def q_project_compute(spark, sf_dir):
     """Computed projection (arithmetic op surface SOT_add/mul,
-    [U: cls_tabular_utils.h — SOT arithmetic in the agg path])."""
+    [U: cls_tabular_utils.h — SOT arithmetic in the agg path]).
+    Per-row money uses quantize2 (not round): engine-invariant IEEE
+    integer-math quantization mirrored exactly in the oracle SQL."""
     li = Catalog(spark, sf_dir).lineitem
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        money(disc).alias("revenue"),
-        money(disc * (1 + F.col("l_tax"))).alias("charge"),
+        quantize2(disc).alias("revenue"),
+        quantize2(disc * (1 + F.col("l_tax"))).alias("charge"),
     )

@@ -64,7 +64,7 @@ def q_fn_split(spark, sf_dir):
         "SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS o_year, "
         "CAST(month(o_orderdate) AS INT) AS o_month, "
         "date_trunc('month', o_orderdate) AS month_start, "
-        "CAST(o_orderdate AS DATE) AS o_date, "
+        "CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_date, "
         "CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS INT) AS days_since "
         "FROM orders"
     ),
@@ -78,7 +78,7 @@ def q_fn_date(spark, sf_dir):
         F.year("o_orderdate").alias("o_year"),
         F.month("o_orderdate").alias("o_month"),
         F.date_trunc("month", "o_orderdate").alias("month_start"),
-        F.to_date("o_orderdate").alias("o_date"),
+        F.to_date("o_orderdate").cast("string").alias("o_date"),
         F.datediff(F.to_date("o_orderdate"), F.lit("1995-01-01").cast("date")).alias(
             "days_since"
         ),
@@ -145,23 +145,33 @@ def q_fn_case(spark, sf_dir):
     oracle=(
         "SELECT l_orderkey, CAST(l_quantity AS INT) AS qty_int, "
         "CAST(l_orderkey AS VARCHAR) AS okey_str, "
-        "CAST(l_extendedprice AS DECIMAL(18,2)) AS price_dec, "
+        "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS price_dec, "
         "CAST(l_linenumber AS DOUBLE) AS ln_dbl, "
-        "CAST(l_shipdate AS DATE) AS ship_date "
+        "CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS ship_date "
         "FROM lineitem"
     ),
 )
 def q_fn_cast(spark, sf_dir):
     """Casts across the SDT-equivalent type lattice
-    ([U: cls_tabular_utils.h — SDT_* enum])."""
+    ([U: cls_tabular_utils.h — SDT_* enum]).  The DECIMAL and DATE casts
+    are exercised for real, then normalized back to DOUBLE / ISO string
+    on BOTH sides: the cast *values* agree across engines but their
+    canonical textual forms (Decimal('100.10') vs 100.1, date vs
+    datetime64) do not survive the driver's value-hash otherwise."""
     li = Catalog(spark, sf_dir).lineitem
     return li.select(
         "l_orderkey",
         F.col("l_quantity").cast(T.IntegerType()).alias("qty_int"),
         F.col("l_orderkey").cast(T.StringType()).alias("okey_str"),
-        F.col("l_extendedprice").cast(T.DecimalType(18, 2)).alias("price_dec"),
+        F.col("l_extendedprice")
+        .cast(T.DecimalType(18, 2))
+        .cast(T.DoubleType())
+        .alias("price_dec"),
         F.col("l_linenumber").cast(T.DoubleType()).alias("ln_dbl"),
-        F.col("l_shipdate").cast(T.DateType()).alias("ship_date"),
+        F.col("l_shipdate")
+        .cast(T.DateType())
+        .cast(T.StringType())
+        .alias("ship_date"),
     )
 
 

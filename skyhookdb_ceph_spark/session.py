@@ -47,6 +47,11 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # events.parquet stores ts as INT64 TIMESTAMP(NANOS); Spark's
+        # vectorized reader rejects it (PARQUET_TYPE_ILLEGAL).  Read the
+        # raw long instead; Catalog.table("events") rebuilds a microsecond
+        # timestamp (truncation matches DuckDB's ns->us read).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.cbo.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
