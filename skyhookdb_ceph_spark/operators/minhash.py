@@ -1,0 +1,89 @@
+"""Banded MinHash LSH for near-duplicate detection (SURVEY.md §2.12).
+
+100 TB design: the only joins are equi-joins —
+
+1. band-signature self-join: shuffle on (band, signature); each bucket
+   holds only docs sharing a minimum-hash shingle, so candidate pairs
+   are ~linear in true near-dups, never O(n^2);
+2. shingle-set lookup joins for exact Jaccard on the (small) candidate
+   set: shuffle on doc_id.
+
+Everything is Catalyst expressions (JVM codegen) — md5/array ops, no
+Python.  Hash = md5 because it is byte-identical in DuckDB, keeping the
+whole pipeline oracle-checkable (the driver red-flags oracle-less ops).
+
+Determinism: band salt is the band index; no RNG anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+K_SHINGLE = 3  # words per shingle
+N_BANDS = 8  # bands = independent min-hash functions
+
+
+def shingle_expr(text_col: str, k: int = K_SHINGLE) -> str:
+    """Distinct k-word shingles of a text column (1-based, mirrors the
+    DuckDB oracle's generate_series/list indexing)."""
+    return (
+        f"array_distinct(transform("
+        f"sequence(1, greatest(size(split({text_col}, ' ')) - {k - 1}, 1)), "
+        f"i -> concat_ws(' ', slice(split({text_col}, ' '), i, {k}))))"
+    )
+
+
+def shingle_sets(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    return docs.selectExpr(id_col, f"{shingle_expr(text_col)} AS shingles")
+
+
+def band_signatures(sh: DataFrame, n_bands: int = N_BANDS, id_col: str = "doc_id") -> DataFrame:
+    """One min-hash signature per (doc, band): min over shingles of
+    md5(band || '|' || shingle)."""
+    return sh.selectExpr(
+        id_col, f"explode(sequence(0, {n_bands - 1})) AS b", "shingles"
+    ).selectExpr(
+        id_col,
+        "b",
+        "array_min(transform(shingles, s -> md5(concat(cast(b AS string), '|', s)))) AS bsig",
+    )
+
+
+def candidate_pairs(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Distinct (a < b) pairs sharing any band signature — the LSH
+    bucket equi-join."""
+    a = sig.selectExpr(f"{id_col} AS da", "b", "bsig")
+    c = sig.selectExpr(f"{id_col} AS db", "b AS b2", "bsig AS bsig2")
+    return (
+        a.join(c, (a.b == c.b2) & (a.bsig == c.bsig2) & (a.da < c.db))
+        .select("da", "db")
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bands: int = N_BANDS,
+) -> DataFrame:
+    """Full fuzzy-dedup pipeline: shingle -> band LSH -> exact Jaccard
+    on candidates -> filter >= threshold.  Returns (doc_a, doc_b, jac)."""
+    sh = shingle_sets(docs, text_col, id_col)
+    cand = candidate_pairs(band_signatures(sh, n_bands, id_col), id_col)
+    x = sh.selectExpr(f"{id_col} AS da", "shingles AS sx")
+    y = sh.selectExpr(f"{id_col} AS db", "shingles AS sy")
+    return (
+        cand.join(x, "da")
+        .join(y, "db")
+        .selectExpr(
+            "da AS doc_a",
+            "db AS doc_b",
+            # cast(... as double): a bare 1.0 literal parses as DECIMAL in
+            # Spark SQL, which would surface as Decimal objects in pandas
+            "round(cast(size(array_intersect(sx, sy)) AS double) "
+            "/ size(array_distinct(concat(sx, sy))), 6) AS jac",
+        )
+        .filter(f"jac >= {threshold}")
+    )

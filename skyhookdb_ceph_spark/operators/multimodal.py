@@ -1,0 +1,126 @@
+"""Multimodal (image/audio/video) column plumbing (SURVEY.md §2.12).
+
+Model: media travel as opaque `binary` columns with typed metadata
+columns beside them — the same schema-explicit flat model the reference
+uses for scalars, extended with BinaryType.  Decode / feature-extract /
+resize / frame-sample run as Arrow-batched `mapInPandas` stages so each
+task processes whole record batches (the 100 TB path: partition count =
+file-split count, Python touched once per batch, never per row).
+
+The actual codec step is STUBBED: image/audio libraries are not in this
+container.  `decode_stub=True` (default) derives deterministic fake
+features from the bytes so the Spark-side plumbing — schema, batch
+iteration, partitioning — is real and testable; `decode_stub=False`
+raises NotImplementedError where a real `PIL.Image.open` /
+`soundfile.read` call belongs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+# Output schema of the feature-extraction stage.
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("fingerprint", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, list[float]]:
+    """Deterministic stand-in for a real image decode: pseudo dimensions
+    and an 8-dim feature derived from the payload digest."""
+    digest = hashlib.sha256(payload).digest()
+    width = 64 + digest[0]
+    height = 64 + digest[1]
+    feature = [b / 255.0 for b in digest[2:10]]
+    return width, height, feature
+
+
+def extract_features(
+    media: DataFrame,
+    id_col: str = "media_id",
+    bytes_col: str = "payload",
+    decode_stub: bool = True,
+) -> DataFrame:
+    """Arrow-batched feature extraction over a binary column.
+
+    Real deployment: replace _fake_decode with the codec call; the
+    mapInPandas contract (Iterator[pd.DataFrame] -> Iterator[pd.DataFrame])
+    and FEATURE_SCHEMA stay identical.
+    """
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[bytes_col]):
+                data = bytes(payload)
+                if not decode_stub:
+                    raise NotImplementedError(
+                        "real media decode requires an image/audio codec "
+                        "library not present in this environment"
+                    )
+                width, height, feature = _fake_decode(data)
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "n_bytes": len(data),
+                        "fingerprint": hashlib.md5(data).hexdigest(),
+                        "width": width,
+                        "height": height,
+                        "feature": feature,
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in FEATURE_SCHEMA.fields]
+            )
+
+    return media.select(id_col, bytes_col).mapInPandas(process, FEATURE_SCHEMA)
+
+
+def frame_sample(
+    media: DataFrame,
+    every_n: int,
+    id_col: str = "media_id",
+    bytes_col: str = "payload",
+) -> DataFrame:
+    """Deterministic frame-sampling shape: split a binary payload into
+    fixed-size pseudo-frames and keep every n-th — the mapInPandas batch
+    pattern a real video sampler would use (one output row per kept
+    frame)."""
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("frame_no", T.IntegerType()),
+            T.StructField("frame", T.BinaryType()),
+        ]
+    )
+    frame_bytes = 256
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[bytes_col]):
+                data = bytes(payload)
+                frames = [
+                    data[i : i + frame_bytes]
+                    for i in range(0, len(data), frame_bytes)
+                ]
+                for no, fr in enumerate(frames):
+                    if no % every_n == 0:
+                        rows.append(
+                            {"media_id": int(mid), "frame_no": no, "frame": fr}
+                        )
+            yield pd.DataFrame(rows, columns=["media_id", "frame_no", "frame"])
+
+    return media.select(id_col, bytes_col).mapInPandas(process, schema)

@@ -1,1 +1,493 @@
-"""LLM-data-pipeline operators (SURVEY.md §2.12) — filled in Phase 5."""
+"""LLM-data-pipeline operators (SURVEY.md §2.12) — the north-star
+extension set: dedup (exact / MinHash / SimHash / n-gram / embedding),
+similarity search, text analysis, multimodal columns.
+
+Every operator here is oracle-checked (the driver red-flags oracle-less
+registrations): hash functions are md5 (byte-identical in DuckDB),
+float math is widened to double in a fixed fold order, and thresholds /
+band counts are deterministic constants — no RNG anywhere.
+
+100 TB design rule applied throughout: no all-pairs comparison ever —
+LSH banding / sign-bucketing reduces every pairwise op to an equi-join;
+top-k is TakeOrderedAndProject; exact dedup groups on a 64-bit hash so
+only (hash, id) pairs cross the shuffle, not document bodies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from skyhookdb_ceph_spark.operators import minhash, simhash, vectors
+from skyhookdb_ceph_spark.operators.text_index import (
+    build_inverted_index,
+    keyword_search,
+)
+from skyhookdb_ceph_spark.queries._util import Catalog
+from skyhookdb_ceph_spark.registry import query
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_dedup_exact",
+    oracle=(
+        "SELECT min(doc_id) AS doc_id, count(*) AS dup_cnt "
+        "FROM documents GROUP BY text"
+    ),
+    tags=("llm", "dedup"),
+)
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup by content hash: group on xxhash64(text) so the
+    shuffle carries (hash, doc_id), never the document body — at 100 TB
+    that's the difference between shuffling 8-byte keys and shuffling
+    the corpus.  Survivor = min(doc_id) per group (deterministic);
+    dup_cnt exposes cluster sizes.  Oracle groups by the text itself
+    (collision probability at 64 bits is ~n^2/2^65 — negligible)."""
+    d = Catalog(spark, sf_dir).documents
+    return (
+        d.groupBy(F.xxhash64("text").alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("dup_cnt"))
+        .select("doc_id", "dup_cnt")
+    )
+
+
+_FUZZY_ORACLE = """
+WITH sh AS (
+  SELECT doc_id, list_distinct(list_transform(
+    generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+         || ' ' || string_split(text, ' ')[i+2])) AS shingles
+  FROM documents),
+sig AS (
+  SELECT doc_id, b,
+    list_aggregate(list_transform(shingles, s -> md5(b || '|' || s)), 'min') AS bsig
+  FROM sh, unnest(generate_series(0, 7)) t(b)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS da, c.doc_id AS db
+  FROM sig a JOIN sig c ON a.b = c.b AND a.bsig = c.bsig AND a.doc_id < c.doc_id)
+SELECT da AS doc_a, db AS doc_b,
+  round(len(list_intersect(x.shingles, y.shingles)) * 1.0
+        / len(list_distinct(x.shingles || y.shingles)), 6) AS jac
+FROM cand JOIN sh x ON x.doc_id = cand.da JOIN sh y ON y.doc_id = cand.db
+WHERE round(len(list_intersect(x.shingles, y.shingles)) * 1.0
+        / len(list_distinct(x.shingles || y.shingles)), 6) >= 0.8
+"""
+
+
+@query("q_dedup_fuzzy", oracle=_FUZZY_ORACLE, tags=("llm", "dedup"))
+def q_dedup_fuzzy(spark, sf_dir):
+    """Near-dup detection: 3-word shingles -> 8-band MinHash LSH ->
+    exact Jaccard on candidates -> pairs with jac >= 0.8.  See
+    operators/minhash.py for the banding math; candidate generation is
+    an equi-join on (band, signature), never all-pairs."""
+    d = Catalog(spark, sf_dir).documents
+    return minhash.jaccard_pairs(d, threshold=0.8)
+
+
+_SIMHASH_ORACLE = (
+    f"SELECT {simhash.simhash_duckdb_expr('text')} AS simhash, "
+    "count(*) AS cnt, min(doc_id) AS keep_doc "
+    "FROM documents GROUP BY 1"
+)
+
+
+@query("q_dedup_simhash", oracle=_SIMHASH_ORACLE, tags=("llm", "dedup"))
+def q_dedup_simhash(spark, sf_dir):
+    """SimHash dedup: 16-bit md5-projection signature per doc, one
+    groupBy(simhash) shuffle.  Clusters with cnt > 1 are near-dup
+    groups; keep_doc is the deterministic survivor."""
+    d = Catalog(spark, sf_dir).documents
+    return simhash.simhash_groups(d)
+
+
+_NGRAM_ORACLE = """
+WITH fp AS (
+  SELECT doc_id, string_split(text, ' ') AS words,
+    list_aggregate(list_transform(
+      generate_series(1, greatest(length(text) - 7, 1)),
+      i -> md5(substr(text, i, 8))), 'min') AS fp8
+  FROM documents)
+SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+  round(len(list_intersect(list_distinct(a.words), list_distinct(c.words))) * 1.0
+        / len(list_distinct(a.words || c.words)), 6) AS tok_jac
+FROM fp a JOIN fp c ON a.fp8 = c.fp8 AND a.doc_id < c.doc_id
+WHERE round(len(list_intersect(list_distinct(a.words), list_distinct(c.words))) * 1.0
+        / len(list_distinct(a.words || c.words)), 6) >= 0.5
+"""
+
+
+@query("q_dedup_ngram", oracle=_NGRAM_ORACLE, tags=("llm", "dedup"))
+def q_dedup_ngram(spark, sf_dir):
+    """Character-n-gram dedup: candidates = docs sharing the minimum
+    md5(char-8-gram) (a 1-band rolling-hash fingerprint), then exact
+    token-set Jaccard >= 0.5 on candidates.  Same LSH shape as MinHash
+    but over character shingles — catches near-dups that word
+    shingling misses (e.g. punctuation/whitespace edits)."""
+    d = Catalog(spark, sf_dir).documents
+    fp = d.selectExpr(
+        "doc_id",
+        "split(text, ' ') AS words",
+        "array_min(transform(sequence(1, greatest(length(text) - 7, 1)), "
+        "i -> md5(substring(text, i, 8)))) AS fp8",
+    )
+    a = fp.selectExpr("doc_id AS doc_a", "words AS wa", "fp8")
+    c = fp.selectExpr("doc_id AS doc_b", "words AS wb", "fp8 AS fp8b")
+    return (
+        a.join(c, (a.fp8 == c.fp8b) & (a.doc_a < c.doc_b))
+        .selectExpr(
+            "doc_a",
+            "doc_b",
+            "round(cast(size(array_intersect(array_distinct(wa), array_distinct(wb))) AS double) "
+            "/ size(array_distinct(concat(wa, wb))), 6) AS tok_jac",
+        )
+        .filter("tok_jac >= 0.5")
+    )
+
+
+_EMBED_DEDUP_ORACLE = f"""
+WITH b AS (
+  SELECT vec_id, embedding,
+    {vectors.sign_bucket_duckdb('embedding', 4)} AS bucket
+  FROM embeddings),
+dup AS (
+  SELECT DISTINCT c.vec_id AS vb
+  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+  WHERE {vectors.cosine_duckdb('a.embedding', 'c.embedding')} > 0.4)
+SELECT vec_id FROM embeddings WHERE vec_id NOT IN (SELECT vb FROM dup)
+"""
+
+
+@query("q_dedup_embed", oracle=_EMBED_DEDUP_ORACLE, tags=("llm", "dedup"))
+def q_dedup_embed(spark, sf_dir):
+    """Embedding-cosine near-dup removal, keep-first: drop any vector
+    whose cosine to a LOWER-id vector in the same sign bucket exceeds
+    0.4.  Bucketing (4 sign bits) makes the pair generation an
+    equi-join; the anti-join drops the duplicates."""
+    e = Catalog(spark, sf_dir).embeddings
+    pairs = vectors.bucketed_pairs(e, n_bits=4)
+    dup = (
+        pairs.selectExpr("vb", f"{vectors.cosine_expr('ea', 'eb')} AS sim")
+        .filter("sim > 0.4")
+        .select("vb")
+        .distinct()
+    )
+    return e.join(dup, e.vec_id == dup.vb, "left_anti").select("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_KNN_ORACLE = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, round({vectors.cosine_duckdb('embedding', 'qv')}, 6) AS sim
+FROM embeddings, q
+ORDER BY sim DESC, vec_id LIMIT 10
+"""
+
+
+@query("q_sim_knn", oracle=_KNN_ORACLE, tags=("llm", "similarity"))
+def q_sim_knn(spark, sf_dir):
+    """Brute-force cosine top-k vs one query vector (vec_id=0).  The
+    query vector is a 1-row broadcast cross-join; per-row math is a
+    JVM-side higher-order fold (no Python); the plan is scan ->
+    TakeOrderedAndProject — at 100 TB each partition keeps a k-heap and
+    the driver merges k rows per partition, no global sort.  The
+    IVF-style scale path (prune by bucket first) is q_sim_pairs'
+    machinery composed with this scorer."""
+    e = Catalog(spark, sf_dir).embeddings
+    q = e.filter(F.col("vec_id") == 0).selectExpr("embedding AS qv")
+    return (
+        e.crossJoin(F.broadcast(q))
+        .selectExpr("vec_id", f"round({vectors.cosine_expr('embedding', 'qv')}, 6) AS sim")
+        .orderBy(F.col("sim").desc(), "vec_id")
+        .limit(10)
+    )
+
+
+_PAIRS_ORACLE = f"""
+WITH b AS (
+  SELECT vec_id, embedding,
+    {vectors.sign_bucket_duckdb('embedding', 4)} AS bucket
+  FROM embeddings)
+SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+  round({vectors.cosine_duckdb('a.embedding', 'c.embedding')}, 6) AS sim
+FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+WHERE round({vectors.cosine_duckdb('a.embedding', 'c.embedding')}, 6) > 0.25
+"""
+
+
+@query("q_sim_pairs", oracle=_PAIRS_ORACLE, tags=("llm", "similarity"))
+def q_sim_pairs(spark, sf_dir):
+    """All-pairs similarity above a threshold, LSH-pruned: pairs are
+    generated ONLY within sign buckets (16 buckets here), so the join
+    is an equi-join on bucket id — the O(n^2/buckets) scale path.  The
+    oracle computes identical bucketed semantics."""
+    e = Catalog(spark, sf_dir).embeddings
+    pairs = vectors.bucketed_pairs(e, n_bits=4)
+    return (
+        pairs.selectExpr(
+            "va AS vec_a",
+            "vb AS vec_b",
+            f"round({vectors.cosine_expr('ea', 'eb')}, 6) AS sim",
+        )
+        .filter("sim > 0.25")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_text_stats",
+    oracle=(
+        "SELECT lang, source, count(*) AS n_docs, "
+        "CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens, "
+        "round(avg(len(string_split(text, ' '))), 6) AS avg_tokens, "
+        "round(avg(length(text)), 6) AS avg_chars "
+        "FROM documents GROUP BY lang, source"
+    ),
+    tags=("llm", "text"),
+)
+def q_text_stats(spark, sf_dir):
+    """Corpus statistics per (lang, source): doc counts, token counts,
+    length moments — the first pass of any training-data audit.  One
+    groupBy shuffle; token counting stays JVM-side (split + size)."""
+    d = Catalog(spark, sf_dir).documents
+    ntok = F.size(F.split("text", " "))
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(ntok).alias("total_tokens"),
+        F.round(F.avg(ntok), 6).alias("avg_tokens"),
+        F.round(F.avg(F.length("text")), 6).alias("avg_chars"),
+    )
+
+
+@query(
+    "q_text_keyword",
+    oracle=(
+        "SELECT doc_id, count(*) AS tf FROM ("
+        "SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents) "
+        "WHERE w = 'join' GROUP BY doc_id ORDER BY tf DESC, doc_id LIMIT 20"
+    ),
+    tags=("llm", "text"),
+)
+def q_text_keyword(spark, sf_dir):
+    """Keyword search ranked by term frequency through the inverted
+    index (operators/text_index.py — the reference's IDX_TXT analog
+    [U: cls_tabular_utils.h — SIT_IDX_TXT]).  Searching 'join' (a
+    high-frequency corpus token)."""
+    d = Catalog(spark, sf_dir).documents
+    return keyword_search(build_inverted_index(d), "join", k=20)
+
+
+_LANGID_MARKERS = {
+    "en": ("the", "a", "and", "of", "to"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "es": ("el", "los", "que", "una", "por"),
+    "de": ("der", "die", "und", "das", "ein"),
+}
+
+
+def _langid_exprs(spark_side: bool) -> tuple[str, str]:
+    """(hit-count select list, CASE expression) for both engines."""
+    size_fn = "size" if spark_side else "len"
+    filt = "filter" if spark_side else "list_filter"
+    words = "split(text, ' ')" if spark_side else "string_split(text, ' ')"
+    hits = []
+    for lang, marks in _LANGID_MARKERS.items():
+        inlist = ", ".join(f"'{m}'" for m in marks)
+        hits.append(
+            f"{size_fn}({filt}({words}, w -> w IN ({inlist}))) AS hits_{lang}"
+        )
+    # DuckDB regexp_replace is first-match-only without the 'g' flag;
+    # Spark's replaces all matches by default.
+    case = (
+        "CASE WHEN length(regexp_replace(text, '[\\x00-\\x7f]', '', 'g')) > 0 THEN 'zh' "
+        if not spark_side
+        else "CASE WHEN length(regexp_replace(text, '[\\\\x00-\\\\x7f]', '')) > 0 THEN 'zh' "
+    )
+    case += (
+        "WHEN hits_en >= hits_fr AND hits_en >= hits_es AND hits_en >= hits_de "
+        "AND hits_en > 0 THEN 'en' "
+        "WHEN hits_fr >= hits_es AND hits_fr >= hits_de AND hits_fr > 0 THEN 'fr' "
+        "WHEN hits_es >= hits_de AND hits_es > 0 THEN 'es' "
+        "WHEN hits_de > 0 THEN 'de' ELSE 'und' END AS pred_lang"
+    )
+    return ", ".join(hits), case
+
+
+_LID_HITS_SQL, _LID_CASE_SQL = _langid_exprs(spark_side=False)
+_LANGID_ORACLE = (
+    f"SELECT doc_id, pred_lang FROM ("
+    f"SELECT doc_id, text, {_LID_HITS_SQL} FROM documents) t "
+    f"CROSS JOIN LATERAL (SELECT {_LID_CASE_SQL}) c"
+)
+
+
+def _split_select(exprs: str) -> list[str]:
+    """Split a comma-joined select list, respecting parentheses."""
+    out, depth, cur = [], 0, []
+    for ch in exprs:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur).strip())
+    return out
+
+
+@query("q_text_langid", oracle=_LANGID_ORACLE, tags=("llm", "text"))
+def q_text_langid(spark, sf_dir):
+    """Language ID via stopword-marker n-gram heuristic + non-ASCII
+    (CJK) detection.  Deterministic scoring, no model — the synthetic
+    corpus mostly resolves to 'en'/'und', which exercises the plumbing;
+    real corpora swap in richer marker sets, same plan shape (pure
+    per-row JVM expressions, no shuffle)."""
+    d = Catalog(spark, sf_dir).documents
+    hits, case = _langid_exprs(spark_side=True)
+    return (
+        d.selectExpr("doc_id", "text", *_split_select(hits))
+        .selectExpr("doc_id", case)
+        .select("doc_id", "pred_lang")
+    )
+
+
+@query(
+    "q_text_quality",
+    oracle=(
+        "SELECT doc_id, len(string_split(text, ' ')) AS n_tokens, "
+        "round(len(list_distinct(string_split(text, ' '))) * 1.0 "
+        "/ len(string_split(text, ' ')), 6) AS uniq_ratio, "
+        "round(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) * 1.0 "
+        "/ length(text), 6) AS punct_ratio, "
+        "round(0.5 * least(len(string_split(text, ' ')) / 80.0, 1.0) "
+        "+ 0.5 * (len(list_distinct(string_split(text, ' '))) * 1.0 "
+        "/ len(string_split(text, ' '))), 6) AS quality "
+        "FROM documents"
+    ),
+    tags=("llm", "text"),
+)
+def q_text_quality(spark, sf_dir):
+    """Heuristic quality scoring: length, lexical diversity, punctuation
+    ratio, and a combined score — the standard cheap pre-filter before
+    expensive model-based scoring.  Pure per-row JVM expressions."""
+    d = Catalog(spark, sf_dir).documents
+    return d.selectExpr(
+        "doc_id",
+        "size(split(text, ' ')) AS n_tokens",
+        "round(cast(size(array_distinct(split(text, ' '))) AS double) "
+        "/ size(split(text, ' ')), 6) AS uniq_ratio",
+        "round(cast(length(regexp_replace(text, '[a-z0-9 ]', '')) AS double) "
+        "/ length(text), 6) AS punct_ratio",
+        "round(cast(0.5 AS double) * least(size(split(text, ' ')) / cast(80.0 AS double), cast(1.0 AS double)) "
+        "+ cast(0.5 AS double) * (cast(size(array_distinct(split(text, ' '))) AS double) "
+        "/ size(split(text, ' '))), 6) AS quality",
+    )
+
+
+@query(
+    "q_text_tokens",
+    oracle=(
+        "SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens, "
+        "len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS re_tokens, "
+        "length(text) AS n_chars_actual FROM documents"
+    ),
+    tags=("llm", "text"),
+)
+def q_text_tokens(spark, sf_dir):
+    """Token counting two ways: whitespace split and a BPE-ish regex
+    (letter runs / digit runs / single symbols) — the cheap token-budget
+    estimator for training-data accounting."""
+    d = Catalog(spark, sf_dir).documents
+    return d.selectExpr(
+        "doc_id",
+        "size(split(text, ' ')) AS ws_tokens",
+        "size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) AS re_tokens",
+        "length(text) AS n_chars_actual",
+    )
+
+
+@query(
+    "q_text_fingerprint",
+    oracle=(
+        "SELECT doc_id, md5(text) AS fp_full, "
+        "list_aggregate(list_transform("
+        "generate_series(1, greatest(length(text) - 7, 1)), "
+        "i -> md5(substr(text, i, 8))), 'min') AS fp_min8 "
+        "FROM documents"
+    ),
+    tags=("llm", "text"),
+)
+def q_text_fingerprint(spark, sf_dir):
+    """Document fingerprinting: whole-text digest + minimum rolling
+    char-8-gram digest (winnowing-style, robust to local edits).  Both
+    are JVM expressions; fingerprints feed the dedup ops above."""
+    d = Catalog(spark, sf_dir).documents
+    return d.selectExpr(
+        "doc_id",
+        "md5(text) AS fp_full",
+        "array_min(transform(sequence(1, greatest(length(text) - 7, 1)), "
+        "i -> md5(substring(text, i, 8)))) AS fp_min8",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal columns
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_multimodal_json",
+    oracle=(
+        "SELECT event_id, event_type, "
+        "CAST(json_extract_string(props, '$.k') AS INT) AS k "
+        "FROM events"
+    ),
+    tags=("llm", "multimodal"),
+)
+def q_multimodal_json(spark, sf_dir):
+    """Typed extraction from the semi-structured props column via
+    from_json with an explicit schema (not per-path string getters) —
+    the schema-on-read door for metadata travelling beside media
+    columns."""
+    e = Catalog(spark, sf_dir).events
+    schema = T.StructType([T.StructField("k", T.IntegerType())])
+    return e.select(
+        "event_id",
+        "event_type",
+        F.from_json("props", schema).getField("k").alias("k"),
+    )
+
+
+@query(
+    "q_multimodal_binary",
+    oracle=(
+        "SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes, "
+        "md5(text) AS payload_md5 FROM documents"
+    ),
+    tags=("llm", "multimodal"),
+)
+def q_multimodal_binary(spark, sf_dir):
+    """Opaque-binary column handling: payload cast to binary, byte
+    length + content digest as typed metadata — the query-side surface
+    of the multimodal model (decode/feature stages live in
+    operators/multimodal.py as Arrow-batched mapInPandas)."""
+    d = Catalog(spark, sf_dir).documents
+    payload = F.col("text").cast(T.BinaryType())
+    return d.select(
+        "doc_id",
+        F.length(payload).alias("n_bytes"),
+        F.md5(payload).alias("payload_md5"),
+    )
