@@ -9,15 +9,20 @@ flag].  Spark provides every algorithm behind one API; what matters at
   NO shuffle of the 100 TB side);
 - fact x fact       -> sort-merge on the join key (both sides shuffle
   once; AQE splits skewed keys);
-- existence checks  -> semi/anti join (never materializes the payload).
+- existence checks  -> semi/anti join (never materializes the payload);
+- bounded band predicates -> bucketed equi-join (operators/range_join.py);
+- time alignment    -> as-of via union+window (operators/asof.py).
 
-Tests assert the chosen strategy via explain() (plans/explain.py).
+tests/test_plans.py asserts the chosen strategy per query via the
+plans/explain.py helpers.
 """
 
 from __future__ import annotations
 
 from pyspark.sql.functions import broadcast
 
+from skyhookdb_ceph_spark.operators.asof import asof_join
+from skyhookdb_ceph_spark.operators.range_join import banded_interval_join
 from skyhookdb_ceph_spark.queries._util import Catalog, F, money
 from skyhookdb_ceph_spark.registry import query
 
@@ -116,6 +121,21 @@ def q_join_left(spark, sf_dir):
 
 
 @query(
+    "q_join_right",
+    oracle=(
+        "SELECT c_custkey, c_name, o_orderkey, o_totalprice "
+        "FROM orders RIGHT JOIN customer ON o_custkey = c_custkey"
+    ),
+)
+def q_join_right(spark, sf_dir):
+    """Right outer join: every customer survives, orders nullable."""
+    c = Catalog(spark, sf_dir)
+    return c.orders.join(
+        c.customer, F.col("o_custkey") == F.col("c_custkey"), "right"
+    ).select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+
+
+@query(
     "q_join_full",
     oracle=(
         "SELECT coalesce(a.k, b.k) AS k, a.order_cnt, b.line_cnt FROM "
@@ -181,19 +201,52 @@ def q_join_anti(spark, sf_dir):
     ),
 )
 def q_join_theta(spark, sf_dir):
-    """Non-equi (band) theta join.  Spark plans BroadcastNestedLoop with
-    the small side broadcast; at scale a band join should pre-bucket both
-    sides on range(bucket) and equi-join the bucket id — documented in
-    operators/asof.py which implements that pattern."""
+    """Non-equi (band) theta join, bucketized: Spark's default plan for
+    a band predicate is BroadcastNestedLoopJoin (quadratic once neither
+    side broadcasts).  banded_interval_join explodes each supplier's
+    [lo, lo+20] interval to its <= 2 covering 20-wide buckets and
+    equi-joins on bucket id + residual filter — one hash shuffle,
+    linear at any scale (tests/test_plans.py asserts no BNL)."""
     c = Catalog(spark, sf_dir)
     s = c.supplier.select("s_suppkey", "s_name", "s_acctbal")
     p = c.part.select("p_partkey", "p_retailprice")
     lo = F.col("s_acctbal") / 4
-    return (
-        broadcast(s)
-        .join(p, (F.col("p_retailprice") >= lo) & (F.col("p_retailprice") <= lo + 20))
-        .select("s_suppkey", "s_name", "p_partkey", "p_retailprice")
+    return banded_interval_join(
+        p, s, "p_retailprice", lo, lo + 20, width=20.0
+    ).select("s_suppkey", "s_name", "p_partkey", "p_retailprice")
+
+
+@query(
+    "q_join_asof",
+    oracle=(
+        "SELECT p.event_id, p.ts, "
+        "(SELECT max(c.ts) FROM events c WHERE c.user_id = p.user_id "
+        "AND c.event_type = 'click' AND c.ts <= p.ts) AS last_click_ts "
+        "FROM events p WHERE p.event_type = 'purchase'"
+    ),
+)
+def q_join_asof(spark, sf_dir):
+    """As-of join: each purchase event aligned to the user's most
+    recent click at-or-before it (operators/asof.py union+window
+    recipe — one shuffle on user_id, no range explosion).  The oracle
+    states the same semantics as a correlated max subquery."""
+    c = Catalog(spark, sf_dir)
+    e = c.events
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
     )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts"), F.col("ts").alias("click_ts")
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        value_col="click_ts",
+        out_col="last_click_ts",
+    ).select("event_id", "ts", "last_click_ts")
 
 
 @query(

@@ -1,1 +1,250 @@
-"""Streaming queries (SURVEY.md §2.10) — filled in Phase 6."""
+"""Streaming queries (SURVEY.md §2.10) — [EXT]; the reference is
+batch-only, the `events` fixture exists precisely for this.
+
+Strategy: `window`/`session_window` are batch/streaming-shared APIs, so
+q_stream_tumbling/sliding/session are written once and oracle-checked
+in batch (the identical code runs under readStream —
+tests/test_streaming.py proves it).  q_stream_watermark, q_stream_dedup
+and q_stream_stateful run TRUE readStream micro-pipelines
+(file-source replay -> AvailableNow -> memory sink) and are still
+oracle-checked because the drain is deterministic.
+
+Scale: windowed agg state is partitioned by (window, keys); watermarks
+bound state retention; dedup state is keyed by event_id and dropped
+once the watermark passes — none of it accumulates unboundedly.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from skyhookdb_ceph_spark.queries._util import Catalog
+from skyhookdb_ceph_spark.registry import query
+from skyhookdb_ceph_spark.streaming.replay import drain_to_memory, events_stream
+
+
+@query(
+    "q_stream_tumbling",
+    oracle=(
+        "SELECT date_trunc('hour', ts) AS window_start, "
+        "date_trunc('hour', ts) + INTERVAL '1 hour' AS window_end, "
+        "event_type, count(*) AS cnt "
+        "FROM events GROUP BY 1, 2, 3"
+    ),
+    tags=("stream",),
+)
+def q_stream_tumbling(spark, sf_dir):
+    """Tumbling 1-hour counts per event type.  window() is the shared
+    batch/streaming operator — this exact DataFrame runs under
+    readStream unchanged (tests/test_streaming.py)."""
+    e = Catalog(spark, sf_dir).events
+    return (
+        e.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "cnt",
+        )
+    )
+
+
+@query(
+    "q_stream_sliding",
+    oracle=(
+        "SELECT ws AS window_start, ws + INTERVAL '1 hour' AS window_end, "
+        "event_type, count(*) AS cnt FROM ("
+        "SELECT event_type, "
+        "time_bucket(INTERVAL '15 minutes', ts) - to_minutes(CAST(g * 15 AS BIGINT)) AS ws "
+        "FROM events, unnest(generate_series(0, 3)) t(g)) "
+        "GROUP BY 1, 2, 3"
+    ),
+    tags=("stream",),
+)
+def q_stream_sliding(spark, sf_dir):
+    """Sliding window: 1-hour length, 15-minute slide — each event lands
+    in 4 windows.  The oracle expands the same window set explicitly
+    (time_bucket minus g*slide)."""
+    e = Catalog(spark, sf_dir).events
+    return (
+        e.groupBy(F.window("ts", "1 hour", "15 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "cnt",
+        )
+    )
+
+
+@query(
+    "q_stream_session",
+    oracle=(
+        "WITH marked AS ("
+        "  SELECT user_id, ts, value, CASE WHEN lag(ts) OVER w IS NULL "
+        "    OR ts - lag(ts) OVER w >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_s"
+        "  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+        "sess AS ("
+        "  SELECT user_id, ts, value, sum(new_s) OVER "
+        "    (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid "
+        "  FROM marked) "
+        "SELECT user_id, min(ts) AS session_start, "
+        "max(ts) + INTERVAL '30 minutes' AS session_end, count(*) AS n_events "
+        "FROM sess GROUP BY user_id, sid"
+    ),
+    tags=("stream",),
+)
+def q_stream_session(spark, sf_dir):
+    """Per-user session windows with a 30-minute inactivity gap.
+    session_window merges events whose [ts, ts+gap) intervals overlap;
+    the oracle reproduces that with the classic lag/flag/running-sum
+    session-ization (new session iff gap >= 30 min)."""
+    e = Catalog(spark, sf_dir).events
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@query(
+    "q_stream_watermark",
+    oracle=(
+        "SELECT date_trunc('hour', ts) AS window_start, count(*) AS cnt "
+        "FROM events GROUP BY 1"
+    ),
+    tags=("stream", "live-stream"),
+)
+def q_stream_watermark(spark, sf_dir):
+    """TRUE streaming run: readStream file-source replay of events,
+    10-minute watermark, tumbling hourly counts, drained with
+    Trigger.AvailableNow into a memory sink (complete mode, so final
+    windows are emitted even though the watermark never passes them).
+    The watermark bounds aggregation state at scale: windows older than
+    max(event time) - 10 min are finalized and evicted."""
+    stream = events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("window.start").alias("window_start"), "cnt")
+    )
+    return drain_to_memory(agg, output_mode="complete")
+
+
+@query(
+    "q_stream_dedup",
+    oracle=(
+        "SELECT event_id, event_type, value FROM events"
+    ),
+    tags=("stream", "live-stream"),
+)
+def q_stream_dedup(spark, sf_dir):
+    """TRUE streaming dedup: the events fixture is replayed TWICE (two
+    parquet copies in a scratch dir) through readStream;
+    dropDuplicatesWithinWatermark(event_id) must collapse the two
+    copies back to the unique event set.  State is keyed by event_id
+    and evicted once the watermark passes — bounded memory at scale."""
+    tmp = tempfile.mkdtemp(prefix="skyhook_stream_dedup_")
+    try:
+        src = Catalog(spark, sf_dir).events.select(
+            "event_id", "ts", "user_id", "event_type", "value"
+        )
+        src.write.mode("overwrite").parquet(f"{tmp}/in")
+        src.write.mode("append").parquet(f"{tmp}/in")
+
+        schema = T.StructType(
+            [
+                T.StructField("event_id", T.LongType()),
+                T.StructField("ts", T.TimestampType()),
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+            ]
+        )
+        stream = spark.readStream.schema(schema).parquet(f"{tmp}/in")
+        deduped = (
+            stream.withWatermark("ts", "1 hour")
+            .dropDuplicatesWithinWatermark(["event_id"])
+            .select("event_id", "event_type", "value")
+        )
+        out = drain_to_memory(deduped, output_mode="append")
+        # Materialize before the scratch dir disappears.
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+_STATE_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_cents", T.LongType()),
+    ]
+)
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("cents", T.LongType()),
+    ]
+)
+
+
+def _user_state_fn(
+    key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state
+) -> Iterator[pd.DataFrame]:
+    """Per-user running (count, sum of floor(value*100)) state.  Integer
+    cents keep the accumulation exact and order-independent, so the
+    result is oracle-comparable."""
+    import numpy as np
+
+    n, cents = state.get() if state.exists else (0, 0)
+    for pdf in pdfs:
+        n += len(pdf)
+        cents += int(np.floor(pdf["value"].to_numpy() * 100).sum())
+    state.update((n, cents))
+    yield pd.DataFrame(
+        [{"user_id": key[0], "n_events": n, "sum_cents": cents}]
+    )
+
+
+@query(
+    "q_stream_stateful",
+    oracle=(
+        "SELECT user_id, count(*) AS n_events, "
+        "CAST(sum(floor(value * 100)) AS BIGINT) AS sum_cents "
+        "FROM events GROUP BY user_id"
+    ),
+    tags=("stream", "live-stream"),
+)
+def q_stream_stateful(spark, sf_dir):
+    """TRUE arbitrary-stateful streaming: applyInPandasWithState keeps
+    per-user running aggregates (the custom-operator escape hatch for
+    state machines no built-in window expresses).  Arrow-batched; state
+    partitioned by user_id across executors; NoTimeout since the drain
+    is finite.  Drained with AvailableNow -> update-mode memory sink."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    stream = events_stream(spark, sf_dir).select("user_id", "ts", "value")
+    updated = stream.groupBy("user_id").applyInPandasWithState(
+        _user_state_fn,
+        outputStructType=_STATE_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return drain_to_memory(updated, output_mode="update")

@@ -1,0 +1,65 @@
+"""File-source replay of the events fixture + deterministic drain.
+
+100 TB notes: the file stream source lists splits incrementally
+(maxFilesPerTrigger bounds each micro-batch); state stores (dedup,
+session windows, applyInPandasWithState) are partitioned by grouping
+key across executors, so state size per executor is bounded by key
+cardinality / parallelism, and watermarks bound state retention in
+event time.  Locally we drain everything in one AvailableNow pass.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Raw schema of events.parquet under nanosAsLong (see catalog.py): the
+# file stream source needs an explicit schema.
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # raw nanoseconds
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events fixture with the same microsecond
+    timestamp rebuild the batch Catalog applies."""
+    # The file stream source requires a directory; pathGlobFilter picks
+    # out the events fixture from the scale-factor dir.
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def drain_to_memory(
+    stream_df: DataFrame, output_mode: str = "complete"
+) -> DataFrame:
+    """Run a streaming DataFrame to completion (AvailableNow) into a
+    uniquely-named memory sink; returns the sink table as a DataFrame.
+
+    AvailableNow processes all currently-available input then stops —
+    the deterministic batch-equivalent drain, same code path a live
+    trigger would use.
+    """
+    name = f"sink_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
