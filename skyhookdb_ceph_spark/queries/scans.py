@@ -14,11 +14,13 @@ work at all; `q_scan_full` is a pure pass-through plan.
 
 from __future__ import annotations
 
+import os
 import shutil
 import tempfile
 
 from pyspark.sql import types as T
 
+from skyhookdb_ceph_spark.operators.stats import column_stats
 from skyhookdb_ceph_spark.queries._util import Catalog, F
 from skyhookdb_ceph_spark.registry import query
 
@@ -55,8 +57,14 @@ def q_transform_format(spark, sf_dir):
     rewrite.  Round-trips a projection of lineitem through CSV with an
     explicit schema, re-lays it out as Parquet, and aggregates the
     result — matching the oracle on the source proves the transform is
-    lossless."""
-    tmp = tempfile.mkdtemp(prefix="skyhook_transform_")
+    lossless.
+
+    Scratch location: $SPARK_GRAFT_SCRATCH if set, else a local temp
+    dir.  On a real cluster the scratch URI MUST be shared storage
+    (s3://..., hdfs://...) — executors and driver do not share /tmp;
+    local mode only needs the default."""
+    scratch = os.environ.get("SPARK_GRAFT_SCRATCH")
+    tmp = tempfile.mkdtemp(prefix="skyhook_transform_", dir=scratch)
     try:
         src = Catalog(spark, sf_dir).lineitem.select(*_TRANSFORM_COLS)
         csv_path, pq_path = f"{tmp}/row_format_csv", f"{tmp}/col_format_parquet"
@@ -85,3 +93,27 @@ def q_transform_format(spark, sf_dir):
         return out
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "q_runstats",
+    oracle=(
+        "SELECT 'l_quantity' AS col, CAST(min(l_quantity) AS DOUBLE) AS min_val, "
+        "CAST(max(l_quantity) AS DOUBLE) AS max_val, count(l_quantity) AS cnt, "
+        "count(DISTINCT l_quantity) AS ndv FROM lineitem "
+        "UNION ALL SELECT 'l_extendedprice', CAST(min(l_extendedprice) AS DOUBLE), "
+        "CAST(max(l_extendedprice) AS DOUBLE), count(l_extendedprice), "
+        "count(DISTINCT l_extendedprice) FROM lineitem "
+        "UNION ALL SELECT 'l_discount', CAST(min(l_discount) AS DOUBLE), "
+        "CAST(max(l_discount) AS DOUBLE), count(l_discount), "
+        "count(DISTINCT l_discount) FROM lineitem"
+    ),
+)
+def q_runstats(spark, sf_dir):
+    """Per-column statistics pass — the reference's runstats op
+    [U: cls_tabular.cc — exec_runstats_op] re-expressed as one
+    partial-aggregated stats scan per column (operators/stats.py).
+    These stats feed the CBO the same way runstats fed the reference's
+    selectivity decisions."""
+    li = Catalog(spark, sf_dir).lineitem
+    return column_stats(li, ["l_quantity", "l_extendedprice", "l_discount"])

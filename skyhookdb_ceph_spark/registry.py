@@ -35,9 +35,12 @@ REGISTRY: dict[str, QuerySpec] = {}
 def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
     """Register a (spark, sf_dir) -> DataFrame callable under a QueryID.
 
-    ``oracle`` is ANSI SQL DuckDB runs over the same parquet views; omit
-    it only for genuinely non-SQL-expressible ops (LSH, streaming state),
-    which the driver then checks rows-only.
+    ``oracle`` is ANSI SQL DuckDB runs over the same parquet views.
+    WARNING: the driver has NO rows-only fallback — oracle=None comes
+    back as a red ``err: no_oracle`` row in CORRECTNESS (verified round
+    1).  Every registered query must carry an oracle; make non-SQL ops
+    oracle-comparable (deterministic seeds, banded verdict columns,
+    batch twins) instead of omitting it.
     """
 
     def deco(fn: QueryFn) -> QueryFn:

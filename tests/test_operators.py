@@ -1,0 +1,80 @@
+"""Operator-library unit tests: asof, banded range join, minhash,
+simhash, vectors — verified against independent formulations."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from skyhookdb_ceph_spark.operators.asof import asof_join
+from skyhookdb_ceph_spark.operators.minhash import jaccard_pairs, shingle_sets
+from skyhookdb_ceph_spark.operators.range_join import banded_interval_join
+from skyhookdb_ceph_spark.operators.simhash import simhash_groups
+
+
+def test_asof_join_picks_latest_at_or_before(spark):
+    left = spark.createDataFrame(
+        [Row(k=1, ts=10, tag="a"), Row(k=1, ts=20, tag="b"), Row(k=2, ts=5, tag="c")]
+    )
+    right = spark.createDataFrame(
+        [Row(k=1, rts=8, v=100), Row(k=1, rts=10, v=200), Row(k=1, rts=15, v=300),
+         Row(k=2, rts=9, v=400)]
+    )
+    out = {
+        (r.k, r.ts): r.v_out
+        for r in asof_join(
+            left, right, key="k", left_ts="ts", right_ts="rts",
+            value_col="v", out_col="v_out",
+        ).collect()
+    }
+    assert out[(1, 10)] == 200  # equal timestamp qualifies (<= semantics)
+    assert out[(1, 20)] == 300
+    assert out[(2, 5)] is None  # no right row at or before
+
+
+def test_banded_interval_join_matches_naive_theta(spark, sf_small):
+    from skyhookdb_ceph_spark.catalog import Catalog
+
+    c = Catalog(spark, sf_small)
+    p = c.part.select("p_partkey", "p_retailprice")
+    s = c.supplier.select("s_suppkey", "s_acctbal")
+    lo = F.col("s_acctbal") / 4
+    naive = (
+        s.crossJoin(p)
+        .filter((F.col("p_retailprice") >= lo) & (F.col("p_retailprice") <= lo + 20))
+        .select("s_suppkey", "p_partkey")
+    )
+    banded = banded_interval_join(p, s, "p_retailprice", lo, lo + 20, 20.0).select(
+        "s_suppkey", "p_partkey"
+    )
+    assert sorted(map(tuple, banded.collect())) == sorted(map(tuple, naive.collect()))
+
+
+def test_minhash_identical_docs_get_jaccard_one(spark):
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the quick brown fox jumps over the lazy dog"),
+            Row(doc_id=2, text="the quick brown fox jumps over the lazy dog"),
+            Row(doc_id=3, text="an entirely different sentence with other words here"),
+        ]
+    )
+    pairs = jaccard_pairs(docs, threshold=0.9).collect()
+    assert [(r.doc_a, r.doc_b, r.jac) for r in pairs] == [(1, 2, 1.0)]
+
+
+def test_shingles_are_distinct_word_triples(spark):
+    docs = spark.createDataFrame([Row(doc_id=1, text="a b c d")])
+    [row] = shingle_sets(docs).collect()
+    assert sorted(row.shingles) == ["a b c", "b c d"]
+
+
+def test_simhash_groups_identical_docs(spark):
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=5, text="alpha beta gamma delta"),
+            Row(doc_id=9, text="alpha beta gamma delta"),
+            Row(doc_id=7, text="unrelated totally different content words"),
+        ]
+    )
+    groups = {r.simhash: (r.cnt, r.keep_doc) for r in simhash_groups(docs).collect()}
+    assert (2, 5) in groups.values()

@@ -1,0 +1,86 @@
+"""Plan-shape assertions (SURVEY.md §4): the scale properties the
+engine depends on must be visible in the physical plan, not assumed.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from skyhookdb_ceph_spark.plans.explain import (
+    explain_str,
+    has_operator,
+    has_pushed_filters,
+    joins_used,
+    scan_read_schema,
+)
+from skyhookdb_ceph_spark.registry import load_all
+
+SF = "/root/testdata/sf0.001"
+
+
+def q(name, spark):
+    return load_all()[name].fn(spark, SF)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q_filter_gt",
+        "q_filter_eq_point",
+        "q_filter_range_conj",
+        "q_filter_in",
+        "q_filter_between",
+        "q_filter_or_not",
+    ],
+)
+def test_filters_are_pushed_to_scan(spark, name):
+    """Every §2.2 predicate must reach the Parquet scan (the engine's
+    raison d'etre — the reference pushed these into the OSD)."""
+    assert has_pushed_filters(q(name, spark))
+
+
+def test_projection_prunes_columns(spark):
+    schema = scan_read_schema(q("q_scan_project", spark))
+    assert "l_orderkey" in schema
+    assert "l_extendedprice" not in schema  # untouched columns not read
+
+
+def test_broadcast_join_chosen_for_small_dims(spark):
+    assert "BroadcastHashJoin" in joins_used(q("q_join_broadcast", spark))
+    assert "BroadcastHashJoin" in joins_used(q("q_join_multiway", spark))
+
+
+def test_sortmerge_hint_respected(spark):
+    assert "SortMergeJoin" in joins_used(q("q_join_sortmerge", spark))
+
+
+def test_shuffle_hash_hint_respected(spark):
+    assert "ShuffledHashJoin" in joins_used(q("q_join_inner_hash", spark))
+
+
+def test_theta_join_avoids_nested_loop(spark):
+    """The banded interval rewrite must plan as a hash/merge equi-join,
+    never BroadcastNestedLoop/Cartesian (the quadratic scale killer)."""
+    used = joins_used(q("q_join_theta", spark))
+    assert "BroadcastNestedLoopJoin" not in used
+    assert "CartesianProduct" not in used
+    assert used & {"BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin"}
+
+
+def test_topk_fuses_sort_and_limit(spark):
+    assert has_operator(q("q_topk", spark), "TakeOrderedAndProject")
+    assert has_operator(q("q_sim_knn", spark), "TakeOrderedAndProject")
+
+
+def test_groupby_aggregates_partially_before_shuffle(spark):
+    """Flagship plan: partial HashAggregate before the exchange (the
+    reference's per-object partials + client merge, done by Catalyst)."""
+    s = explain_str(q("q_agg_groupby", spark), "simple")
+    assert s.count("HashAggregate") >= 2
+    assert "Exchange" in s
+
+
+def test_whole_stage_codegen_covers_scan_pipeline(spark):
+    # codegen'd operators carry the "*(n)" marker in simple mode
+    s = explain_str(q("q_filter_gt", spark), "simple")
+    assert "*(1)" in s
