@@ -12,3 +12,23 @@ operations — no driver-side loops, no row-at-a-time Python UDFs:
 - multimodal.py — opaque-binary columns + Arrow-batched decode plumbing
 - layout.py     — partitioned/sorted Parquet writer (IDX_REC analog)
 """
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Spread a narrow input across the cluster before CPU-heavy
+    per-row work (hashing, vector math).
+
+    A small fixture is one Parquet split -> ONE task, serializing work
+    that should use every core; at 100 TB inputs have thousands of
+    splits and this is a no-op (the repartition only fires when the
+    current partition count is below the default parallelism), so the
+    extra shuffle is never paid when the data is already wide.
+    """
+    target = min_parts or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

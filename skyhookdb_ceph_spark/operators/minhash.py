@@ -19,6 +19,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+from skyhookdb_ceph_spark.operators import ensure_parallelism
+
 K_SHINGLE = 3  # words per shingle
 N_BANDS = 8  # bands = independent min-hash functions
 
@@ -34,6 +36,8 @@ def shingle_expr(text_col: str, k: int = K_SHINGLE) -> str:
 
 
 def shingle_sets(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    # hashing below is CPU-bound: make sure it runs on every core
+    docs = ensure_parallelism(docs)
     return docs.selectExpr(id_col, f"{shingle_expr(text_col)} AS shingles")
 
 

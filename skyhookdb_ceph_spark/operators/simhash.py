@@ -15,6 +15,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+from skyhookdb_ceph_spark.operators import ensure_parallelism
+
 N_BITS = 16  # one bit per md5 hex digit position
 
 
@@ -50,7 +52,8 @@ def simhash_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_i
     """Group documents by SimHash signature: (simhash, cnt, keep_doc).
     cnt > 1 rows are near-duplicate clusters; keep_doc = the survivor."""
     return (
-        docs.selectExpr(id_col, f"{simhash_spark_expr(text_col)} AS simhash")
+        ensure_parallelism(docs)
+        .selectExpr(id_col, f"{simhash_spark_expr(text_col)} AS simhash")
         .groupBy("simhash")
         .agg({"*": "count", id_col: "min"})
         .selectExpr("simhash", "`count(1)` AS cnt", f"`min({id_col})` AS keep_doc")

@@ -19,6 +19,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+from skyhookdb_ceph_spark.operators import ensure_parallelism
+
 
 def dot_expr(a: str, b: str) -> str:
     """Left-to-right double-precision dot product (Catalyst fold)."""
@@ -69,7 +71,7 @@ def sign_bucket_duckdb(col: str, n_bits: int) -> str:
 
 def bucketed_pairs(emb: DataFrame, n_bits: int, id_col: str = "vec_id") -> DataFrame:
     """(a < b) vector pairs sharing a sign bucket — the LSH equi-join."""
-    withb = emb.selectExpr(
+    withb = ensure_parallelism(emb).selectExpr(
         id_col, "embedding", f"{sign_bucket_expr('embedding', n_bits)} AS bucket"
     )
     a = withb.selectExpr(f"{id_col} AS va", "embedding AS ea", "bucket")

@@ -127,14 +127,19 @@ def q_agg_approx_distinct(spark, sf_dir):
     the same booleans.  If the sketch drifts out of band the hash fails.
     """
     li = Catalog(spark, sf_dir).lineitem
-    agg = li.agg(
+    # One distinct-aggregate per column (HLL is duplicate-insensitive,
+    # so sketching the distinct set gives the identical estimate) —
+    # avoids the Expand operator a multi-column DISTINCT agg plans.
+    a = li.select("l_partkey").distinct().agg(
+        F.count(F.lit(1)).alias("ep"),
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("ap"),
-        F.countDistinct("l_partkey").alias("ep"),
+    )
+    b = li.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).alias("eo"),
         F.approx_count_distinct("l_orderkey", rsd=0.02).alias("ao"),
-        F.countDistinct("l_orderkey").alias("eo"),
     )
     band = 3 * 0.02
-    return agg.select(
+    return a.crossJoin(b).select(
         (F.abs(F.col("ap") - F.col("ep")) / F.col("ep") <= band).alias("parts_ok"),
         (F.abs(F.col("ao") - F.col("eo")) / F.col("eo") <= band).alias("orders_ok"),
     )

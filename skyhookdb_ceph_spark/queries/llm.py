@@ -18,7 +18,12 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from skyhookdb_ceph_spark.operators import minhash, simhash, vectors
+from skyhookdb_ceph_spark.operators import (
+    ensure_parallelism,
+    minhash,
+    simhash,
+    vectors,
+)
 from skyhookdb_ceph_spark.operators.text_index import (
     build_inverted_index,
     keyword_search,
@@ -126,7 +131,7 @@ def q_dedup_ngram(spark, sf_dir):
     token-set Jaccard >= 0.5 on candidates.  Same LSH shape as MinHash
     but over character shingles — catches near-dups that word
     shingling misses (e.g. punctuation/whitespace edits)."""
-    d = Catalog(spark, sf_dir).documents
+    d = ensure_parallelism(Catalog(spark, sf_dir).documents)
     fp = d.selectExpr(
         "doc_id",
         "split(text, ' ') AS words",
@@ -434,7 +439,7 @@ def q_text_fingerprint(spark, sf_dir):
     """Document fingerprinting: whole-text digest + minimum rolling
     char-8-gram digest (winnowing-style, robust to local edits).  Both
     are JVM expressions; fingerprints feed the dedup ops above."""
-    d = Catalog(spark, sf_dir).documents
+    d = ensure_parallelism(Catalog(spark, sf_dir).documents)
     return d.selectExpr(
         "doc_id",
         "md5(text) AS fp_full",

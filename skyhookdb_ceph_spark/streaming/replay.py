@@ -10,6 +10,7 @@ event time.  Locally we drain everything in one AvailableNow pass.
 
 from __future__ import annotations
 
+import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -54,12 +55,22 @@ def drain_to_memory(
     trigger would use.
     """
     name = f"sink_{uuid.uuid4().hex[:12]}"
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return stream_df.sparkSession.table(name)
+    spark = stream_df.sparkSession
+    # Stateful operators allocate one state store per shuffle partition
+    # and pay a per-store commit each micro-batch; size the count to the
+    # deployment (local fixtures: few, cluster: >= executor cores).
+    stream_parts = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", stream_parts)
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(name)
