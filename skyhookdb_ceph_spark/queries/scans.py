@@ -96,6 +96,49 @@ def q_transform_format(spark, sf_dir):
 
 
 @query(
+    "q_transform_json",
+    oracle=(
+        "SELECT event_type, count(*) AS cnt, "
+        "CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k "
+        "FROM events GROUP BY event_type"
+    ),
+)
+def q_transform_json(spark, sf_dir):
+    """JSON round-trip (format plurality, [U: cls_tabular_utils.h —
+    SFT_JSON]): project events to JSON lines, re-ingest with an explicit
+    schema through sources/formats.py, aggregate — matching the oracle
+    on the source proves losslessness, including the nested props
+    payload."""
+    scratch = os.environ.get("SPARK_GRAFT_SCRATCH")
+    tmp = tempfile.mkdtemp(prefix="skyhook_transform_json_", dir=scratch)
+    try:
+        from skyhookdb_ceph_spark.sources.formats import read_table
+
+        src = Catalog(spark, sf_dir).events.select("event_id", "event_type", "props")
+        src.write.mode("overwrite").json(f"{tmp}/json")
+        schema = T.StructType(
+            [
+                T.StructField("event_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("props", T.StringType()),
+            ]
+        )
+        out = (
+            read_table(spark, f"{tmp}/json", "json", schema)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum(F.get_json_object("props", "$.k").cast("int"))
+                .cast("long")
+                .alias("sum_k"),
+            )
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
     "q_runstats",
     oracle=(
         "SELECT 'l_quantity' AS col, CAST(min(l_quantity) AS DOUBLE) AS min_val, "

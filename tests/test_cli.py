@@ -1,0 +1,48 @@
+"""CLI surface tests: the run-query-compatible entry point."""
+
+from __future__ import annotations
+
+import pytest
+
+from skyhookdb_ceph_spark.cli import apply_preds, build_query, preset_query
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_preset_b_matches_generic_predicate(spark):
+    preset = preset_query(spark, SF, "b")
+    generic = build_query(
+        spark, SF, table="lineitem", select_preds="l_extendedprice,gt,91400"
+    )
+    assert preset.count() == generic.count() > 0
+
+
+def test_pred_chain_is_conjunction(spark):
+    df = build_query(
+        spark,
+        SF,
+        table="lineitem",
+        select_preds="l_quantity,between,5|15;l_returnflag,in,A|R",
+        project_cols="l_orderkey,l_quantity,l_returnflag",
+    )
+    rows = df.collect()
+    assert rows
+    assert df.columns == ["l_orderkey", "l_quantity", "l_returnflag"]
+    assert all(5 <= r.l_quantity <= 15 and r.l_returnflag in ("A", "R") for r in rows)
+
+
+def test_preset_a_scalar_agg(spark):
+    [row] = preset_query(spark, SF, "a").collect()
+    assert row.cnt == 6000
+    assert row.min_price <= row.max_price
+
+
+def test_unknown_op_rejected(spark):
+    with pytest.raises(ValueError, match="unknown predicate op"):
+        apply_preds(
+            build_query(spark, SF, table="lineitem"), "l_quantity,regexlike,5"
+        )
+
+
+def test_fastpath_is_full_scan(spark):
+    assert preset_query(spark, SF, "fastpath").count() == 6000
