@@ -69,11 +69,18 @@ def sign_bucket_duckdb(col: str, n_bits: int) -> str:
     )
 
 
-def bucketed_pairs(emb: DataFrame, n_bits: int, id_col: str = "vec_id") -> DataFrame:
-    """(a < b) vector pairs sharing a sign bucket — the LSH equi-join."""
-    withb = ensure_parallelism(emb).selectExpr(
+def bucketed_cells(emb: DataFrame, n_bits: int, id_col: str = "vec_id") -> DataFrame:
+    """Vectors with their deterministic LSH cell id (IVF coarse
+    quantizer analog); at scale, write this out `partitionBy(bucket)`
+    so a probe is partition pruning."""
+    return ensure_parallelism(emb).selectExpr(
         id_col, "embedding", f"{sign_bucket_expr('embedding', n_bits)} AS bucket"
     )
+
+
+def bucketed_pairs(emb: DataFrame, n_bits: int, id_col: str = "vec_id") -> DataFrame:
+    """(a < b) vector pairs sharing a sign bucket — the LSH equi-join."""
+    withb = bucketed_cells(emb, n_bits, id_col)
     a = withb.selectExpr(f"{id_col} AS va", "embedding AS ea", "bucket")
     b = withb.selectExpr(f"{id_col} AS vb", "embedding AS eb", "bucket AS bucket2")
     return a.join(b, (a.bucket == b.bucket2) & (a.va < b.vb)).select(

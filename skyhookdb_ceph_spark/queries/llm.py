@@ -66,10 +66,12 @@ WITH sh AS (
     i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
          || ' ' || string_split(text, ' ')[i+2])) AS shingles
   FROM documents),
+hsh AS (
+  SELECT doc_id, list_transform(shingles, s -> md5(s)) AS hs FROM sh),
 sig AS (
   SELECT doc_id, b,
-    list_aggregate(list_transform(shingles, s -> md5(b || '|' || s)), 'min') AS bsig
-  FROM sh, unnest(generate_series(0, 7)) t(b)),
+    list_aggregate(list_transform(hs, h -> substr(h || h, b * 4 + 1, 16)), 'min') AS bsig
+  FROM hsh, unnest(generate_series(0, 7)) t(b)),
 cand AS (
   SELECT DISTINCT a.doc_id AS da, c.doc_id AS db
   FROM sig a JOIN sig c ON a.b = c.b AND a.bsig = c.bsig AND a.doc_id < c.doc_id)
@@ -240,6 +242,42 @@ def q_sim_pairs(spark, sf_dir):
             f"round({vectors.cosine_expr('ea', 'eb')}, 6) AS sim",
         )
         .filter("sim > 0.25")
+    )
+
+
+_KNN_IVF_ORACLE = f"""
+WITH b AS (
+  SELECT vec_id, embedding,
+    {vectors.sign_bucket_duckdb('embedding', 4)} AS bucket
+  FROM embeddings),
+q AS (SELECT embedding AS qv, bucket AS qbucket FROM b WHERE vec_id = 0)
+SELECT vec_id, round({vectors.cosine_duckdb('embedding', 'qv')}, 6) AS sim
+FROM b, q WHERE b.bucket = q.qbucket
+ORDER BY sim DESC, vec_id LIMIT 10
+"""
+
+
+@query("q_sim_knn_ivf", oracle=_KNN_IVF_ORACLE, tags=("llm", "similarity"))
+def q_sim_knn_ivf(spark, sf_dir):
+    """IVF-style ANN: vectors are pre-assigned to coarse cells (here the
+    deterministic sign-bucket quantizer); the query probes ONLY its own
+    cell, scoring ~n/cells candidates instead of n.  This is the scale
+    path for q_sim_knn: at 100 TB the cell assignment is a partition
+    column, so probing a cell is partition pruning, and recall is
+    traded via n_bits / multi-probe.  The oracle computes the identical
+    cell-restricted search."""
+    e = Catalog(spark, sf_dir).embeddings
+    withb = vectors.bucketed_cells(e, n_bits=4)
+    q = withb.filter(F.col("vec_id") == 0).selectExpr(
+        "embedding AS qv", "bucket AS qbucket"
+    )
+    return (
+        withb.join(F.broadcast(q), F.col("bucket") == F.col("qbucket"))
+        .selectExpr(
+            "vec_id", f"round({vectors.cosine_expr('embedding', 'qv')}, 6) AS sim"
+        )
+        .orderBy(F.col("sim").desc(), "vec_id")
+        .limit(10)
     )
 
 

@@ -124,6 +124,39 @@ def q_win_ntile_pct(spark, sf_dir):
 
 
 @query(
+    "q_win_quartile_scalable",
+    oracle=(
+        "WITH b AS (SELECT quantile_cont(c_acctbal, 0.25) AS q1, "
+        "quantile_cont(c_acctbal, 0.5) AS q2, "
+        "quantile_cont(c_acctbal, 0.75) AS q3 FROM customer) "
+        "SELECT c_custkey, c_acctbal, CAST(CASE WHEN c_acctbal <= q1 THEN 1 "
+        "WHEN c_acctbal <= q2 THEN 2 WHEN c_acctbal <= q3 THEN 3 ELSE 4 END AS INT) "
+        "AS quartile FROM customer, b"
+    ),
+)
+def q_win_quartile_scalable(spark, sf_dir):
+    """The 100-TB-safe alternative to q_win_ntile_pct's global window:
+    compute quartile BOUNDARIES with an aggregate (percentile is a
+    mergeable partial aggregate — or approx_percentile for sketched
+    constant memory), broadcast the 3 boundaries, and assign per row.
+    No global sort, no single-task window — scan + tiny broadcast.
+    Boundary assignment (<= on exact interpolated quantiles) is
+    mirrored in the oracle."""
+    c = Catalog(spark, sf_dir).customer
+    b = c.agg(
+        F.expr("percentile(c_acctbal, 0.25)").alias("q1"),
+        F.expr("percentile(c_acctbal, 0.5)").alias("q2"),
+        F.expr("percentile(c_acctbal, 0.75)").alias("q3"),
+    )
+    return c.crossJoin(F.broadcast(b)).selectExpr(
+        "c_custkey",
+        "c_acctbal",
+        "CAST(CASE WHEN c_acctbal <= q1 THEN 1 WHEN c_acctbal <= q2 THEN 2 "
+        "WHEN c_acctbal <= q3 THEN 3 ELSE 4 END AS INT) AS quartile",
+    )
+
+
+@query(
     "q_win_range_frame",
     oracle=(
         "SELECT o_custkey, o_orderkey, o_totalprice, "
