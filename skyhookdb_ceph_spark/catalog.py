@@ -56,9 +56,26 @@ KEYS = {
 class Catalog:
     """Resolves table names to DataFrames for one scale-factor directory."""
 
+    # Semantics-critical SQL confs every query depends on.  The driver
+    # harness builds ITS OWN SparkSession (not session.py's), so these
+    # must be (re)applied on whatever session reaches us — they are
+    # runtime-settable and idempotent.
+    _REQUIRED_CONF = {
+        # nanos events.parquet reads as raw long (see _fix_event_ts)
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
+        # timestamp<->date/string conversions must match the UTC oracle
+        "spark.sql.session.timeZone": "UTC",
+    }
+
     def __init__(self, spark: SparkSession, sf_dir: str):
         self.spark = spark
         self.sf_dir = sf_dir.rstrip("/")
+        for k, v in self._REQUIRED_CONF.items():
+            try:
+                if spark.conf.get(k, None) != v:
+                    spark.conf.set(k, v)
+            except Exception:  # noqa: BLE001 — non-settable => keep going
+                pass
 
     def path(self, name: str) -> str:
         return f"{self.sf_dir}/{name}.parquet"

@@ -34,6 +34,15 @@ EVENTS_RAW_SCHEMA = T.StructType(
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events fixture with the same microsecond
     timestamp rebuild the batch Catalog applies."""
+    # The raw-long read of the NANOS timestamp needs the same conf the
+    # batch Catalog guarantees; the driver's session may lack it.
+    from skyhookdb_ceph_spark.catalog import Catalog
+
+    for k, v in Catalog._REQUIRED_CONF.items():  # noqa: SLF001
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # noqa: BLE001
+            pass
     # The file stream source requires a directory; pathGlobFilter picks
     # out the events fixture from the scale-factor dir.
     raw = (
