@@ -18,8 +18,15 @@ __all__ = ["Catalog", "F", "money", "ratio", "quantize2", "QUANTIZE2_SQL"]
 
 
 def money(c: Column) -> Column:
-    """Round a money-valued aggregate to cents (FP-order tolerance)."""
-    return F.round(c, 2)
+    """Quantize a money-valued aggregate to cents, engine-invariantly.
+
+    Was round(c, 2) — but Spark rounds the shortest decimal repr
+    (HALF_UP) while DuckDB rounds the binary double, and aggregate sums
+    DO land on half-cent boundaries (q_tpch_q10 found one at sf0.01:
+    307843.595 -> .60 vs .59).  floor(x*100+0.5)/100 is pure IEEE and
+    identical in both engines; every oracle mirrors it.
+    """
+    return quantize2(c)
 
 
 def ratio(c: Column) -> Column:

@@ -19,7 +19,7 @@ from skyhookdb_ceph_spark.registry import query
     "q_agg_scalar",
     oracle=(
         "SELECT min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price, "
-        "round(sum(l_extendedprice), 2) AS sum_price, count(*) AS cnt FROM lineitem"
+        "floor((sum(l_extendedprice)) * 100 + 0.5) / 100 AS sum_price, count(*) AS cnt FROM lineitem"
     ),
 )
 def q_agg_scalar(spark, sf_dir):
@@ -38,9 +38,9 @@ def q_agg_scalar(spark, sf_dir):
     "q_agg_groupby",
     oracle=(
         "SELECT l_returnflag, l_linestatus, "
-        "round(sum(l_quantity), 2) AS sum_qty, "
-        "round(sum(l_extendedprice), 2) AS sum_base_price, "
-        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, "
+        "floor((sum(l_quantity)) * 100 + 0.5) / 100 AS sum_qty, "
+        "floor((sum(l_extendedprice)) * 100 + 0.5) / 100 AS sum_base_price, "
+        "floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100 AS sum_disc_price, "
         "round(avg(l_quantity), 6) AS avg_qty, "
         "round(avg(l_extendedprice), 4) AS avg_price, "
         "round(avg(l_discount), 6) AS avg_disc, "
@@ -77,7 +77,7 @@ def q_agg_groupby(spark, sf_dir):
 @query(
     "q_agg_having",
     oracle=(
-        "SELECT o_custkey, count(*) AS order_cnt, round(sum(o_totalprice), 2) AS spend "
+        "SELECT o_custkey, count(*) AS order_cnt, floor((sum(o_totalprice)) * 100 + 0.5) / 100 AS spend "
         "FROM orders GROUP BY o_custkey HAVING count(*) > 12"
     ),
 )
@@ -149,7 +149,7 @@ def q_agg_approx_distinct(spark, sf_dir):
     "q_agg_rollup",
     oracle=(
         "SELECT l_returnflag, l_linestatus, count(*) AS cnt, "
-        "round(sum(l_quantity), 2) AS sum_qty "
+        "floor((sum(l_quantity)) * 100 + 0.5) / 100 AS sum_qty "
         "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"
     ),
 )

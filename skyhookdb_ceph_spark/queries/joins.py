@@ -30,7 +30,7 @@ from skyhookdb_ceph_spark.registry import query
 @query(
     "q_join_inner_hash",
     oracle=(
-        "SELECT o_orderstatus, count(*) AS cnt, round(sum(l_extendedprice), 2) AS sum_price "
+        "SELECT o_orderstatus, count(*) AS cnt, floor((sum(l_extendedprice)) * 100 + 0.5) / 100 AS sum_price "
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
         "GROUP BY o_orderstatus"
     ),
@@ -57,7 +57,7 @@ def q_join_inner_hash(spark, sf_dir):
 @query(
     "q_join_broadcast",
     oracle=(
-        "SELECT n_name, count(*) AS customer_cnt, round(sum(c_acctbal), 2) AS sum_bal "
+        "SELECT n_name, count(*) AS customer_cnt, floor((sum(c_acctbal)) * 100 + 0.5) / 100 AS sum_bal "
         "FROM customer JOIN nation ON c_nationkey = n_nationkey "
         "GROUP BY n_name"
     ),
@@ -252,7 +252,7 @@ def q_join_asof(spark, sf_dir):
 @query(
     "q_join_multiway",
     oracle=(
-        "SELECT r_name, count(*) AS order_cnt, round(sum(o_totalprice), 2) AS sum_total "
+        "SELECT r_name, count(*) AS order_cnt, floor((sum(o_totalprice)) * 100 + 0.5) / 100 AS sum_total "
         "FROM region JOIN nation ON r_regionkey = n_regionkey "
         "JOIN customer ON n_nationkey = c_nationkey "
         "JOIN orders ON c_custkey = o_custkey "

@@ -47,7 +47,7 @@ _TRANSFORM_COLS = ["l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"]
 @query(
     "q_transform_format",
     oracle=(
-        "SELECT l_returnflag, count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty "
+        "SELECT l_returnflag, count(*) AS cnt, floor((sum(l_quantity)) * 100 + 0.5) / 100 AS sum_qty "
         "FROM lineitem GROUP BY l_returnflag"
     ),
 )
@@ -85,7 +85,9 @@ def q_transform_format(spark, sf_dir):
             .groupBy("l_returnflag")
             .agg(
                 F.count(F.lit(1)).alias("cnt"),
-                F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                (F.floor(F.sum("l_quantity") * 100 + F.lit(0.5)) / 100).alias(
+                    "sum_qty"
+                ),
             )
         )
         # Materialize before the temp dir can be cleaned up.

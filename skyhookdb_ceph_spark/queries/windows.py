@@ -47,8 +47,8 @@ def q_win_rank(spark, sf_dir):
     "q_win_running",
     oracle=(
         "SELECT o_custkey, o_orderkey, "
-        "round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend, "
+        "floor((sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 100 + 0.5) / 100 AS running_spend, "
         "round(avg(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
         "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS moving_avg "
         "FROM orders"

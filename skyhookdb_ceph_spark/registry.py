@@ -61,6 +61,7 @@ def load_all() -> dict[str, QuerySpec]:
     if not _LOADED:
         from skyhookdb_ceph_spark.queries import (  # noqa: F401
             aggregates,
+            composite,
             filters,
             functions_q,
             joins,
