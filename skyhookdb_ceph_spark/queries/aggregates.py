@@ -178,6 +178,49 @@ def q_agg_cube(spark, sf_dir):
 
 
 @query(
+    "q_agg_pivot",
+    oracle=(
+        "SELECT l_returnflag, "
+        "count(*) FILTER (WHERE l_linestatus = 'F') AS F, "
+        "count(*) FILTER (WHERE l_linestatus = 'O') AS O "
+        "FROM lineitem GROUP BY l_returnflag"
+    ),
+)
+def q_agg_pivot(spark, sf_dir):
+    """Pivot (cross-tab): one pass, no per-value scans — the explicit
+    value list keeps the plan static (a dynamic pivot needs a first
+    pass to collect values; avoid at scale)."""
+    li = Catalog(spark, sf_dir).lineitem
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .count()
+        .na.fill(0, ["F", "O"])
+    )
+
+
+@query(
+    "q_agg_listagg",
+    oracle=(
+        "SELECT l_returnflag, "
+        "array_to_string(list_sort(list_distinct(list(l_linestatus))), ',') AS statuses, "
+        "count(*) AS cnt FROM lineitem GROUP BY l_returnflag"
+    ),
+)
+def q_agg_listagg(spark, sf_dir):
+    """Collect-and-join aggregate (LISTAGG/string_agg analog): the
+    collected set is per-group bounded (distinct statuses), so it's
+    shuffle-safe; sorted before joining for determinism."""
+    li = Catalog(spark, sf_dir).lineitem
+    return li.groupBy("l_returnflag").agg(
+        F.array_join(F.array_sort(F.collect_set("l_linestatus")), ",").alias(
+            "statuses"
+        ),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+@query(
     "q_agg_avg_stddev",
     oracle=(
         "SELECT l_returnflag, round(avg(l_quantity), 6) AS avg_qty, "

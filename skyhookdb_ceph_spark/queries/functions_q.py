@@ -176,6 +176,27 @@ def q_fn_cast(spark, sf_dir):
 
 
 @query(
+    "q_fn_regex_extract",
+    oracle=(
+        "SELECT p_partkey, regexp_extract(p_name, '^(\\w+)', 1) AS first_word, "
+        "regexp_extract(p_type, '(\\w+)$', 1) AS last_type_word, "
+        "CAST(len(regexp_extract_all(p_name, '[aeiou]')) AS INT) AS n_vowels "
+        "FROM part"
+    ),
+)
+def q_fn_regex_extract(spark, sf_dir):
+    """Regex capture-group extraction + match counting (both engines
+    use the same perl-ish character classes for these patterns)."""
+    p = Catalog(spark, sf_dir).part
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_name", r"^(\w+)", 1).alias("first_word"),
+        F.regexp_extract("p_type", r"(\w+)$", 1).alias("last_type_word"),
+        F.expr("size(regexp_extract_all(p_name, '[aeiou]', 0))").alias("n_vowels"),
+    )
+
+
+@query(
     "q_fn_array",
     oracle=(
         "SELECT vec_id, CAST(len(embedding) AS INT) AS dim, "

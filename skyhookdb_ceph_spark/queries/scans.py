@@ -141,6 +141,26 @@ def q_transform_json(spark, sf_dir):
 
 
 @query(
+    "q_sample_hash",
+    oracle=(
+        "SELECT * FROM lineitem WHERE "
+        "substr(md5(l_orderkey || '-' || l_linenumber), 1, 2) < '1a'"
+    ),
+)
+def q_sample_hash(spark, sf_dir):
+    """Deterministic ~10% sample by content hash (training-data
+    pipelines need reproducible samples; rand()-based sampling is
+    neither engine-portable nor stable across retries).  Hash-mod
+    sampling is also the 100 TB pattern: pure per-row predicate, pushes
+    into the scan pipeline, no state, no coordination."""
+    li = Catalog(spark, sf_dir).lineitem
+    return li.filter(
+        "substring(md5(concat(cast(l_orderkey AS string), '-', "
+        "cast(l_linenumber AS string))), 1, 2) < '1a'"
+    )
+
+
+@query(
     "q_runstats",
     oracle=(
         "SELECT 'l_quantity' AS col, CAST(min(l_quantity) AS DOUBLE) AS min_val, "

@@ -124,6 +124,36 @@ def q_win_ntile_pct(spark, sf_dir):
 
 
 @query(
+    "q_win_first_last",
+    oracle=(
+        "SELECT o_custkey, o_orderkey, "
+        "first_value(o_orderkey) OVER w AS first_order, "
+        "last_value(o_orderkey) OVER w AS last_order, "
+        "nth_value(o_orderkey, 2) OVER w AS second_order "
+        "FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
+    ),
+)
+def q_win_first_last(spark, sf_dir):
+    """first/last/nth_value with an explicit full-partition frame (the
+    default RANGE frame would make last_value = current row — a classic
+    portability trap; the explicit frame is identical in both engines)."""
+    o = Catalog(spark, sf_dir).orders
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(w).alias("last_order"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
+    )
+
+
+@query(
     "q_win_quartile_scalable",
     oracle=(
         "WITH b AS (SELECT quantile_cont(c_acctbal, 0.25) AS q1, "

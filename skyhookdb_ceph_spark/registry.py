@@ -70,6 +70,7 @@ def load_all() -> dict[str, QuerySpec]:
             setops,
             sorts,
             streaming_q,
+            subqueries,
             udfs,
             windows,
         )
