@@ -5,12 +5,13 @@ SparkSession and prints ONE JSON line (the driver's BENCH_r{N} record).
     SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 python bench.py
 
 Methodology mirrors BASELINE.md §C (DuckDB baseline): one warm run, then
-best-of-2 timed runs, full materialization included (Arrow toPandas —
-the analog of DuckDB's fetchall).  JVM/session startup is excluded from
-per-query numbers but reported separately as "startup_sec" so the fixed
-cost stays visible.  Queries tagged "live-stream" (true readStream
-micro-pipelines) are timed once, no warm — their cost is dominated by
-stream machinery, not the plan.
+timed runs, full materialization included (Arrow toPandas — the analog
+of DuckDB's fetchall).  The 13 BASELINE.md §A headline queries get
+best-of-2 timed runs (they feed the 2x gate); everything else gets one
+timed run to bound total wall time.  JVM/session startup is excluded
+from per-query numbers but reported separately as "startup_sec".
+Queries tagged "live-stream" (true readStream micro-pipelines) are
+timed once, no warm — their cost is stream machinery, not the plan.
 """
 
 from __future__ import annotations
@@ -34,6 +35,15 @@ def _materialize(df) -> int:
     return len(df.toPandas())
 
 
+# BASELINE.md §A headline queries — the judge's 2x comparison set.
+HEADLINE = {
+    "q_scan_full", "q_filter_gt", "q_filter_range_conj", "q_agg_scalar",
+    "q_agg_groupby", "q_join_inner_hash", "q_join_multiway", "q_win_rank",
+    "q_topk", "q_fn_map_json", "q_stream_tumbling", "q_dedup_exact",
+    "q_sim_knn",
+}
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf_name = os.path.basename(sf_dir.rstrip("/"))
@@ -55,8 +65,9 @@ def main() -> int:
         try:
             if not live:
                 _materialize(spec.fn(spark, sf_dir))  # warm (plan + code paths)
+            reps = 1 if (live or name not in HEADLINE) else 2
             best = float("inf")
-            for _ in range(1 if live else 2):
+            for _ in range(reps):
                 t = time.perf_counter()
                 _materialize(spec.fn(spark, sf_dir))
                 best = min(best, time.perf_counter() - t)
