@@ -141,6 +141,28 @@ def q_transform_json(spark, sf_dir):
 
 
 @query(
+    "q_scan_pushdown_source",
+    oracle=(
+        "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem "
+        "WHERE l_extendedprice > 91400 AND l_returnflag IN ('A', 'R')"
+    ),
+)
+def q_scan_pushdown_source(spark, sf_dir):
+    """The canonical pushdown predicate executed through the custom
+    Python DataSource (sources/skyhook_source.py) — the architectural
+    mirror of the reference itself: one partition per row group
+    ("RADOS object"), min/max stats pruning (omap consult), and the
+    predicate vector evaluated in Arrow INSIDE the reader before rows
+    cross into the JVM [U: cls_tabular.cc — exec_query_op]."""
+    from skyhookdb_ceph_spark.sources.skyhook_source import read_skyhook
+
+    df = read_skyhook(spark, f"{sf_dir}/lineitem.parquet")
+    return df.filter(
+        (F.col("l_extendedprice") > 91400) & F.col("l_returnflag").isin("A", "R")
+    ).select("l_orderkey", "l_linenumber", "l_extendedprice")
+
+
+@query(
     "q_sample_hash",
     oracle=(
         "SELECT * FROM lineitem WHERE "

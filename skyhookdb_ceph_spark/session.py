@@ -52,6 +52,9 @@ def get_spark(
         # raw long instead; Catalog.table("events") rebuilds a microsecond
         # timestamp (truncation matches DuckDB's ns->us read).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # allow Python DataSources (sources/skyhook_source.py) to accept
+        # pushed filters — the SkyhookDM-style storage-side evaluation
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.cbo.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
