@@ -47,3 +47,17 @@ def keyword_search(index: DataFrame, keyword: str, k: int = 20) -> DataFrame:
         .orderBy(F.col("tf").desc(), "doc_id")
         .limit(k)
     )
+
+
+def search_persisted_index(spark, path: str, keyword: str, k: int = 20) -> DataFrame:
+    """Keyword search against an index written by write_index: the
+    explicit tok0 predicate makes the lookup a PARTITION PRUNE (one
+    directory read out of ~26 — the omap point-lookup analog), then the
+    token filter + row-group stats finish inside that partition."""
+    kw = keyword.lower()
+    idx = spark.read.parquet(path).filter(
+        (F.col("tok0") == kw[:1]) & (F.col("token") == kw)
+    )
+    return (
+        idx.select("doc_id", "tf").orderBy(F.col("tf").desc(), "doc_id").limit(k)
+    )
