@@ -176,6 +176,35 @@ def q_fn_cast(spark, sf_dir):
 
 
 @query(
+    "q_fn_bitwise",
+    oracle=(
+        "SELECT l_orderkey, l_linenumber, "
+        "l_orderkey & 255 AS key_and, l_orderkey | 7 AS key_or, "
+        "xor(l_orderkey, l_linenumber) AS key_xor, "
+        "l_linenumber << 2 AS ln_shl, l_orderkey >> 3 AS key_shr, "
+        "(l_orderkey % 2 = 0) <> (l_linenumber % 2 = 0) AS parity_xor "
+        "FROM lineitem"
+    ),
+)
+def q_fn_bitwise(spark, sf_dir):
+    """Bitwise op surface — present in the reference's op enum
+    ([U: cls_tabular_utils.h — SOT_bitwise_and/or, SOT_logical_xor])
+    and easy to miss: &, |, xor, shifts on integer keys plus boolean
+    XOR (expressed as <> for engine parity)."""
+    li = Catalog(spark, sf_dir).lineitem
+    return li.selectExpr(
+        "l_orderkey",
+        "l_linenumber",
+        "l_orderkey & 255 AS key_and",
+        "l_orderkey | 7 AS key_or",
+        "l_orderkey ^ l_linenumber AS key_xor",
+        "shiftleft(l_linenumber, 2) AS ln_shl",
+        "shiftright(l_orderkey, 3) AS key_shr",
+        "(l_orderkey % 2 = 0) != (l_linenumber % 2 = 0) AS parity_xor",
+    )
+
+
+@query(
     "q_fn_regex_extract",
     oracle=(
         "SELECT p_partkey, regexp_extract(p_name, '^(\\w+)', 1) AS first_word, "

@@ -182,9 +182,9 @@ def q_stream_dedup(spark, sf_dir):
             .dropDuplicatesWithinWatermark(["event_id"])
             .select("event_id", "event_type", "value")
         )
-        out = drain_to_memory(deduped, output_mode="append")
-        # Materialize before the scratch dir disappears.
-        return spark.createDataFrame(out.collect(), out.schema)
+        # The memory sink buffers results driver-side; the scratch
+        # source dir can be removed as soon as the drain finishes.
+        return drain_to_memory(deduped, output_mode="append")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

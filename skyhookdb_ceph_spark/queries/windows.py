@@ -109,9 +109,10 @@ def q_win_lag_lead(spark, sf_dir):
 )
 def q_win_ntile_pct(spark, sf_dir):
     """Distribution analytics.  NOTE: intentionally unpartitioned to
-    match SQL semantics (global quartiles) — on a cluster this is the
-    one windowing shape to avoid on a fact table; acceptable on
-    dimension-sized input."""
+    match SQL semantics (global quartiles) — the single-task window is
+    acceptable ONLY on dimension-sized input; q_win_quartile_scalable
+    below is the fact-table formulation (percentile boundaries +
+    broadcast, no global sort)."""
     c = Catalog(spark, sf_dir).customer
     w = Window.orderBy("c_acctbal", "c_custkey")
     return c.select(
