@@ -178,6 +178,31 @@ def q_agg_cube(spark, sf_dir):
 
 
 @query(
+    "q_agg_grouping_sets",
+    oracle=(
+        "SELECT l_returnflag, l_linestatus, count(*) AS cnt, "
+        "CAST(grouping(l_returnflag) AS INT) AS g_rf, "
+        "CAST(grouping(l_linestatus) AS INT) AS g_ls "
+        "FROM lineitem "
+        "GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())"
+    ),
+)
+def q_agg_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (beyond rollup/cube) with grouping()
+    indicator columns — one aggregation pass, grouping-set expansion in
+    the aggregate operator.  Runs through the SQL door so the text is
+    shared with the oracle."""
+    Catalog(spark, sf_dir).register_views()
+    return spark.sql(
+        "SELECT l_returnflag, l_linestatus, count(*) AS cnt, "
+        "CAST(grouping(l_returnflag) AS INT) AS g_rf, "
+        "CAST(grouping(l_linestatus) AS INT) AS g_ls "
+        "FROM lineitem "
+        "GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())"
+    )
+
+
+@query(
     "q_agg_pivot",
     oracle=(
         "SELECT l_returnflag, "

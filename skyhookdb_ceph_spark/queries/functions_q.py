@@ -176,6 +176,51 @@ def q_fn_cast(spark, sf_dir):
 
 
 @query(
+    "q_fn_date_arith",
+    oracle=(
+        "SELECT o_orderkey, "
+        "CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE)::VARCHAR AS due_date, "
+        "CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE)::VARCHAR AS quarter_out, "
+        "CAST(date_trunc('week', o_orderdate) AS DATE)::VARCHAR AS week_start, "
+        "CAST(dayofweek(o_orderdate) AS INT) AS dow, "
+        "CAST(quarter(o_orderdate) AS INT) AS qtr "
+        "FROM orders"
+    ),
+)
+def q_fn_date_arith(spark, sf_dir):
+    """Date arithmetic: interval add, week truncation, calendar parts
+    (dates normalized to ISO strings for the cross-engine hash)."""
+    o = Catalog(spark, sf_dir).orders
+    return o.select(
+        "o_orderkey",
+        F.date_add(F.to_date("o_orderdate"), 30).cast("string").alias("due_date"),
+        F.add_months(F.to_date("o_orderdate"), 3).cast("string").alias("quarter_out"),
+        F.date_trunc("week", "o_orderdate").cast("date").cast("string").alias("week_start"),
+        # Spark numbers Sunday=1, DuckDB Sunday=0 — normalize to 0-based
+        (F.dayofweek("o_orderdate") - 1).alias("dow"),
+        F.quarter("o_orderdate").alias("qtr"),
+    )
+
+
+@query(
+    "q_fn_posexplode",
+    oracle=(
+        "SELECT p_partkey, words[i] AS word, CAST(i - 1 AS INT) AS pos FROM "
+        "(SELECT p_partkey, string_split(p_name, ' ') AS words FROM part), "
+        "unnest(generate_series(1, len(words))) t(i)"
+    ),
+)
+def q_fn_posexplode(spark, sf_dir):
+    """posexplode(split(...)) — the JVM-side, whole-stage-codegen'd
+    hot path that q_udtf's Python table function demonstrates the
+    extension surface for; same output, built-in speed."""
+    p = Catalog(spark, sf_dir).part
+    return p.select(
+        "p_partkey", F.posexplode(F.split("p_name", " ")).alias("pos", "word")
+    ).select("p_partkey", "word", "pos")
+
+
+@query(
     "q_fn_bitwise",
     oracle=(
         "SELECT l_orderkey, l_linenumber, "

@@ -1,0 +1,68 @@
+"""IVF scale path end-to-end: cells persisted partitionBy(bucket) make
+a probe a PARTITION PRUNE — the ANN query touches one directory out of
+2^n_bits (the claim in q_sim_knn_ivf's docstring, proven in the plan)."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from skyhookdb_ceph_spark.catalog import Catalog
+from skyhookdb_ceph_spark.operators import vectors
+from skyhookdb_ceph_spark.plans.explain import explain_str
+
+
+@pytest.fixture(scope="module")
+def ivf_index(spark):
+    sf = "/root/testdata/sf0.001"
+    tmp = tempfile.mkdtemp(prefix="skyhook_ivf_")
+    cells = vectors.bucketed_cells(Catalog(spark, sf).embeddings, n_bits=4)
+    cells.write.mode("overwrite").partitionBy("bucket").parquet(f"{tmp}/cells")
+    yield spark, sf, f"{tmp}/cells"
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_probe_prunes_to_one_cell(ivf_index):
+    spark, sf, path = ivf_index
+    qcell = (
+        vectors.bucketed_cells(Catalog(spark, sf).embeddings, n_bits=4)
+        .filter(F.col("vec_id") == 0)
+        .select("bucket")
+        .collect()[0][0]
+    )
+    probe = spark.read.parquet(path).filter(F.col("bucket") == qcell)
+    plan = explain_str(probe)
+    assert "PartitionFilters" in plan
+    assert "bucket" in plan.split("PartitionFilters", 1)[1].splitlines()[0]
+
+
+def test_persisted_probe_matches_inline_ivf(ivf_index):
+    spark, sf, path = ivf_index
+    from skyhookdb_ceph_spark.registry import load_all
+
+    inline = sorted(
+        map(tuple, load_all()["q_sim_knn_ivf"].fn(spark, sf).collect())
+    )
+    qrow = (
+        vectors.bucketed_cells(Catalog(spark, sf).embeddings, n_bits=4)
+        .filter(F.col("vec_id") == 0)
+        .selectExpr("embedding AS qv", "bucket AS qbucket")
+    )
+    persisted = sorted(
+        map(
+            tuple,
+            spark.read.parquet(path)
+            .join(F.broadcast(qrow), F.col("bucket") == F.col("qbucket"))
+            .selectExpr(
+                "vec_id",
+                f"round({vectors.cosine_expr('embedding', 'qv')}, 6) AS sim",
+            )
+            .orderBy(F.col("sim").desc(), "vec_id")
+            .limit(10)
+            .collect(),
+        )
+    )
+    assert persisted == inline
