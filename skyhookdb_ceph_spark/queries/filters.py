@@ -123,6 +123,30 @@ def q_filter_null(spark, sf_dir):
 
 
 @query(
+    "q_filter_null_safe_eq",
+    oracle=(
+        "SELECT o_orderkey, status_np FROM ("
+        "SELECT o_orderkey, nullif(o_orderstatus, 'P') AS status_np FROM orders) "
+        "WHERE status_np IS NOT DISTINCT FROM NULL "
+        "OR status_np IS NOT DISTINCT FROM 'F'"
+    ),
+)
+def q_filter_null_safe_eq(spark, sf_dir):
+    """Null-safe equality (<=> / IS NOT DISTINCT FROM): NULL <=> NULL
+    is true, unlike ordinary 3VL equality — the predicate that makes
+    NULL-keyed joins and dedup well-defined."""
+    o = Catalog(spark, sf_dir).orders
+    np = F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("status_np")
+    return (
+        o.select("o_orderkey", np)
+        .filter(
+            F.col("status_np").eqNullSafe(F.lit(None).cast("string"))
+            | F.col("status_np").eqNullSafe("F")
+        )
+    )
+
+
+@query(
     "q_project_compute",
     oracle=(
         "SELECT l_orderkey, l_linenumber, "

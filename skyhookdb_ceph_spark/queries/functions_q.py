@@ -271,6 +271,30 @@ def q_fn_regex_extract(spark, sf_dir):
 
 
 @query(
+    "q_fn_map",
+    oracle=(
+        "SELECT event_id, json_keys(props)[1] AS first_key, "
+        "CAST(len(json_keys(props)) AS INT) AS n_keys, "
+        "CAST(json_extract_string(props, '$.k') AS INT) AS k_val "
+        "FROM events"
+    ),
+)
+def q_fn_map(spark, sf_dir):
+    """MapType surface: props parsed as map<string,int>, then
+    map_keys/size/element access — the schema-on-read path when the
+    JSON payload's keys are dynamic (vs q_multimodal_json's fixed
+    struct)."""
+    e = Catalog(spark, sf_dir).events
+    m = F.from_json("props", "map<string,int>")
+    return e.select(
+        "event_id",
+        F.map_keys(m).getItem(0).alias("first_key"),
+        F.size(F.map_keys(m)).alias("n_keys"),
+        m.getItem("k").alias("k_val"),
+    )
+
+
+@query(
     "q_fn_array",
     oracle=(
         "SELECT vec_id, CAST(len(embedding) AS INT) AS dim, "
