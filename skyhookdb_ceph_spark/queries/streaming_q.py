@@ -189,6 +189,43 @@ def q_stream_dedup(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+@query(
+    "q_stream_join",
+    oracle=(
+        "SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id "
+        "FROM events p JOIN events c ON p.user_id = c.user_id "
+        "AND p.event_type = 'purchase' AND c.event_type = 'click' "
+        "AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL '1 hour'"
+    ),
+    tags=("stream", "live-stream"),
+)
+def q_stream_join(spark, sf_dir):
+    """TRUE stream-stream join: purchases joined to same-user clicks in
+    the preceding hour, both sides watermarked — the time-bound
+    condition lets Spark evict click state older than (watermark - 1h),
+    so join state is bounded at any scale.  Inner-join matches emit as
+    soon as both rows arrive; drained with AvailableNow."""
+    base = events_stream(spark, sf_dir)
+    purchases = base.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+    ).withWatermark("p_ts", "10 minutes")
+    clicks = base.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    ).withWatermark("c_ts", "10 minutes")
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    ).select("purchase_id", "click_id", "user_id")
+    return drain_to_memory(joined, output_mode="append")
+
+
 _STATE_OUT_SCHEMA = T.StructType(
     [
         T.StructField("user_id", T.LongType()),
