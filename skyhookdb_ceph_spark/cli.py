@@ -104,6 +104,41 @@ def build_query(
     return df
 
 
+def run_maintenance(spark: SparkSession, args) -> DataFrame | None:
+    """The reference's maintenance entry points [U: run-query.cc —
+    --build-index / --transform-db / --runstats; cls_tabular.cc —
+    exec_build_sky_index_op, exec_transform_db_op, exec_runstats_op]."""
+    cat = Catalog(spark, args.sf_dir)
+    if args.build_index:
+        from skyhookdb_ceph_spark.operators.text_index import (
+            build_inverted_index,
+            write_index,
+        )
+
+        table = args.table or "documents"
+        write_index(build_inverted_index(cat.table(table)), args.out)
+        return None
+    if args.transform_db:
+        from skyhookdb_ceph_spark.operators.layout import write_partitioned
+
+        if not (args.table and args.partition_by):
+            raise ValueError("--transform-db needs --table and --partition-by")
+        write_partitioned(
+            cat.table(args.table),
+            args.out,
+            partition_cols=args.partition_by.split(","),
+            sort_cols=args.sort_by.split(",") if args.sort_by else None,
+        )
+        return None
+    if args.runstats:
+        from skyhookdb_ceph_spark.operators.stats import column_stats
+
+        if not (args.table and args.cols):
+            raise ValueError("--runstats needs --table and --cols")
+        return column_stats(cat.table(args.table), args.cols.split(","))
+    return None
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(
         prog="skyhookdb_ceph_spark.cli", description=__doc__
@@ -120,11 +155,26 @@ def main(argv: list[str] | None = None) -> int:
         "--output", default="show", help="show | count | parquet:<path>"
     )
     ap.add_argument("--num-rows", type=int, default=20)
+    # maintenance ops (reference: exec_build_sky_index_op etc.)
+    ap.add_argument("--build-index", action="store_true")
+    ap.add_argument("--transform-db", action="store_true")
+    ap.add_argument("--runstats", action="store_true")
+    ap.add_argument("--out", help="output path for --build-index/--transform-db")
+    ap.add_argument("--partition-by", default="", help="for --transform-db")
+    ap.add_argument("--sort-by", default="", help="for --transform-db")
+    ap.add_argument("--cols", default="", help="for --runstats")
     args = ap.parse_args(argv)
 
     from skyhookdb_ceph_spark.session import get_spark
 
     spark = get_spark(app_name="skyhook_cli")
+    if args.build_index or args.transform_db or args.runstats:
+        result = run_maintenance(spark, args)
+        if result is not None:
+            result.show(args.num_rows, truncate=False)
+        else:
+            print("ok")
+        return 0
     df = build_query(
         spark,
         args.sf_dir,

@@ -46,3 +46,32 @@ def test_unknown_op_rejected(spark):
 
 def test_fastpath_is_full_scan(spark):
     assert preset_query(spark, SF, "fastpath").count() == 6000
+
+
+def test_maintenance_runstats(spark):
+    import argparse
+
+    from skyhookdb_ceph_spark.cli import run_maintenance
+
+    args = argparse.Namespace(
+        sf_dir=SF, build_index=False, transform_db=False, runstats=True,
+        table="lineitem", cols="l_quantity", out=None, partition_by="", sort_by="",
+    )
+    rows = {r.col: r for r in run_maintenance(spark, args).collect()}
+    assert rows["l_quantity"].cnt == 6000
+
+
+def test_maintenance_build_index(spark, tmp_path):
+    import argparse
+
+    from skyhookdb_ceph_spark.cli import run_maintenance
+
+    out = str(tmp_path / "idx")
+    args = argparse.Namespace(
+        sf_dir=SF, build_index=True, transform_db=False, runstats=False,
+        table="documents", cols="", out=out, partition_by="", sort_by="",
+    )
+    assert run_maintenance(spark, args) is None
+    idx = spark.read.parquet(out)
+    assert {"token", "doc_id", "tf", "tok0"} <= set(idx.columns)
+    assert idx.filter("token = 'join'").count() > 0
