@@ -178,6 +178,30 @@ def q_agg_cube(spark, sf_dir):
 
 
 @query(
+    "q_agg_percentiles",
+    oracle=(
+        "SELECT l_returnflag, "
+        "round(quantile_cont(l_extendedprice, 0.5), 4) AS p50, "
+        "round(quantile_cont(l_extendedprice, 0.9), 4) AS p90, "
+        "round(quantile_cont(l_extendedprice, 0.99), 4) AS p99 "
+        "FROM lineitem GROUP BY l_returnflag"
+    ),
+)
+def q_agg_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles per group (Spark percentile ==
+    DuckDB quantile_cont, both linear interpolation).  Exact percentile
+    is a mergeable sort-based aggregate; at 100 TB swap in
+    approx_percentile (t-digest sketch, constant memory) — same plan
+    shape, bounded error."""
+    li = Catalog(spark, sf_dir).lineitem
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99"),
+    )
+
+
+@query(
     "q_agg_grouping_sets",
     oracle=(
         "SELECT l_returnflag, l_linestatus, count(*) AS cnt, "

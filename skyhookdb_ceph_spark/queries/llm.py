@@ -486,6 +486,42 @@ def q_text_fingerprint(spark, sf_dir):
     )
 
 
+_EDIT_ORACLE = """
+WITH fp AS (
+  SELECT doc_id, text,
+    list_aggregate(list_transform(
+      generate_series(1, greatest(length(text) - 7, 1)),
+      i -> md5(substr(text, i, 8))), 'min') AS fp8
+  FROM documents)
+SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+  CAST(levenshtein(a.text, c.text) AS INT) AS edit_dist
+FROM fp a JOIN fp c ON a.fp8 = c.fp8 AND a.doc_id < c.doc_id
+WHERE levenshtein(a.text, c.text) <= 20
+"""
+
+
+@query("q_text_edit_distance", oracle=_EDIT_ORACLE, tags=("llm", "dedup"))
+def q_text_edit_distance(spark, sf_dir):
+    """Edit-distance near-dup: Levenshtein computed ONLY on fingerprint
+    candidates (docs sharing the min char-8-gram hash) — O(len^2) per
+    pair is affordable exactly because LSH already shrank the pair set;
+    all-pairs Levenshtein at corpus scale is never acceptable."""
+    d = ensure_parallelism(Catalog(spark, sf_dir).documents)
+    fp = d.selectExpr(
+        "doc_id",
+        "text",
+        "array_min(transform(sequence(1, greatest(length(text) - 7, 1)), "
+        "i -> md5(substring(text, i, 8)))) AS fp8",
+    )
+    a = fp.selectExpr("doc_id AS doc_a", "text AS ta", "fp8")
+    c = fp.selectExpr("doc_id AS doc_b", "text AS tb", "fp8 AS fp8b")
+    return (
+        a.join(c, (a.fp8 == c.fp8b) & (a.doc_a < c.doc_b))
+        .selectExpr("doc_a", "doc_b", "levenshtein(ta, tb) AS edit_dist")
+        .filter("edit_dist <= 20")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal columns
 # ---------------------------------------------------------------------------
