@@ -217,6 +217,21 @@ def q_join_theta(spark, sf_dir):
 
 
 @query(
+    "q_join_cross",
+    oracle=(
+        "SELECT r_name, n_name FROM region CROSS JOIN nation"
+    ),
+)
+def q_join_cross(spark, sf_dir):
+    """Explicit cartesian product — legitimate ONLY when one side is
+    dimension-sized (here 5x25); Spark plans a broadcast nested loop.
+    Any fact-side cartesian is a bug, which is why q_join_theta goes
+    through the bucketed rewrite instead."""
+    c = Catalog(spark, sf_dir)
+    return c.region.select("r_name").crossJoin(c.nation.select("n_name"))
+
+
+@query(
     "q_join_asof",
     oracle=(
         "SELECT p.event_id, p.ts, "

@@ -188,6 +188,31 @@ def q_dedup_embed(spark, sf_dir):
 # Similarity search
 # ---------------------------------------------------------------------------
 
+_NORMALIZE_ORACLE = f"""
+SELECT vec_id,
+  round(CAST(embedding[1] AS DOUBLE) / sqrt({vectors.dot_duckdb('embedding', 'embedding')}), 6) AS u1,
+  round(CAST(embedding[2] AS DOUBLE) / sqrt({vectors.dot_duckdb('embedding', 'embedding')}), 6) AS u2,
+  round(sqrt({vectors.dot_duckdb('embedding', 'embedding')}), 6) AS norm
+FROM embeddings
+"""
+
+
+@query("q_vec_normalize", oracle=_NORMALIZE_ORACLE, tags=("llm", "similarity"))
+def q_vec_normalize(spark, sf_dir):
+    """Vector normalization (the preprocessing step every cosine
+    pipeline needs): L2 norm via the JVM higher-order fold, unit
+    components checked on the first two dims.  Pure per-row math, no
+    shuffle."""
+    e = ensure_parallelism(Catalog(spark, sf_dir).embeddings)
+    nrm = f"sqrt({vectors.norm_sq_expr('embedding')})"
+    return e.selectExpr(
+        "vec_id",
+        f"round(cast(element_at(embedding, 1) AS double) / {nrm}, 6) AS u1",
+        f"round(cast(element_at(embedding, 2) AS double) / {nrm}, 6) AS u2",
+        f"round({nrm}, 6) AS norm",
+    )
+
+
 _KNN_ORACLE = f"""
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
 SELECT vec_id, round({vectors.cosine_duckdb('embedding', 'qv')}, 6) AS sim
