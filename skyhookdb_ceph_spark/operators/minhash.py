@@ -94,9 +94,10 @@ def jaccard_pairs(
             "da AS doc_a",
             "db AS doc_b",
             # cast(... as double): a bare 1.0 literal parses as DECIMAL in
-            # Spark SQL, which would surface as Decimal objects in pandas
-            "round(cast(size(array_intersect(sx, sy)) AS double) "
-            "/ size(array_distinct(concat(sx, sy))), 6) AS jac",
+            # Spark SQL, which would surface as Decimal objects in pandas;
+            # floor-quantization instead of round() for engine parity
+            "floor((cast(size(array_intersect(sx, sy)) AS double) "
+            "/ size(array_distinct(concat(sx, sy)))) * 1000000 + 0.5) / 1000000 AS jac",
         )
         .filter(f"jac >= {threshold}")
     )

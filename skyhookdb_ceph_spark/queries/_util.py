@@ -29,9 +29,17 @@ def money(c: Column) -> Column:
     return quantize2(c)
 
 
+def quantize(c: Column, digits: int) -> Column:
+    """Engine-invariant n-digit quantization: floor(x*10^n + 0.5)/10^n
+    — pure IEEE ops, bit-identical in Spark and DuckDB (unlike round(),
+    whose halfway handling differs between the engines)."""
+    scale = 10**digits
+    return F.floor(c * scale + F.lit(0.5)) / scale
+
+
 def ratio(c: Column) -> Column:
-    """Round an average/ratio to 6 decimals (FP-order tolerance)."""
-    return F.round(c, 6)
+    """Quantize an average/ratio to 6 decimals, engine-invariantly."""
+    return quantize(c, 6)
 
 
 def quantize2(c: Column) -> Column:

@@ -11,7 +11,7 @@ per-group partial rows cross the network, never the raw scan.
 
 from __future__ import annotations
 
-from skyhookdb_ceph_spark.queries._util import Catalog, F, money, ratio
+from skyhookdb_ceph_spark.queries._util import Catalog, F, money, quantize, ratio
 from skyhookdb_ceph_spark.registry import query
 
 
@@ -41,9 +41,9 @@ def q_agg_scalar(spark, sf_dir):
         "floor((sum(l_quantity)) * 100 + 0.5) / 100 AS sum_qty, "
         "floor((sum(l_extendedprice)) * 100 + 0.5) / 100 AS sum_base_price, "
         "floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100 AS sum_disc_price, "
-        "round(avg(l_quantity), 6) AS avg_qty, "
-        "round(avg(l_extendedprice), 4) AS avg_price, "
-        "round(avg(l_discount), 6) AS avg_disc, "
+        "floor((avg(l_quantity)) * 1000000 + 0.5) / 1000000 AS avg_qty, "
+        "floor((avg(l_extendedprice)) * 10000 + 0.5) / 10000 AS avg_price, "
+        "floor((avg(l_discount)) * 1000000 + 0.5) / 1000000 AS avg_disc, "
         "count(*) AS count_order "
         "FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02' "
         "GROUP BY l_returnflag, l_linestatus "
@@ -66,7 +66,7 @@ def q_agg_groupby(spark, sf_dir):
             money(F.sum("l_extendedprice")).alias("sum_base_price"),
             money(F.sum(disc_price)).alias("sum_disc_price"),
             ratio(F.avg("l_quantity")).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            quantize(F.avg("l_extendedprice"), 4).alias("avg_price"),
             ratio(F.avg("l_discount")).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
@@ -181,9 +181,9 @@ def q_agg_cube(spark, sf_dir):
     "q_agg_percentiles",
     oracle=(
         "SELECT l_returnflag, "
-        "round(quantile_cont(l_extendedprice, 0.5), 4) AS p50, "
-        "round(quantile_cont(l_extendedprice, 0.9), 4) AS p90, "
-        "round(quantile_cont(l_extendedprice, 0.99), 4) AS p99 "
+        "floor((quantile_cont(l_extendedprice, 0.5)) * 10000 + 0.5) / 10000 AS p50, "
+        "floor((quantile_cont(l_extendedprice, 0.9)) * 10000 + 0.5) / 10000 AS p90, "
+        "floor((quantile_cont(l_extendedprice, 0.99)) * 10000 + 0.5) / 10000 AS p99 "
         "FROM lineitem GROUP BY l_returnflag"
     ),
 )
@@ -195,9 +195,9 @@ def q_agg_percentiles(spark, sf_dir):
     shape, bounded error."""
     li = Catalog(spark, sf_dir).lineitem
     return li.groupBy("l_returnflag").agg(
-        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
-        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
-        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99"),
+        quantize(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+        quantize(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
+        quantize(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99"),
     )
 
 
@@ -272,9 +272,9 @@ def q_agg_listagg(spark, sf_dir):
 @query(
     "q_agg_avg_stddev",
     oracle=(
-        "SELECT l_returnflag, round(avg(l_quantity), 6) AS avg_qty, "
-        "round(stddev_samp(l_quantity), 6) AS sd_qty, "
-        "round(var_samp(l_quantity), 6) AS var_qty "
+        "SELECT l_returnflag, floor((avg(l_quantity)) * 1000000 + 0.5) / 1000000 AS avg_qty, "
+        "floor((stddev_samp(l_quantity)) * 1000000 + 0.5) / 1000000 AS sd_qty, "
+        "floor((var_samp(l_quantity)) * 1000000 + 0.5) / 1000000 AS var_qty "
         "FROM lineitem GROUP BY l_returnflag"
     ),
 )

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import types as T
 
-from skyhookdb_ceph_spark.queries._util import Catalog, F, ratio
+from skyhookdb_ceph_spark.queries._util import Catalog, F, quantize, ratio
 from skyhookdb_ceph_spark.registry import query
 
 
@@ -93,7 +93,7 @@ def q_fn_date(spark, sf_dir):
         "abs(l_discount - 0.05) AS disc_dev, "
         "CAST(floor(l_quantity) AS BIGINT) AS qty_floor, "
         "CAST(ceil(l_quantity / 7) AS BIGINT) AS qty_ceil7, "
-        "round(pow(l_quantity, 2), 4) AS qty_sq, round(ln(l_extendedprice), 6) AS price_ln, "
+        "floor((pow(l_quantity, 2)) * 10000 + 0.5) / 10000 AS qty_sq, floor((ln(l_extendedprice)) * 1000000 + 0.5) / 1000000 AS price_ln, "
         "CAST(l_quantity AS BIGINT) % 5 AS qty_mod "
         "FROM lineitem"
     ),
@@ -107,7 +107,7 @@ def q_fn_math(spark, sf_dir):
         F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
         F.floor("l_quantity").alias("qty_floor"),
         F.ceil(F.col("l_quantity") / 7).alias("qty_ceil7"),
-        F.round(F.pow("l_quantity", F.lit(2)), 4).alias("qty_sq"),
+        quantize(F.pow("l_quantity", F.lit(2)), 4).alias("qty_sq"),
         ratio(F.log(F.col("l_extendedprice"))).alias("price_ln"),
         (F.col("l_quantity").cast("bigint") % 5).alias("qty_mod"),
     )
@@ -298,9 +298,9 @@ def q_fn_map(spark, sf_dir):
     "q_fn_array",
     oracle=(
         "SELECT vec_id, CAST(len(embedding) AS INT) AS dim, "
-        "round(CAST(embedding[1] AS DOUBLE), 6) AS first_val, "
-        "round(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'sum'), 6) AS vec_sum, "
-        "round(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'), 6) AS vec_sq_sum "
+        "floor((CAST(embedding[1] AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS first_val, "
+        "floor((list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'sum')) * 1000000 + 0.5) / 1000000 AS vec_sum, "
+        "floor((list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) * 1000000 + 0.5) / 1000000 AS vec_sq_sum "
         "FROM embeddings"
     ),
 )
@@ -312,11 +312,11 @@ def q_fn_array(spark, sf_dir):
     return e.select(
         "vec_id",
         F.size("embedding").alias("dim"),
-        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_val"),
-        F.round(
+        quantize(F.element_at("embedding", 1).cast("double"), 6).alias("first_val"),
+        quantize(
             F.aggregate(vec_d, F.lit(0.0), lambda acc, x: acc + x), 6
         ).alias("vec_sum"),
-        F.round(
+        quantize(
             F.aggregate(vec_d, F.lit(0.0), lambda acc, x: acc + x * x), 6
         ).alias("vec_sq_sum"),
     )
@@ -326,7 +326,7 @@ def q_fn_array(spark, sf_dir):
     "q_fn_map_json",
     oracle=(
         "SELECT event_type, count(*) AS cnt, "
-        "round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 6) AS avg_k "
+        "floor((avg(CAST(json_extract_string(props, '$.k') AS INT))) * 1000000 + 0.5) / 1000000 AS avg_k "
         "FROM events GROUP BY event_type"
     ),
 )

@@ -23,7 +23,7 @@ from pyspark.sql.functions import broadcast
 
 from skyhookdb_ceph_spark.operators.asof import asof_join
 from skyhookdb_ceph_spark.operators.range_join import banded_interval_join
-from skyhookdb_ceph_spark.queries._util import Catalog, F, money
+from skyhookdb_ceph_spark.queries._util import Catalog, F, money, quantize
 from skyhookdb_ceph_spark.registry import query
 
 
@@ -81,7 +81,7 @@ def q_join_broadcast(spark, sf_dir):
 @query(
     "q_join_sortmerge",
     oracle=(
-        "SELECT l_returnflag, count(*) AS cnt, round(avg(o_totalprice), 4) AS avg_total "
+        "SELECT l_returnflag, count(*) AS cnt, floor((avg(o_totalprice)) * 10000 + 0.5) / 10000 AS avg_total "
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
         "GROUP BY l_returnflag"
     ),
@@ -96,7 +96,7 @@ def q_join_sortmerge(spark, sf_dir):
         .groupBy("l_returnflag")
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            F.round(F.avg("o_totalprice"), 4).alias("avg_total"),
+            quantize(F.avg("o_totalprice"), 4).alias("avg_total"),
         )
     )
 

@@ -28,7 +28,7 @@ from skyhookdb_ceph_spark.operators.text_index import (
     build_inverted_index,
     keyword_search,
 )
-from skyhookdb_ceph_spark.queries._util import Catalog
+from skyhookdb_ceph_spark.queries._util import Catalog, quantize
 from skyhookdb_ceph_spark.registry import query
 
 # ---------------------------------------------------------------------------
@@ -76,11 +76,11 @@ cand AS (
   SELECT DISTINCT a.doc_id AS da, c.doc_id AS db
   FROM sig a JOIN sig c ON a.b = c.b AND a.bsig = c.bsig AND a.doc_id < c.doc_id)
 SELECT da AS doc_a, db AS doc_b,
-  round(len(list_intersect(x.shingles, y.shingles)) * 1.0
-        / len(list_distinct(x.shingles || y.shingles)), 6) AS jac
+  floor((len(list_intersect(x.shingles, y.shingles)) * 1.0
+        / len(list_distinct(x.shingles || y.shingles))) * 1000000 + 0.5) / 1000000 AS jac
 FROM cand JOIN sh x ON x.doc_id = cand.da JOIN sh y ON y.doc_id = cand.db
-WHERE round(len(list_intersect(x.shingles, y.shingles)) * 1.0
-        / len(list_distinct(x.shingles || y.shingles)), 6) >= 0.8
+WHERE floor((len(list_intersect(x.shingles, y.shingles)) * 1.0
+        / len(list_distinct(x.shingles || y.shingles))) * 1000000 + 0.5) / 1000000 >= 0.8
 """
 
 
@@ -118,11 +118,11 @@ WITH fp AS (
       i -> md5(substr(text, i, 8))), 'min') AS fp8
   FROM documents)
 SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
-  round(len(list_intersect(list_distinct(a.words), list_distinct(c.words))) * 1.0
-        / len(list_distinct(a.words || c.words)), 6) AS tok_jac
+  floor((len(list_intersect(list_distinct(a.words), list_distinct(c.words))) * 1.0
+        / len(list_distinct(a.words || c.words))) * 1000000 + 0.5) / 1000000 AS tok_jac
 FROM fp a JOIN fp c ON a.fp8 = c.fp8 AND a.doc_id < c.doc_id
-WHERE round(len(list_intersect(list_distinct(a.words), list_distinct(c.words))) * 1.0
-        / len(list_distinct(a.words || c.words)), 6) >= 0.5
+WHERE floor((len(list_intersect(list_distinct(a.words), list_distinct(c.words))) * 1.0
+        / len(list_distinct(a.words || c.words))) * 1000000 + 0.5) / 1000000 >= 0.5
 """
 
 
@@ -147,8 +147,8 @@ def q_dedup_ngram(spark, sf_dir):
         .selectExpr(
             "doc_a",
             "doc_b",
-            "round(cast(size(array_intersect(array_distinct(wa), array_distinct(wb))) AS double) "
-            "/ size(array_distinct(concat(wa, wb))), 6) AS tok_jac",
+            "floor((cast(size(array_intersect(array_distinct(wa), array_distinct(wb))) AS double) "
+            "/ size(array_distinct(concat(wa, wb)))) * 1000000 + 0.5) / 1000000 AS tok_jac",
         )
         .filter("tok_jac >= 0.5")
     )
@@ -190,9 +190,9 @@ def q_dedup_embed(spark, sf_dir):
 
 _NORMALIZE_ORACLE = f"""
 SELECT vec_id,
-  round(CAST(embedding[1] AS DOUBLE) / sqrt({vectors.dot_duckdb('embedding', 'embedding')}), 6) AS u1,
-  round(CAST(embedding[2] AS DOUBLE) / sqrt({vectors.dot_duckdb('embedding', 'embedding')}), 6) AS u2,
-  round(sqrt({vectors.dot_duckdb('embedding', 'embedding')}), 6) AS norm
+  floor((CAST(embedding[1] AS DOUBLE) / sqrt({vectors.dot_duckdb('embedding', 'embedding')})) * 1000000 + 0.5) / 1000000 AS u1,
+  floor((CAST(embedding[2] AS DOUBLE) / sqrt({vectors.dot_duckdb('embedding', 'embedding')})) * 1000000 + 0.5) / 1000000 AS u2,
+  floor((sqrt({vectors.dot_duckdb('embedding', 'embedding')})) * 1000000 + 0.5) / 1000000 AS norm
 FROM embeddings
 """
 
@@ -207,15 +207,15 @@ def q_vec_normalize(spark, sf_dir):
     nrm = f"sqrt({vectors.norm_sq_expr('embedding')})"
     return e.selectExpr(
         "vec_id",
-        f"round(cast(element_at(embedding, 1) AS double) / {nrm}, 6) AS u1",
-        f"round(cast(element_at(embedding, 2) AS double) / {nrm}, 6) AS u2",
-        f"round({nrm}, 6) AS norm",
+        f"floor((cast(element_at(embedding, 1) AS double) / {nrm}) * 1000000 + 0.5) / 1000000 AS u1",
+        f"floor((cast(element_at(embedding, 2) AS double) / {nrm}) * 1000000 + 0.5) / 1000000 AS u2",
+        f"floor(({nrm}) * 1000000 + 0.5) / 1000000 AS norm",
     )
 
 
 _KNN_ORACLE = f"""
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
-SELECT vec_id, round({vectors.cosine_duckdb('embedding', 'qv')}, 6) AS sim
+SELECT vec_id, floor(({vectors.cosine_duckdb('embedding', 'qv')}) * 1000000 + 0.5) / 1000000 AS sim
 FROM embeddings, q
 ORDER BY sim DESC, vec_id LIMIT 10
 """
@@ -234,7 +234,7 @@ def q_sim_knn(spark, sf_dir):
     q = e.filter(F.col("vec_id") == 0).selectExpr("embedding AS qv")
     return (
         e.crossJoin(F.broadcast(q))
-        .selectExpr("vec_id", f"round({vectors.cosine_expr('embedding', 'qv')}, 6) AS sim")
+        .selectExpr("vec_id", f"floor(({vectors.cosine_expr('embedding', 'qv')}) * 1000000 + 0.5) / 1000000 AS sim")
         .orderBy(F.col("sim").desc(), "vec_id")
         .limit(10)
     )
@@ -246,9 +246,9 @@ WITH b AS (
     {vectors.sign_bucket_duckdb('embedding', 4)} AS bucket
   FROM embeddings)
 SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
-  round({vectors.cosine_duckdb('a.embedding', 'c.embedding')}, 6) AS sim
+  floor(({vectors.cosine_duckdb('a.embedding', 'c.embedding')}) * 1000000 + 0.5) / 1000000 AS sim
 FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
-WHERE round({vectors.cosine_duckdb('a.embedding', 'c.embedding')}, 6) > 0.25
+WHERE floor(({vectors.cosine_duckdb('a.embedding', 'c.embedding')}) * 1000000 + 0.5) / 1000000 > 0.25
 """
 
 
@@ -264,7 +264,7 @@ def q_sim_pairs(spark, sf_dir):
         pairs.selectExpr(
             "va AS vec_a",
             "vb AS vec_b",
-            f"round({vectors.cosine_expr('ea', 'eb')}, 6) AS sim",
+            f"floor(({vectors.cosine_expr('ea', 'eb')}) * 1000000 + 0.5) / 1000000 AS sim",
         )
         .filter("sim > 0.25")
     )
@@ -276,7 +276,7 @@ WITH b AS (
     {vectors.sign_bucket_duckdb('embedding', 4)} AS bucket
   FROM embeddings),
 q AS (SELECT embedding AS qv, bucket AS qbucket FROM b WHERE vec_id = 0)
-SELECT vec_id, round({vectors.cosine_duckdb('embedding', 'qv')}, 6) AS sim
+SELECT vec_id, floor(({vectors.cosine_duckdb('embedding', 'qv')}) * 1000000 + 0.5) / 1000000 AS sim
 FROM b, q WHERE b.bucket = q.qbucket
 ORDER BY sim DESC, vec_id LIMIT 10
 """
@@ -299,7 +299,7 @@ def q_sim_knn_ivf(spark, sf_dir):
     return (
         withb.join(F.broadcast(q), F.col("bucket") == F.col("qbucket"))
         .selectExpr(
-            "vec_id", f"round({vectors.cosine_expr('embedding', 'qv')}, 6) AS sim"
+            "vec_id", f"floor(({vectors.cosine_expr('embedding', 'qv')}) * 1000000 + 0.5) / 1000000 AS sim"
         )
         .orderBy(F.col("sim").desc(), "vec_id")
         .limit(10)
@@ -316,8 +316,8 @@ def q_sim_knn_ivf(spark, sf_dir):
     oracle=(
         "SELECT lang, source, count(*) AS n_docs, "
         "CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens, "
-        "round(avg(len(string_split(text, ' '))), 6) AS avg_tokens, "
-        "round(avg(length(text)), 6) AS avg_chars "
+        "floor((avg(len(string_split(text, ' ')))) * 1000000 + 0.5) / 1000000 AS avg_tokens, "
+        "floor((avg(length(text))) * 1000000 + 0.5) / 1000000 AS avg_chars "
         "FROM documents GROUP BY lang, source"
     ),
     tags=("llm", "text"),
@@ -331,8 +331,8 @@ def q_text_stats(spark, sf_dir):
     return d.groupBy("lang", "source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(ntok).alias("total_tokens"),
-        F.round(F.avg(ntok), 6).alias("avg_tokens"),
-        F.round(F.avg(F.length("text")), 6).alias("avg_chars"),
+        quantize(F.avg(ntok), 6).alias("avg_tokens"),
+        quantize(F.avg(F.length("text")), 6).alias("avg_chars"),
     )
 
 
@@ -436,13 +436,13 @@ def q_text_langid(spark, sf_dir):
     "q_text_quality",
     oracle=(
         "SELECT doc_id, len(string_split(text, ' ')) AS n_tokens, "
-        "round(len(list_distinct(string_split(text, ' '))) * 1.0 "
-        "/ len(string_split(text, ' ')), 6) AS uniq_ratio, "
-        "round(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) * 1.0 "
-        "/ length(text), 6) AS punct_ratio, "
-        "round(0.5 * least(len(string_split(text, ' ')) / 80.0, 1.0) "
+        "floor((len(list_distinct(string_split(text, ' '))) * 1.0 "
+        "/ len(string_split(text, ' '))) * 1000000 + 0.5) / 1000000 AS uniq_ratio, "
+        "floor((length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) * 1.0 "
+        "/ length(text)) * 1000000 + 0.5) / 1000000 AS punct_ratio, "
+        "floor((0.5 * least(len(string_split(text, ' ')) / 80.0, 1.0) "
         "+ 0.5 * (len(list_distinct(string_split(text, ' '))) * 1.0 "
-        "/ len(string_split(text, ' '))), 6) AS quality "
+        "/ len(string_split(text, ' ')))) * 1000000 + 0.5) / 1000000 AS quality "
         "FROM documents"
     ),
     tags=("llm", "text"),
@@ -455,13 +455,13 @@ def q_text_quality(spark, sf_dir):
     return d.selectExpr(
         "doc_id",
         "size(split(text, ' ')) AS n_tokens",
-        "round(cast(size(array_distinct(split(text, ' '))) AS double) "
-        "/ size(split(text, ' ')), 6) AS uniq_ratio",
-        "round(cast(length(regexp_replace(text, '[a-z0-9 ]', '')) AS double) "
-        "/ length(text), 6) AS punct_ratio",
-        "round(cast(0.5 AS double) * least(size(split(text, ' ')) / cast(80.0 AS double), cast(1.0 AS double)) "
+        "floor((cast(size(array_distinct(split(text, ' '))) AS double) "
+        "/ size(split(text, ' '))) * 1000000 + 0.5) / 1000000 AS uniq_ratio",
+        "floor((cast(length(regexp_replace(text, '[a-z0-9 ]', '')) AS double) "
+        "/ length(text)) * 1000000 + 0.5) / 1000000 AS punct_ratio",
+        "floor((cast(0.5 AS double) * least(size(split(text, ' ')) / cast(80.0 AS double), cast(1.0 AS double)) "
         "+ cast(0.5 AS double) * (cast(size(array_distinct(split(text, ' '))) AS double) "
-        "/ size(split(text, ' '))), 6) AS quality",
+        "/ size(split(text, ' ')))) * 1000000 + 0.5) / 1000000 AS quality",
     )
 
 

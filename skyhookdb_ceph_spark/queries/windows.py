@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import Window
 
-from skyhookdb_ceph_spark.queries._util import Catalog, F, money, ratio
+from skyhookdb_ceph_spark.queries._util import Catalog, F, money, quantize, ratio
 from skyhookdb_ceph_spark.registry import query
 
 
@@ -49,8 +49,8 @@ def q_win_rank(spark, sf_dir):
         "SELECT o_custkey, o_orderkey, "
         "floor((sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 100 + 0.5) / 100 AS running_spend, "
-        "round(avg(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
-        "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS moving_avg "
+        "floor((avg(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
+        "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)) * 10000 + 0.5) / 10000 AS moving_avg "
         "FROM orders"
     ),
 )
@@ -64,7 +64,7 @@ def q_win_running(spark, sf_dir):
         money(
             F.sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, 0))
         ).alias("running_spend"),
-        F.round(
+        quantize(
             F.avg("o_totalprice").over(w.rowsBetween(-3, 0)), 4
         ).alias("moving_avg"),
     )
@@ -102,8 +102,8 @@ def q_win_lag_lead(spark, sf_dir):
     oracle=(
         "SELECT c_custkey, c_acctbal, "
         "CAST(ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS INT) AS quartile, "
-        "round(percent_rank() OVER (ORDER BY c_acctbal, c_custkey), 6) AS pct_rank, "
-        "round(cume_dist() OVER (ORDER BY c_acctbal, c_custkey), 6) AS cum_dist "
+        "floor((percent_rank() OVER (ORDER BY c_acctbal, c_custkey)) * 1000000 + 0.5) / 1000000 AS pct_rank, "
+        "floor((cume_dist() OVER (ORDER BY c_acctbal, c_custkey)) * 1000000 + 0.5) / 1000000 AS cum_dist "
         "FROM customer"
     ),
 )
