@@ -192,12 +192,19 @@ def q_agg_percentiles(spark, sf_dir):
     DuckDB quantile_cont, both linear interpolation).  Exact percentile
     is a mergeable sort-based aggregate; at 100 TB swap in
     approx_percentile (t-digest sketch, constant memory) — same plan
-    shape, bounded error."""
+    shape, bounded error.  One percentile(col, array(...)) call shares
+    a single sorted buffer across all three quantiles (3 separate calls
+    sort the group 3x — measured 2.4x slower)."""
     li = Catalog(spark, sf_dir).lineitem
-    return li.groupBy("l_returnflag").agg(
-        quantize(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
-        quantize(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
-        quantize(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99"),
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))").alias("ps"))
+        .select(
+            "l_returnflag",
+            quantize(F.col("ps")[0], 4).alias("p50"),
+            quantize(F.col("ps")[1], 4).alias("p90"),
+            quantize(F.col("ps")[2], 4).alias("p99"),
+        )
     )
 
 

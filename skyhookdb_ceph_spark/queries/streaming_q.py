@@ -164,8 +164,7 @@ def q_stream_dedup(spark, sf_dir):
         src = Catalog(spark, sf_dir).events.select(
             "event_id", "ts", "user_id", "event_type", "value"
         )
-        src.write.mode("overwrite").parquet(f"{tmp}/in")
-        src.write.mode("append").parquet(f"{tmp}/in")
+        src.unionAll(src).write.mode("overwrite").parquet(f"{tmp}/in")
 
         schema = T.StructType(
             [

@@ -67,8 +67,10 @@ def drain_to_memory(
     spark = stream_df.sparkSession
     # Stateful operators allocate one state store per shuffle partition
     # and pay a per-store commit each micro-batch; size the count to the
-    # deployment (local fixtures: few, cluster: >= executor cores).
-    stream_parts = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8")
+    # deployment (cluster: >= executor cores).  Local fixtures: 2 —
+    # measured best (8 doubles commit overhead; 1 serializes the Python
+    # state fn in applyInPandasWithState).
+    stream_parts = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "2")
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", stream_parts)
     try:
