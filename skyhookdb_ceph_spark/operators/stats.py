@@ -12,27 +12,28 @@ The reference collects per-object stats to guide selectivity decisions
 
 from __future__ import annotations
 
-from functools import reduce
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
 def column_stats(df: DataFrame, cols: list[str]) -> DataFrame:
-    """(col, min, max, cnt, ndv) per requested numeric column — a
-    single scan per column batch, partial-aggregated per partition
-    exactly like the reference's per-object stats pass."""
-    parts = [
-        df.agg(
-            F.lit(c).alias("col"),
-            F.min(c).cast("double").alias("min_val"),
-            F.max(c).cast("double").alias("max_val"),
-            F.count(c).alias("cnt"),
-            F.countDistinct(c).alias("ndv"),
-        )
-        for c in cols
-    ]
-    return reduce(lambda a, b: a.unionByName(b), parts)
+    """(col, min, max, cnt, ndv) per requested numeric column in ONE
+    scan: stack() unpivots the columns to (col, val) rows, then a
+    single grouped aggregate computes all stats.  The distinct agg is
+    partially deduped per partition before the (col, val) shuffle, so
+    network volume is ndv-bounded — the same partial-stats-per-object
+    shape as the reference's runstats, but N columns per pass instead
+    of N passes."""
+    stack_args = ", ".join(f"'{c}', CAST({c} AS DOUBLE)" for c in cols)
+    stacked = df.select(
+        F.expr(f"stack({len(cols)}, {stack_args}) AS (col, val)")
+    )
+    return stacked.groupBy("col").agg(
+        F.min("val").alias("min_val"),
+        F.max("val").alias("max_val"),
+        F.count("val").alias("cnt"),
+        F.countDistinct("val").alias("ndv"),
+    )
 
 
 def analyze_table(df: DataFrame, name: str) -> None:
