@@ -134,9 +134,12 @@ def q_dedup_ngram(spark, sf_dir):
     but over character shingles — catches near-dups that word
     shingling misses (e.g. punctuation/whitespace edits)."""
     d = ensure_parallelism(Catalog(spark, sf_dir).documents)
+    # array_distinct ONCE per doc here, not once per candidate pair —
+    # a doc in k near-dup pairs would otherwise be deduped k times,
+    # and the deduped array is also a smaller join payload.
     fp = d.selectExpr(
         "doc_id",
-        "split(text, ' ') AS words",
+        "array_distinct(split(text, ' ')) AS words",
         "array_min(transform(sequence(1, greatest(length(text) - 7, 1)), "
         "i -> md5(substring(text, i, 8)))) AS fp8",
     )
@@ -147,7 +150,7 @@ def q_dedup_ngram(spark, sf_dir):
         .selectExpr(
             "doc_a",
             "doc_b",
-            "floor((cast(size(array_intersect(array_distinct(wa), array_distinct(wb))) AS double) "
+            "floor((cast(size(array_intersect(wa, wb)) AS double) "
             "/ size(array_distinct(concat(wa, wb)))) * 1000000 + 0.5) / 1000000 AS tok_jac",
         )
         .filter("tok_jac >= 0.5")
