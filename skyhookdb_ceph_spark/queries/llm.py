@@ -625,3 +625,118 @@ def q_multimodal_binary(spark, sf_dir):
         F.length(payload).alias("n_bytes"),
         F.md5(payload).alias("payload_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline: chunking, decontamination, quantization
+# ---------------------------------------------------------------------------
+
+_CHUNK_ORACLE = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+SELECT doc_id, CAST(gs AS INT) AS chunk_start,
+  CAST(len(list_slice(words, gs, gs + 63)) AS INT) AS chunk_tokens,
+  md5(array_to_string(list_slice(words, gs, gs + 63), ' ')) AS chunk_md5
+FROM w, unnest(generate_series(1, len(words), 48)) t(gs)
+"""
+
+
+@query("q_text_chunk", oracle=_CHUNK_ORACLE, tags=("llm", "text"))
+def q_text_chunk(spark, sf_dir):
+    """Overlapping token-window chunking (64-token windows, stride 48)
+    — the standard context-window preprocessing step before embedding /
+    tokenization.  One explode per document, no shuffle at all: chunk
+    rows stay on the partition that scanned the document, so at 100 TB
+    this is a pure map stage.  chunk_md5 gives each chunk a stable id
+    for downstream dedup/lineage."""
+    d = ensure_parallelism(Catalog(spark, sf_dir).documents)
+    return (
+        d.selectExpr("doc_id", "split(text, ' ') AS words")
+        .selectExpr(
+            "doc_id",
+            "words",
+            "explode(sequence(1, size(words), 48)) AS chunk_start",
+        )
+        .selectExpr(
+            "doc_id",
+            "cast(chunk_start AS int) AS chunk_start",
+            "cast(size(slice(words, chunk_start, 64)) AS int) AS chunk_tokens",
+            "md5(concat_ws(' ', slice(words, chunk_start, 64))) AS chunk_md5",
+        )
+    )
+
+
+_DECON_ORACLE = """
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    generate_series(1, greatest(len(string_split(text, ' ')) - 4, 1)),
+    i -> array_to_string(list_slice(string_split(text, ' '), i, i + 4), ' ')))) AS s
+  FROM documents),
+b AS (SELECT DISTINCT s FROM sh WHERE doc_id < 20)
+SELECT sh.doc_id, CAST(count(DISTINCT sh.s) AS BIGINT) AS n_shared
+FROM sh JOIN b USING (s) WHERE sh.doc_id >= 20 GROUP BY sh.doc_id
+"""
+
+
+@query("q_dedup_decontaminate", oracle=_DECON_ORACLE, tags=("llm", "dedup"))
+def q_dedup_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: find corpus documents sharing any
+    5-word shingle with a benchmark set (here: doc_id < 20 plays the
+    held-out eval set), reporting how many distinct shingles leak.
+    The benchmark shingle set is tiny by construction, so it
+    BROADCASTS: the corpus-side scan never shuffles document text,
+    only the matched (doc_id, shingle) pairs reach the count — the
+    shape that survives a 100 TB corpus against a fixed eval suite.
+    Downstream, `anti-join on doc_id` removes the contaminated docs."""
+    d = ensure_parallelism(Catalog(spark, sf_dir).documents)
+    sh = d.selectExpr(
+        "doc_id", f"explode({minhash.shingle_expr('text', 5)}) AS s"
+    )
+    bench = sh.filter("doc_id < 20").select("s").distinct()
+    return (
+        sh.filter("doc_id >= 20")
+        .join(F.broadcast(bench), "s")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("s").alias("n_shared"))
+    )
+
+
+_QUANT_ORACLE = """
+WITH s AS (
+  SELECT vec_id, embedding,
+    CAST(127 AS DOUBLE) / greatest(
+      list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max'),
+      CAST(1e-12 AS DOUBLE)) AS scale
+  FROM embeddings)
+SELECT vec_id,
+  floor(scale * 1000000 + 0.5) / 1000000 AS scale_q,
+  CAST(list_aggregate(list_transform(embedding,
+    x -> CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS BIGINT)), 'sum') AS BIGINT) AS q_sum,
+  CAST(floor(CAST(embedding[1] AS DOUBLE) * scale + 0.5) AS BIGINT) AS q1
+FROM s
+"""
+
+
+@query("q_embed_quantize", oracle=_QUANT_ORACLE, tags=("llm", "similarity"))
+def q_embed_quantize(spark, sf_dir):
+    """Int8 scalar quantization of embedding vectors (symmetric,
+    per-vector max-abs scale) — the storage/bandwidth lever for
+    billion-vector ANN indexes (4x smaller than float32).  All JVM
+    higher-order functions, zero shuffle; checked output is the scale
+    plus integer digests of the quantized vector (integer sums are
+    fold-order-independent, so the check is deterministic)."""
+    e = Catalog(spark, sf_dir).embeddings
+    s = e.selectExpr(
+        "vec_id",
+        "embedding",
+        "cast(127 AS double) / greatest("
+        "array_max(transform(embedding, x -> abs(cast(x AS double)))), "
+        "cast(1e-12 AS double)) AS scale",
+    )
+    return s.selectExpr(
+        "vec_id",
+        "floor(scale * 1000000 + 0.5) / 1000000 AS scale_q",
+        "cast(aggregate(transform(embedding, "
+        "x -> cast(floor(cast(x AS double) * scale + 0.5) AS bigint)), "
+        "cast(0 AS bigint), (a, x) -> a + x) AS bigint) AS q_sum",
+        "cast(floor(cast(element_at(embedding, 1) AS double) * scale + 0.5) AS bigint) AS q1",
+    )
