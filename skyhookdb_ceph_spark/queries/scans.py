@@ -204,3 +204,48 @@ def q_runstats(spark, sf_dir):
     selectivity decisions."""
     li = Catalog(spark, sf_dir).lineitem
     return column_stats(li, ["l_quantity", "l_extendedprice", "l_discount"])
+
+
+@query(
+    "q_transform_orc",
+    oracle=(
+        "SELECT o_orderstatus, count(*) AS cnt, "
+        "floor((sum(o_totalprice)) * 100 + 0.5) / 100 AS sum_total "
+        "FROM orders GROUP BY o_orderstatus"
+    ),
+)
+def q_transform_orc(spark, sf_dir):
+    """ORC round-trip — the third columnar layout in the format
+    plurality set (SFT_* dispatch analog, [U: cls_tabular_utils.h —
+    SFT_* read paths]): project orders to ORC, re-ingest with an
+    explicit schema through sources/formats.py, aggregate; matching
+    the oracle on the source proves losslessness."""
+    scratch = os.environ.get("SPARK_GRAFT_SCRATCH")
+    tmp = tempfile.mkdtemp(prefix="skyhook_transform_orc_", dir=scratch)
+    try:
+        from skyhookdb_ceph_spark.sources.formats import read_table
+
+        src = Catalog(spark, sf_dir).orders.select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        src.write.mode("overwrite").orc(f"{tmp}/orc")
+        schema = T.StructType(
+            [
+                T.StructField("o_orderkey", T.LongType()),
+                T.StructField("o_orderstatus", T.StringType()),
+                T.StructField("o_totalprice", T.DoubleType()),
+            ]
+        )
+        out = (
+            read_table(spark, f"{tmp}/orc", "orc", schema)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                (F.floor(F.sum("o_totalprice") * 100 + F.lit(0.5)) / 100).alias(
+                    "sum_total"
+                ),
+            )
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
