@@ -293,3 +293,35 @@ def q_agg_avg_stddev(spark, sf_dir):
         ratio(F.stddev_samp("l_quantity")).alias("sd_qty"),
         ratio(F.var_samp("l_quantity")).alias("var_qty"),
     )
+
+
+@query(
+    "q_agg_filtered",
+    oracle=(
+        "SELECT l_returnflag, "
+        "CAST(sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_bulk, "
+        "floor((sum(CASE WHEN l_discount >= 0.05 THEN l_extendedprice ELSE 0.0 END)) * 100 + 0.5) / 100 AS disc_rev, "
+        "CAST(count(*) AS BIGINT) AS n_all "
+        "FROM lineitem GROUP BY l_returnflag"
+    ),
+)
+def q_agg_filtered(spark, sf_dir):
+    """Conditional (filtered) aggregation — several differently-filtered
+    measures in ONE scan/shuffle instead of one query per predicate.
+    CASE-based form (not FILTER syntax) so the empty-group semantics
+    are identical in both engines; partial aggregation applies as
+    usual, so only per-group partials cross the network."""
+    li = Catalog(spark, sf_dir).lineitem
+    return li.groupBy("l_returnflag").agg(
+        F.sum(F.when(F.col("l_quantity") > 25, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_bulk"),
+        money(
+            F.sum(
+                F.when(F.col("l_discount") >= 0.05, F.col("l_extendedprice")).otherwise(
+                    F.lit(0.0)
+                )
+            )
+        ).alias("disc_rev"),
+        F.count(F.lit(1)).alias("n_all"),
+    )
