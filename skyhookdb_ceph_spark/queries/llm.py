@@ -740,3 +740,55 @@ def q_embed_quantize(spark, sf_dir):
         "cast(0 AS bigint), (a, x) -> a + x) AS bigint) AS q_sum",
         "cast(floor(cast(element_at(embedding, 1) AS double) * scale + 0.5) AS bigint) AS q1",
     )
+
+
+_TFIDF_ORACLE = """
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+n AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT doc_id, term,
+    floor((tf * ln(CAST(n AS DOUBLE) / CAST(df AS DOUBLE))) * 1000000 + 0.5) / 1000000 AS tfidf
+  FROM tf JOIN df USING (term), n),
+r AS (SELECT doc_id, term, tfidf,
+        row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+      FROM scored)
+SELECT doc_id, term, tfidf FROM r WHERE rn <= 5
+"""
+
+
+@query("q_text_tfidf", oracle=_TFIDF_ORACLE, tags=("llm", "text"))
+def q_text_tfidf(spark, sf_dir):
+    """Top-5 TF-IDF terms per document — the classic relevance scoring
+    over the corpus.  Three shuffles, all key-partitioned and
+    partial-aggregated: tf on (doc, term), df on term, then a
+    per-document window for top-5.  The corpus size N is a broadcast
+    1-row aggregate, not a driver-side collect, so the plan is fully
+    distributed at any corpus size."""
+    from pyspark.sql import Window
+
+    d = ensure_parallelism(Catalog(spark, sf_dir).documents)
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    ndocs = d.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(ndocs))
+        .select(
+            "doc_id",
+            "term",
+            quantize(
+                F.col("tf")
+                * F.log(F.col("n").cast("double") / F.col("df").cast("double")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter("rn <= 5")
+        .select("doc_id", "term", "tfidf")
+    )

@@ -284,3 +284,32 @@ def q_stream_stateful(spark, sf_dir):
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return drain_to_memory(updated, output_mode="update")
+
+
+@query(
+    "q_stream_enrich",
+    oracle=(
+        "SELECT c_mktsegment, count(*) AS cnt, "
+        "floor((sum(value)) * 100 + 0.5) / 100 AS sum_value "
+        "FROM events JOIN customer ON user_id = c_custkey "
+        "GROUP BY c_mktsegment"
+    ),
+    tags=("stream", "live-stream"),
+)
+def q_stream_enrich(spark, sf_dir):
+    """Stream-static enrichment: the event stream joins a broadcast
+    static dimension (customer) — the canonical streaming-ETL pattern
+    (no watermark needed on the static side, no join state at all),
+    then aggregates revenue per market segment in complete mode.
+    At scale the static side is re-broadcast per micro-batch; state is
+    only the running aggregate, bounded by segment cardinality."""
+    stream = events_stream(spark, sf_dir)
+    cust = Catalog(spark, sf_dir).customer.select("c_custkey", "c_mktsegment")
+    joined = stream.join(
+        F.broadcast(cust), stream.user_id == cust.c_custkey
+    )
+    agg = joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        (F.floor(F.sum("value") * 100 + F.lit(0.5)) / 100).alias("sum_value"),
+    )
+    return drain_to_memory(agg, output_mode="complete")
