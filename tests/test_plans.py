@@ -84,3 +84,31 @@ def test_whole_stage_codegen_covers_scan_pipeline(spark):
     # codegen'd operators carry the "*(n)" marker in simple mode
     s = explain_str(q("q_filter_gt", spark), "simple")
     assert "*(1)" in s
+
+
+def test_decontaminate_broadcasts_benchmark_shingles(spark):
+    """The eval-set shingle table must broadcast — shuffling corpus
+    text against it would defeat the 100 TB shape."""
+    assert "BroadcastHashJoin" in joins_used(q("q_dedup_decontaminate", spark))
+
+
+def test_tfidf_broadcasts_corpus_size(spark):
+    """N (1-row aggregate) joins via broadcast nested loop, never a
+    shuffle; the tf x df join itself is a key equi-join."""
+    plan = explain_str(q("q_text_tfidf", spark))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_chunking_has_no_key_shuffle(spark):
+    """Chunking is a pure map stage: the only Exchange allowed is
+    ensure_parallelism's round-robin input rebalance — never a
+    key-based (hash/range) shuffle."""
+    plan = explain_str(q("q_text_chunk", spark))
+    assert "hashpartitioning" not in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_quantize_has_no_shuffle(spark):
+    """Int8 quantization is per-row: no Exchange in the plan."""
+    plan = explain_str(q("q_embed_quantize", spark))
+    assert "Exchange" not in plan
