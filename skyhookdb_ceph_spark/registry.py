@@ -25,7 +25,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 class QuerySpec:
     name: str
     fn: QueryFn
-    oracle: str | None  # DuckDB SQL; None => rows-only check (non-SQL op)
+    oracle: str | None  # DuckDB SQL; None is a RED row (see query() warning)
     tags: tuple[str, ...] = field(default_factory=tuple)
 
 
