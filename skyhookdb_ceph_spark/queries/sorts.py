@@ -53,7 +53,7 @@ def q_limit(spark, sf_dir):
 @query(
     "q_topk",
     oracle=(
-        "SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+        "SELECT l_orderkey, floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100 AS revenue "
         "FROM lineitem GROUP BY l_orderkey "
         "ORDER BY revenue DESC, l_orderkey ASC LIMIT 10"
     ),
@@ -67,4 +67,30 @@ def q_topk(spark, sf_dir):
         .agg(money(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
         .limit(10)
+    )
+
+
+@query(
+    "q_sort_nulls",
+    oracle=(
+        "SELECT o_orderkey, nullif(o_orderstatus, 'P') AS status_np "
+        "FROM orders "
+        "ORDER BY status_np ASC NULLS FIRST, o_orderkey ASC LIMIT 100"
+    ),
+)
+def q_sort_nulls(spark, sf_dir):
+    """Explicit NULL placement in sort order.  The engines DISAGREE by
+    default (Spark: NULLS FIRST on ASC; DuckDB: NULLS LAST), so any
+    portable ordering must spell it out — asc_nulls_first here, NULLS
+    FIRST in the oracle.  The LIMIT makes placement observable through
+    the driver's order-insensitive hash: the returned row SET is the
+    100 lowest keys among NULL-status rows only if nulls sort first."""
+    o = Catalog(spark, sf_dir).orders
+    return (
+        o.select(
+            "o_orderkey",
+            F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("status_np"),
+        )
+        .orderBy(F.col("status_np").asc_nulls_first(), F.col("o_orderkey").asc())
+        .limit(100)
     )
