@@ -93,7 +93,8 @@ def main() -> int:
             errors[name] = f"{type(exc).__name__}: {exc}"[:200]
 
     total = round(sum(times.values()), 4)
-    record = {
+    headline_times = {k: times[k] for k in sorted(HEADLINE) if k in times}
+    full_record = {
         "metric": "sum_query_wall_sec",
         "value": total,
         "unit": "sec",
@@ -101,9 +102,31 @@ def main() -> int:
         "sf": sf,
         "startup_sec": round(startup, 2),
         "n_queries": len(times),
+        "aqe_off": True,  # bench profile; correctness gate runs AQE-on
     }
     if errors:
-        record["errors"] = errors
+        full_record["errors"] = errors
+    side = Path(_REPO) / ".benchmarks" / "bench_full.json"
+    side.parent.mkdir(exist_ok=True)
+    side.write_text(json.dumps(full_record, indent=1))
+
+    # The driver captures only a ~4 KB tail of stdout and parses the
+    # final JSON line (BENCH_r{1,2} both came back "parsed": null when
+    # this line carried the full 110-query map).  Keep the last line
+    # compact: totals + the BASELINE.md §A headline subset only; the
+    # full per-query map lives in .benchmarks/bench_full.json.
+    record = {
+        "metric": "sum_query_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": headline_times,
+        "headline_sum_sec": round(sum(headline_times.values()), 4),
+        "sf": sf,
+        "startup_sec": round(startup, 2),
+        "n_queries": len(times),
+        "n_errors": len(errors),
+        "full_record": str(side),
+    }
     print(json.dumps(record))
     return 0
 
