@@ -158,14 +158,15 @@ def q_dedup_ngram(spark, sf_dir):
 
 
 _EMBED_DEDUP_ORACLE = f"""
-WITH b AS (
-  SELECT vec_id, embedding,
-    {vectors.sign_bucket_duckdb('embedding', 4)} AS bucket
-  FROM embeddings),
+WITH {vectors.banded_cells_cte_duckdb()},
+cand AS (
+  SELECT DISTINCT a.vec_id AS va, c.vec_id AS vb
+  FROM cells a JOIN cells c ON a.bucket = c.bucket AND a.vec_id < c.vec_id),
 dup AS (
-  SELECT DISTINCT c.vec_id AS vb
-  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
-  WHERE {vectors.cosine_duckdb('a.embedding', 'c.embedding')} > 0.4)
+  SELECT DISTINCT cand.vb
+  FROM cand JOIN embeddings x ON x.vec_id = cand.va
+            JOIN embeddings y ON y.vec_id = cand.vb
+  WHERE {vectors.cosine_duckdb('x.embedding', 'y.embedding')} > 0.4)
 SELECT vec_id FROM embeddings WHERE vec_id NOT IN (SELECT vb FROM dup)
 """
 
@@ -173,11 +174,12 @@ SELECT vec_id FROM embeddings WHERE vec_id NOT IN (SELECT vb FROM dup)
 @query("q_dedup_embed", oracle=_EMBED_DEDUP_ORACLE, tags=("llm", "dedup"))
 def q_dedup_embed(spark, sf_dir):
     """Embedding-cosine near-dup removal, keep-first: drop any vector
-    whose cosine to a LOWER-id vector in the same sign bucket exceeds
-    0.4.  Bucketing (4 sign bits) makes the pair generation an
-    equi-join; the anti-join drops the duplicates."""
+    whose cosine to a LOWER-id vector in a shared LSH bucket exceeds
+    0.4.  Bucket bits scale with corpus size (expected bucket stays
+    ~TARGET_BUCKET_ROWS — the O(n²/const) trap closed in round 3) and
+    4 OR-amplified bands keep recall; see operators/vectors.py."""
     e = Catalog(spark, sf_dir).embeddings
-    pairs = vectors.bucketed_pairs(e, n_bits=4)
+    pairs = vectors.bucketed_pairs(e)
     dup = (
         pairs.selectExpr("vb", f"{vectors.cosine_expr('ea', 'eb')} AS sim")
         .filter("sim > 0.4")
@@ -244,25 +246,27 @@ def q_sim_knn(spark, sf_dir):
 
 
 _PAIRS_ORACLE = f"""
-WITH b AS (
-  SELECT vec_id, embedding,
-    {vectors.sign_bucket_duckdb('embedding', 4)} AS bucket
-  FROM embeddings)
-SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
-  floor(({vectors.cosine_duckdb('a.embedding', 'c.embedding')}) * 1000000 + 0.5) / 1000000 AS sim
-FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
-WHERE floor(({vectors.cosine_duckdb('a.embedding', 'c.embedding')}) * 1000000 + 0.5) / 1000000 > 0.25
+WITH {vectors.banded_cells_cte_duckdb()},
+cand AS (
+  SELECT DISTINCT a.vec_id AS va, c.vec_id AS vb
+  FROM cells a JOIN cells c ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
+SELECT cand.va AS vec_a, cand.vb AS vec_b,
+  floor(({vectors.cosine_duckdb('x.embedding', 'y.embedding')}) * 1000000 + 0.5) / 1000000 AS sim
+FROM cand JOIN embeddings x ON x.vec_id = cand.va
+          JOIN embeddings y ON y.vec_id = cand.vb
+WHERE floor(({vectors.cosine_duckdb('x.embedding', 'y.embedding')}) * 1000000 + 0.5) / 1000000 > 0.25
 """
 
 
 @query("q_sim_pairs", oracle=_PAIRS_ORACLE, tags=("llm", "similarity"))
 def q_sim_pairs(spark, sf_dir):
-    """All-pairs similarity above a threshold, LSH-pruned: pairs are
-    generated ONLY within sign buckets (16 buckets here), so the join
-    is an equi-join on bucket id — the O(n^2/buckets) scale path.  The
-    oracle computes identical bucketed semantics."""
+    """All-pairs similarity above a threshold, LSH-pruned: candidates
+    come only from shared LSH buckets, with the bit count derived from
+    the corpus size (expected bucket ~TARGET_BUCKET_ROWS, so candidate
+    volume grows O(n·target), not O(n²/const)) and 4 OR-amplified bands
+    for recall.  The oracle computes identical banded semantics."""
     e = Catalog(spark, sf_dir).embeddings
-    pairs = vectors.bucketed_pairs(e, n_bits=4)
+    pairs = vectors.bucketed_pairs(e)
     return (
         pairs.selectExpr(
             "va AS vec_a",
@@ -274,10 +278,7 @@ def q_sim_pairs(spark, sf_dir):
 
 
 _KNN_IVF_ORACLE = f"""
-WITH b AS (
-  SELECT vec_id, embedding,
-    {vectors.sign_bucket_duckdb('embedding', 4)} AS bucket
-  FROM embeddings),
+WITH {vectors.primary_cell_cte_duckdb()},
 q AS (SELECT embedding AS qv, bucket AS qbucket FROM b WHERE vec_id = 0)
 SELECT vec_id, floor(({vectors.cosine_duckdb('embedding', 'qv')}) * 1000000 + 0.5) / 1000000 AS sim
 FROM b, q WHERE b.bucket = q.qbucket
@@ -287,15 +288,16 @@ ORDER BY sim DESC, vec_id LIMIT 10
 
 @query("q_sim_knn_ivf", oracle=_KNN_IVF_ORACLE, tags=("llm", "similarity"))
 def q_sim_knn_ivf(spark, sf_dir):
-    """IVF-style ANN: vectors are pre-assigned to coarse cells (here the
-    deterministic sign-bucket quantizer); the query probes ONLY its own
-    cell, scoring ~n/cells candidates instead of n.  This is the scale
-    path for q_sim_knn: at 100 TB the cell assignment is a partition
-    column, so probing a cell is partition pruning, and recall is
-    traded via n_bits / multi-probe.  The oracle computes the identical
-    cell-restricted search."""
+    """IVF-style ANN: vectors are pre-assigned to coarse cells (the
+    deterministic sign-bucket quantizer, bit count scaled to corpus
+    size so cells stay ~TARGET_BUCKET_ROWS); the query probes ONLY its
+    own cell, scoring ~n/cells candidates instead of n.  This is the
+    scale path for q_sim_knn: at 100 TB the cell assignment is a
+    partition column, so probing a cell is partition pruning, and
+    recall is traded via n_bits / multi-probe.  The oracle computes the
+    identical cell-restricted search."""
     e = Catalog(spark, sf_dir).embeddings
-    withb = vectors.bucketed_cells(e, n_bits=4)
+    withb = vectors.bucketed_cells(e)
     q = withb.filter(F.col("vec_id") == 0).selectExpr(
         "embedding AS qv", "bucket AS qbucket"
     )

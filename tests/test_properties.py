@@ -78,3 +78,53 @@ def test_asof_semantics_model(left_ts, right_ts):
         eligible = [r for r in right_ts if r <= t]
         expected = max(eligible) if eligible else None
         assert results[t] == expected
+
+
+def test_scaled_lsh_bits_grow_with_corpus():
+    """The LSH bit derivation must keep expected bucket population at
+    ~TARGET_BUCKET_ROWS: bits grow logarithmically with n and clamp to
+    the band width (the round-2 scale-killer was a constant 4)."""
+    from skyhookdb_ceph_spark.operators.vectors import (
+        BAND_STRIDE,
+        TARGET_BUCKET_ROWS,
+        scaled_bits_py,
+    )
+
+    assert scaled_bits_py(100) == 4          # floor
+    assert scaled_bits_py(500) == 4          # sf0.001/0.01 fixtures
+    assert scaled_bits_py(2_000) == 5        # sf0.1 fixture
+    assert scaled_bits_py(1_000_000) == 14
+    assert scaled_bits_py(10**9) == BAND_STRIDE  # clamp
+    # expected bucket population n / 2^bits stays within ~2x of target
+    # until the band-width clamp (beyond 2^BAND_STRIDE * target rows,
+    # the axis-sign family runs out of bits — documented hash-projection
+    # upgrade path in operators/vectors.py).
+    for n in (10_000, 100_000, 1_000_000):
+        bits = scaled_bits_py(n)
+        assert n / 2**bits <= 2 * TARGET_BUCKET_ROWS
+
+
+def test_banded_pair_candidates_bounded(spark):
+    """Candidate-pair volume from the multi-band LSH join must stay far
+    below the quadratic all-pairs count — the property that makes the
+    O(n^2) -> O(n*target) claim testable rather than aspirational."""
+    from skyhookdb_ceph_spark.catalog import Catalog
+    from skyhookdb_ceph_spark.operators import vectors
+
+    e = Catalog(spark, "/root/testdata/sf0.01").embeddings
+    n = e.count()
+    cand = vectors.bucketed_pairs(e).count()
+    all_pairs = n * (n - 1) / 2
+    # 4 bands of >=4 bits: expected fraction <= 4/16 of all pairs even
+    # in the worst (fully correlated signs) case observed on fixtures.
+    assert cand < all_pairs / 2.5, (cand, all_pairs)
+
+
+def test_dynamic_bits_match_python_twin(spark):
+    """corpus_bits (the in-plan derivation) equals scaled_bits_py."""
+    from skyhookdb_ceph_spark.catalog import Catalog
+    from skyhookdb_ceph_spark.operators import vectors
+
+    e = Catalog(spark, "/root/testdata/sf0.01").embeddings
+    (nb,) = vectors.corpus_bits(e).collect()[0]
+    assert nb == vectors.scaled_bits_py(e.count())
