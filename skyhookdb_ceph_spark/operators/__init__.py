@@ -32,3 +32,33 @@ def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+class GlobalWindowScaleError(RuntimeError):
+    """Raised when an unpartitioned window is asked to sort more rows
+    than one task should ever hold."""
+
+
+def guard_global_window(df: DataFrame, max_rows: int = 10_000_000) -> DataFrame:
+    """Enforce the dimension-only restriction on unpartitioned windows.
+
+    An `OVER (ORDER BY …)` with no PARTITION BY plans a single-task
+    global sort — the first executor OOM at fact-table scale.  Callers
+    that genuinely need global ranking on big data should use the
+    percentile-boundary + broadcast formulation (q_win_quartile_scalable).
+    The count here is a cheap aggregate job (column-pruned scan), and
+    at 100 TB failing fast beats an OOM hours into the stage.  Set
+    SPARK_GRAFT_ALLOW_GLOBAL_WINDOW=1 to override.
+    """
+    import os
+
+    if os.environ.get("SPARK_GRAFT_ALLOW_GLOBAL_WINDOW") == "1":
+        return df
+    n = df.count()
+    if n > max_rows:
+        raise GlobalWindowScaleError(
+            f"unpartitioned window over {n} rows (> {max_rows}): this is a "
+            "single-task global sort; use the percentile-boundary pattern "
+            "(q_win_quartile_scalable) or set SPARK_GRAFT_ALLOW_GLOBAL_WINDOW=1"
+        )
+    return df

@@ -33,14 +33,18 @@ from skyhookdb_ceph_spark.registry import query
 def q_tpch_q3(spark, sf_dir):
     """Q3 shipping-priority shape: segment filter on the dim, date
     bands pushed to both fact scans, 3-way join, grouped revenue,
-    top-10.  Plan: pushed filters -> broadcast(customer-filtered) ->
-    join -> partial/final agg -> TakeOrderedAndProject."""
+    top-10.  Plan: pushed filters -> join -> partial/final agg ->
+    TakeOrderedAndProject.  The filtered customer side carries NO
+    broadcast hint: it is ~1/5 of a table that scales with the corpus,
+    so a pinned broadcast OOMs executors at 100 TB — Catalyst picks
+    broadcast at bench scale from size stats, AQE re-decides at runtime
+    on clusters."""
     c = Catalog(spark, sf_dir)
     cust = c.customer.filter(F.col("c_mktsegment") == "BUILDING")
     cutoff = F.lit("1995-03-15").cast("timestamp")
     return (
         c.orders.filter(F.col("o_orderdate") < cutoff)
-        .join(broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
         .join(
             c.lineitem.filter(F.col("l_shipdate") > cutoff),
             F.col("l_orderkey") == F.col("o_orderkey"),
@@ -77,8 +81,11 @@ def q_tpch_q3(spark, sf_dir):
 def q_tpch_q5(spark, sf_dir):
     """Q5 local-supplier-volume shape: 6-way star+snowflake join with
     the local-supplier constraint (s_nationkey = n_nationkey) — the
-    join-reordering stress test.  Tiny dims broadcast; the only big
-    shuffles are orders⋈lineitem."""
+    join-reordering stress test.  Only the BOUNDED dims (region 5
+    rows, nation 25 rows by schema contract) carry broadcast hints —
+    supplier and customer scale with the corpus, so their join
+    strategy is left to Catalyst stats + AQE (broadcast at bench
+    scale, shuffle at 100 TB)."""
     c = Catalog(spark, sf_dir)
     return (
         broadcast(c.region.filter(F.col("r_name") == "ASIA"))
@@ -87,7 +94,7 @@ def q_tpch_q5(spark, sf_dir):
         .join(c.orders, F.col("c_custkey") == F.col("o_custkey"))
         .join(c.lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
-            broadcast(c.supplier),
+            c.supplier,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("s_nationkey") == F.col("n_nationkey")),
         )

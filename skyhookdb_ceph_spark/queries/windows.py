@@ -110,10 +110,13 @@ def q_win_lag_lead(spark, sf_dir):
 def q_win_ntile_pct(spark, sf_dir):
     """Distribution analytics.  NOTE: intentionally unpartitioned to
     match SQL semantics (global quartiles) — the single-task window is
-    acceptable ONLY on dimension-sized input; q_win_quartile_scalable
-    below is the fact-table formulation (percentile boundaries +
-    broadcast, no global sort)."""
-    c = Catalog(spark, sf_dir).customer
+    acceptable ONLY on dimension-sized input, and guard_global_window
+    ENFORCES that (fails fast past 10M rows instead of OOMing the
+    sort task); q_win_quartile_scalable below is the fact-table
+    formulation (percentile boundaries + broadcast, no global sort)."""
+    from skyhookdb_ceph_spark.operators import guard_global_window
+
+    c = guard_global_window(Catalog(spark, sf_dir).customer)
     w = Window.orderBy("c_acctbal", "c_custkey")
     return c.select(
         "c_custkey",

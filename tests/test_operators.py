@@ -78,3 +78,28 @@ def test_simhash_groups_identical_docs(spark):
     )
     groups = {r.simhash: (r.cnt, r.keep_doc) for r in simhash_groups(docs).collect()}
     assert (2, 5) in groups.values()
+
+
+def test_guard_global_window_enforces_dimension_scale(spark):
+    """q_win_ntile_pct's dimension-only restriction is enforced, not
+    just documented: past the row bound the guard raises instead of
+    planning a single-task global sort."""
+    import pytest as _pytest
+
+    from skyhookdb_ceph_spark.operators import (
+        GlobalWindowScaleError,
+        guard_global_window,
+    )
+
+    small = spark.range(100)
+    assert guard_global_window(small, max_rows=1000) is small
+    with _pytest.raises(GlobalWindowScaleError, match="single-task global sort"):
+        guard_global_window(small, max_rows=10)
+    # explicit override for operators that accept the cost knowingly
+    import os
+
+    os.environ["SPARK_GRAFT_ALLOW_GLOBAL_WINDOW"] = "1"
+    try:
+        assert guard_global_window(small, max_rows=10) is small
+    finally:
+        del os.environ["SPARK_GRAFT_ALLOW_GLOBAL_WINDOW"]
