@@ -94,20 +94,20 @@ def q_dedup_fuzzy(spark, sf_dir):
     return minhash.jaccard_pairs(d, threshold=0.8)
 
 
-_SIMHASH_ORACLE = (
-    f"SELECT {simhash.simhash_duckdb_expr('text')} AS simhash, "
-    "count(*) AS cnt, min(doc_id) AS keep_doc "
-    "FROM documents GROUP BY 1"
+@query(
+    "q_dedup_simhash",
+    oracle=simhash.simhash_pairs_oracle(),
+    tags=("llm", "dedup"),
 )
-
-
-@query("q_dedup_simhash", oracle=_SIMHASH_ORACLE, tags=("llm", "dedup"))
 def q_dedup_simhash(spark, sf_dir):
-    """SimHash dedup: 16-bit md5-projection signature per doc, one
-    groupBy(simhash) shuffle.  Clusters with cnt > 1 are near-dup
-    groups; keep_doc is the deterministic survivor."""
+    """SimHash dedup: 64-bit md5-projection signature per doc (widened
+    from 16 bits in round 3 — a 16-bit space caps the corpus at 65k
+    distinct clusters, colliding unrelated docs at scale), banded into
+    4×16-bit LSH keys.  Candidates share any band (equi-join on a
+    short string key); exact Hamming distance <= 8 confirms near-dups.
+    Downstream dedup keeps min(doc_a) per connected component."""
     d = Catalog(spark, sf_dir).documents
-    return simhash.simhash_groups(d)
+    return simhash.simhash_pairs(d)
 
 
 _NGRAM_ORACLE = """

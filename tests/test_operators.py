@@ -9,7 +9,10 @@ from pyspark.sql import functions as F
 from skyhookdb_ceph_spark.operators.asof import asof_join
 from skyhookdb_ceph_spark.operators.minhash import jaccard_pairs, shingle_sets
 from skyhookdb_ceph_spark.operators.range_join import banded_interval_join
-from skyhookdb_ceph_spark.operators.simhash import simhash_groups
+from skyhookdb_ceph_spark.operators.simhash import (
+    simhash_pairs,
+    simhash_signatures,
+)
 
 
 def test_asof_join_picks_latest_at_or_before(spark):
@@ -68,16 +71,23 @@ def test_shingles_are_distinct_word_triples(spark):
     assert sorted(row.shingles) == ["a b c", "b c d"]
 
 
-def test_simhash_groups_identical_docs(spark):
+def test_simhash_pairs_identical_and_near_docs(spark):
     docs = spark.createDataFrame(
         [
-            Row(doc_id=5, text="alpha beta gamma delta"),
-            Row(doc_id=9, text="alpha beta gamma delta"),
-            Row(doc_id=7, text="unrelated totally different content words"),
+            Row(doc_id=5, text="alpha beta gamma delta epsilon zeta eta theta"),
+            Row(doc_id=9, text="alpha beta gamma delta epsilon zeta eta theta"),
+            Row(doc_id=7, text="unrelated totally different content words here now ok"),
         ]
     )
-    groups = {r.simhash: (r.cnt, r.keep_doc) for r in simhash_groups(docs).collect()}
-    assert (2, 5) in groups.values()
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in simhash_pairs(docs).collect()}
+    assert pairs.get((5, 9)) == 0  # identical docs -> hamming 0
+    assert all(a != 7 and b != 7 for a, b in pairs)  # unrelated doc excluded
+
+
+def test_simhash_signature_is_64_bits(spark):
+    docs = spark.createDataFrame([Row(doc_id=1, text="alpha beta gamma")])
+    [row] = simhash_signatures(docs).collect()
+    assert len(row.sig) == 64 and set(row.sig) <= {"0", "1"}
 
 
 def test_guard_global_window_enforces_dimension_scale(spark):
