@@ -29,13 +29,21 @@ def write_bucketed(
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     # A dangling managed-table location (catalog lost, files kept, e.g.
     # a previous process) blocks saveAsTable — clear it best-effort.
+    # Cleanup is restricted to UNQUALIFIED table names under a verified
+    # local file: warehouse: a database-qualified name or remote
+    # warehouse URI would make the naive {warehouse}/{name} concat
+    # point at the wrong path (round-2 advisory), so those cases skip
+    # the scrub rather than guess.
     warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
     if warehouse.startswith("file:"):
         warehouse = warehouse[len("file:"):]
-    if warehouse:
+    if warehouse.startswith("/") and "." not in table:
+        import os
         import shutil
 
-        shutil.rmtree(f"{warehouse.rstrip('/')}/{table.lower()}", ignore_errors=True)
+        loc = os.path.join(warehouse.rstrip("/"), table.lower())
+        if os.path.isdir(loc):
+            shutil.rmtree(loc, ignore_errors=True)
     w = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         w = w.sortBy(*sort_cols)

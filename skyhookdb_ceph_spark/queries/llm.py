@@ -61,10 +61,12 @@ def q_dedup_exact(spark, sf_dir):
 
 _FUZZY_ORACLE = """
 WITH sh AS (
+  -- array_to_string(list_slice(...)) mirrors Spark's concat_ws/slice
+  -- exactly for docs shorter than the shingle width (a partial
+  -- shingle, not NULL — round-2 advisory parity edge)
   SELECT doc_id, list_distinct(list_transform(
     generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
-    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
-         || ' ' || string_split(text, ' ')[i+2])) AS shingles
+    i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' '))) AS shingles
   FROM documents),
 hsh AS (
   SELECT doc_id, list_transform(shingles, s -> md5(s)) AS hs FROM sh),

@@ -40,7 +40,16 @@ from pyspark.sql.datasource import (
     IsNotNull,
     LessThan,
     LessThanOrEqual,
+    StringContains,
+    StringEndsWith,
+    StringStartsWith,
 )
+
+# Planner-side observability (the reference's --use-cls experiment
+# reported objects touched vs skipped [U: run-query.cc]): partitions()
+# records how many row groups the last planning kept vs pruned.  Driver
+# side only — read it right after an action for test/bench assertions.
+LAST_PLAN_STATS: dict[str, int] = {"total": 0, "planned": 0, "pruned": 0}
 
 
 def _normalize_schema(schema):
@@ -63,8 +72,9 @@ class RowGroupPartition(InputPartition):
         self.row_group = row_group
         # the predicate vector ships WITH the partition (the query_op
         # payload of the reference's aio_exec call) — read() never
-        # consults reader state, so plannings can't contaminate each
-        # other (pushFilters is skipped entirely on filterless plans)
+        # consults reader state.  Cross-QUERY contamination (pushFilters
+        # is skipped entirely on filterless plans) is prevented by the
+        # fresh-relation contract in read_skyhook().
         self.filters = filters
 
 
@@ -87,6 +97,14 @@ def _to_arrow_expr(f: Filter):
         return pc.field(f.attribute[-1]).isin(list(f.value))
     if isinstance(f, IsNotNull):
         return pc.field(f.attribute[-1]).is_valid()
+    # LIKE family ('abc%' / '%abc' / '%abc%') — the reference's regex
+    # predicate class [U: cls_tabular_utils.h — SOT_like]
+    if isinstance(f, StringStartsWith):
+        return pc.starts_with(pc.field(f.attribute[-1]), pattern=f.value)
+    if isinstance(f, StringEndsWith):
+        return pc.ends_with(pc.field(f.attribute[-1]), pattern=f.value)
+    if isinstance(f, StringContains):
+        return pc.match_substring(pc.field(f.attribute[-1]), pattern=f.value)
     return None
 
 
@@ -109,6 +127,11 @@ def _stats_can_match(f: Filter, stats) -> bool:
             return lo <= f.value
         if isinstance(f, In):
             return any(lo <= v <= hi for v in f.value)
+        if isinstance(f, StringStartsWith):
+            # rows with prefix p sort within [p, p + chr(max)); the
+            # group can match only if that range overlaps [lo, hi]
+            p = f.value
+            return lo[: len(p)] <= p <= hi[: len(p)]
     except TypeError:  # incomparable types -> can't prune
         return True
     return True
@@ -133,7 +156,14 @@ class SkyhookReader(DataSourceReader):
     def partitions(self):
         import pyarrow.parquet as pq
 
-        accepted, self.accepted = self.accepted, []  # consume this planning's set
+        # NON-destructive read of this planning's accepted set (reset
+        # happens only in pushFilters): if Spark re-plans the same
+        # relation — AQE replan, stage retry — a second partitions()
+        # call must still ship the predicate vector with each
+        # partition, or the scan would silently return unfiltered rows
+        # while Catalyst believes the predicates were evaluated
+        # storage-side (round-2 advisory).
+        accepted = list(self.accepted)
         md = pq.ParquetFile(self.path).metadata
         col_index = {md.schema.column(i).name: i for i in range(md.num_columns)}
         parts = []
@@ -149,6 +179,11 @@ class SkyhookReader(DataSourceReader):
                         break
             if keep:
                 parts.append(RowGroupPartition(self.path, rg, accepted))
+        LAST_PLAN_STATS.update(
+            total=md.num_row_groups,
+            planned=len(parts),
+            pruned=md.num_row_groups - len(parts),
+        )
         return parts
 
     def read(self, partition: RowGroupPartition):

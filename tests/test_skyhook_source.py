@@ -39,8 +39,15 @@ def test_fresh_relation_isolation(spark):
     assert read_skyhook(spark, LI).count() == 6000  # unaffected by prior filters
 
 
-def test_reader_accepts_comparison_filters():
-    from pyspark.sql.datasource import EqualTo, GreaterThan, StringContains
+def test_reader_accepts_comparison_and_like_filters():
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThan,
+        IsNull,
+        StringContains,
+        StringEndsWith,
+        StringStartsWith,
+    )
 
     r = SkyhookReader(LI)
     remaining = list(
@@ -48,11 +55,14 @@ def test_reader_accepts_comparison_filters():
             [
                 GreaterThan(("l_extendedprice",), 91400.0),
                 EqualTo(("l_returnflag",), "A"),
-                StringContains(("l_returnflag",), "A"),  # not supported
+                StringStartsWith(("l_returnflag",), "A"),
+                StringEndsWith(("l_linestatus",), "F"),
+                StringContains(("l_returnflag",), "A"),
+                IsNull(("l_linestatus",)),  # not supported
             ]
         )
     )
-    assert len(r.accepted) == 2
+    assert len(r.accepted) == 5
     assert len(remaining) == 1  # the unsupported one goes back to Spark
 
 
@@ -64,3 +74,45 @@ def test_row_group_pruning_skips_impossible_groups():
     r = SkyhookReader(LI)
     list(r.pushFilters([GreaterThan(("l_extendedprice",), hi + 1)]))
     assert r.partitions() == []  # every row group proven empty by stats
+
+
+def test_partitions_survive_replanning():
+    """AQE replan / stage retry calls partitions() again WITHOUT a new
+    pushFilters pass — the predicate vector must still ship (round-2
+    advisory: the old consume-on-read returned unfiltered rows)."""
+    from pyspark.sql.datasource import GreaterThan
+
+    r = SkyhookReader(LI)
+    list(r.pushFilters([GreaterThan(("l_extendedprice",), 91400.0)]))
+    first = r.partitions()
+    second = r.partitions()  # replan without pushFilters
+    assert [p.filters for p in second] == [p.filters for p in first]
+    assert all(p.filters for p in second)
+
+
+ORD = "/root/testdata/sf0.001/orders.parquet"
+
+
+def test_like_pushdown_matches_builtin_reader(spark, sf_small):
+    builtin = Catalog(spark, sf_small).orders
+    pred = F.col("o_orderpriority").startswith("1") & F.col(
+        "o_orderpriority"
+    ).contains("URGENT")
+    expected = builtin.filter(pred).count()
+    assert expected > 0
+    assert read_skyhook(spark, ORD).filter(pred).count() == expected
+
+
+def test_prefix_pruning_and_plan_stats(spark):
+    """A prefix predicate above the column's max prunes every row
+    group via min/max stats, and LAST_PLAN_STATS records the counts
+    (the --use-cls objects-touched metric analog)."""
+    from pyspark.sql.datasource import StringStartsWith
+
+    from skyhookdb_ceph_spark.sources import skyhook_source as src
+
+    r = SkyhookReader(ORD)
+    list(r.pushFilters([StringStartsWith(("o_orderpriority",), "ZZZZ")]))
+    assert r.partitions() == []
+    assert src.LAST_PLAN_STATS["planned"] == 0
+    assert src.LAST_PLAN_STATS["pruned"] == src.LAST_PLAN_STATS["total"] > 0
