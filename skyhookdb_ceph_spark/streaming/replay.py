@@ -73,6 +73,11 @@ def drain_to_memory(
     stream_parts = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "2")
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", stream_parts)
+    # A finite AvailableNow drain never restarts from an old offset, so
+    # retaining the default 100 checkpoint batches is pure commit IO;
+    # 1 is the measured (small) win.  Real deployments that resume
+    # from checkpoints should keep the default.
+    spark.conf.set("spark.sql.streaming.minBatchesToRetain", "1")
     try:
         q = (
             stream_df.writeStream.format("memory")
