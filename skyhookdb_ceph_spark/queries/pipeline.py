@@ -1,0 +1,360 @@
+"""Training-data pipeline operators, round 3 (SURVEY.md §2.14) —
+sampling/splitting, CDC compaction, skew-safe aggregation, range and
+co-occurrence analytics.  Everything is oracle-checked; sampling and
+splitting are DETERMINISTIC (md5-keyed, no RNG) so reruns — and the
+DuckDB oracle — reproduce the exact subset, which is what training-data
+lineage requires anyway.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from skyhookdb_ceph_spark.operators import ensure_parallelism
+from skyhookdb_ceph_spark.operators.range_join import banded_interval_join
+from skyhookdb_ceph_spark.operators.skew import salted_sum_count
+from skyhookdb_ceph_spark.queries._util import Catalog, money, ratio
+from skyhookdb_ceph_spark.registry import query
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling / splitting
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_sample_stratified",
+    oracle=(
+        "SELECT doc_id, lang FROM documents "
+        "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '32'"
+    ),
+    tags=("pipeline", "sampling"),
+)
+def q_sample_stratified(spark, sf_dir):
+    """Deterministic ~20% sample, uniform WITHIN every stratum: keep a
+    doc iff the first md5 byte of its id falls under 0x33 (51/256).
+    Hash-keyed sampling beats rand() for training data: reproducible,
+    join-stable (the same doc is always in or always out), and a pure
+    map-side filter — no shuffle, no state, any corpus size."""
+    d = Catalog(spark, sf_dir).documents
+    return d.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) <= "32"
+    ).select("doc_id", "lang")
+
+
+@query(
+    "q_split_group_aware",
+    oracle=(
+        "SELECT doc_id, source, "
+        "CASE WHEN substr(md5(source), 1, 1) <= 'b' THEN 'train' ELSE 'held_out' END AS split "
+        "FROM documents"
+    ),
+    tags=("pipeline", "sampling"),
+)
+def q_split_group_aware(spark, sf_dir):
+    """Group-aware train/held-out split: the split key is md5(source),
+    so EVERY document of a source lands on the same side — the
+    leakage-safe split for grouped corpora (near-dup docs cluster
+    within sources).  First hex digit <= 'b' => 12/16 = 75% of sources
+    train.  Pure per-row expression; no shuffle."""
+    d = Catalog(spark, sf_dir).documents
+    return d.select(
+        "doc_id",
+        "source",
+        F.when(F.substring(F.md5("source"), 1, 1) <= "b", "train")
+        .otherwise("held_out")
+        .alias("split"),
+    )
+
+
+@query(
+    "q_sample_balanced",
+    oracle=(
+        "SELECT doc_id, lang FROM ("
+        "  SELECT doc_id, lang, row_number() OVER ("
+        "    PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn"
+        "  FROM documents) WHERE rn <= 20"
+    ),
+    tags=("pipeline", "sampling"),
+)
+def q_sample_balanced(spark, sf_dir):
+    """Class-balanced downsampling: at most 20 docs per language,
+    chosen by md5 order (deterministic, unbiased within class).  One
+    shuffle on the class key; per-class ranking never globally sorts.
+    At 100 TB per-class counts are bounded by the cap, so the output
+    is always small regardless of input skew."""
+    from pyspark.sql import Window
+
+    d = Catalog(spark, sf_dir).documents
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+        .filter("rn <= 20")
+        .select("doc_id", "lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# CDC compaction / upsert
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_upsert_latest",
+    oracle=(
+        "WITH versions AS ("
+        "  SELECT event_id, value, 0 AS seq FROM events"
+        "  UNION ALL"
+        "  SELECT event_id, value + 1000, 1 AS seq FROM events WHERE event_id % 2 = 0)"
+        "SELECT event_id, "
+        "floor((max_by(value, seq)) * 100 + 0.5) / 100 AS value_q, "
+        "CAST(count(*) AS BIGINT) AS n_versions "
+        "FROM versions GROUP BY event_id"
+    ),
+    tags=("pipeline",),
+)
+def q_upsert_latest(spark, sf_dir):
+    """CDC upsert compaction (MERGE-into semantics on plain parquet):
+    a base snapshot unioned with an update batch (every even event,
+    value+1000, higher sequence number); latest-wins per key via
+    max_by(value, seq) — a map-side-combinable aggregate, NOT a
+    window (one partial-agg shuffle on the key, no per-key sort), so
+    compaction throughput scales with the key count, not version
+    depth."""
+    e = Catalog(spark, sf_dir).events.select("event_id", "value")
+    base = e.withColumn("seq", F.lit(0))
+    updates = (
+        e.filter(F.col("event_id") % 2 == 0)
+        .withColumn("value", F.col("value") + 1000)
+        .withColumn("seq", F.lit(1))
+    )
+    return (
+        base.unionByName(updates)
+        .groupBy("event_id")
+        .agg(
+            money(F.max_by("value", "seq")).alias("value_q"),
+            F.count(F.lit(1)).alias("n_versions"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Skew-safe aggregation (operators/skew.py surfaced as a query)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_agg_salted_skew",
+    oracle=(
+        "SELECT event_type, CAST(sum(floor(value * 100)) AS BIGINT) AS sum_cents, "
+        "CAST(count(*) AS BIGINT) AS cnt "
+        "FROM events GROUP BY event_type"
+    ),
+    tags=("pipeline", "skew"),
+)
+def q_agg_salted_skew(spark, sf_dir):
+    """Two-phase salted aggregation on a low-cardinality (= skewed by
+    construction) key: partial sums per (key, salt) spread the hot
+    key's rows over 16 tasks, the final shuffle carries 16 rows per
+    key.  Values accumulate as integer cents so the salted partial
+    order is exactly the direct sum (doubles would re-associate).
+    The oracle is the DIRECT group-by — the identity that makes
+    salting safe to deploy."""
+    e = Catalog(spark, sf_dir).events.select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    out = salted_sum_count(
+        e, ["event_type"], "cents", salt_col=F.col("event_id"), n_salts=16
+    )
+    return out.select(
+        "event_type",
+        F.col("sum_cents").cast("bigint").alias("sum_cents"),
+        F.col("cnt").cast("bigint").alias("cnt"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Range (band) join — operators/range_join.py surfaced as a query
+# ---------------------------------------------------------------------------
+
+_TIERS = [
+    ("bronze", 0.0, 99999.99),
+    ("silver", 100000.0, 199999.99),
+    ("gold", 200000.0, 299999.99),
+    ("platinum", 300000.0, 599999.99),
+]
+_TIERS_SQL = ", ".join(f"('{t}', {lo}, {hi})" for t, lo, hi in _TIERS)
+
+
+@query(
+    "q_join_range",
+    oracle=(
+        f"SELECT tier, CAST(count(*) AS BIGINT) AS n_orders, "
+        f"floor((sum(o_totalprice)) * 100 + 0.5) / 100 AS sum_total "
+        f"FROM orders JOIN (VALUES {_TIERS_SQL}) t(tier, lo, hi) "
+        f"ON o_totalprice BETWEEN lo AND hi GROUP BY tier"
+    ),
+    tags=("pipeline", "join"),
+)
+def q_join_range(spark, sf_dir):
+    """Range (band) join: orders priced into value tiers.  A naive
+    BETWEEN join plans BroadcastNestedLoop (quadratic once the dim
+    outgrows broadcast); banded_interval_join explodes each interval
+    to its covered width-100k buckets and equi-joins on bucket id —
+    one keyed shuffle, linear work, any scale (operators/range_join.py;
+    same recipe as q_join_theta)."""
+    o = Catalog(spark, sf_dir).orders.select("o_orderkey", "o_totalprice")
+    tiers = spark.createDataFrame(_TIERS, ["tier", "lo", "hi"])
+    joined = banded_interval_join(
+        o, tiers, "o_totalprice", F.col("lo"), F.col("hi"), width=100000.0
+    )
+    return joined.groupBy("tier").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        money(F.sum("o_totalprice")).alias("sum_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analytics: repetition scoring, co-occurrence
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_text_repetition",
+    oracle=(
+        "SELECT doc_id, "
+        "CAST(len(grams) AS INT) AS n_grams, "
+        "floor((1.0 - len(list_distinct(grams)) * 1.0 / len(grams)) * 1000000 + 0.5) / 1000000 AS rep_score "
+        "FROM (SELECT doc_id, list_transform("
+        "  generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)), "
+        "  i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')) AS grams "
+        "FROM documents)"
+    ),
+    tags=("pipeline", "text"),
+)
+def q_text_repetition(spark, sf_dir):
+    """Within-document repetition scoring: 1 - distinct/total word
+    trigrams — the cheap detector for looping/boilerplate generations
+    that every pretraining filter stack runs.  Pure per-row JVM
+    expressions, no shuffle; the oracle mirrors the short-doc partial
+    trigram exactly (array_to_string/list_slice)."""
+    d = ensure_parallelism(Catalog(spark, sf_dir).documents)
+    return (
+        d.selectExpr(
+            "doc_id",
+            "transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)), "
+            "i -> concat_ws(' ', slice(split(text, ' '), i, 3))) AS grams",
+        )
+        .selectExpr(
+            "doc_id",
+            "cast(size(grams) AS int) AS n_grams",
+            "floor((cast(1.0 AS double) - cast(size(array_distinct(grams)) AS double) "
+            "/ size(grams)) * 1000000 + 0.5) / 1000000 AS rep_score",
+        )
+    )
+
+
+@query(
+    "q_text_cooccur",
+    oracle=(
+        "WITH toks AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w "
+        "FROM documents) "
+        "SELECT a.w AS w_a, b.w AS w_b, CAST(count(*) AS BIGINT) AS n_docs "
+        "FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND a.w < b.w "
+        "GROUP BY 1, 2 ORDER BY n_docs DESC, w_a, w_b LIMIT 20"
+    ),
+    tags=("pipeline", "text"),
+)
+def q_text_cooccur(spark, sf_dir):
+    """Top-20 word co-occurrence pairs (doc-level) — the PMI/embedding
+    pretraining statistic.  Distinct words per doc FIRST (explode after
+    dedup), then a doc-keyed self-join generates within-doc pairs;
+    pair counting partial-aggregates map-side; the top-k is
+    TakeOrderedAndProject.  The self-join is keyed by doc_id, so work
+    scales with Σ(per-doc vocab²) — bounded by document length, never
+    corpus-quadratic."""
+    d = ensure_parallelism(Catalog(spark, sf_dir).documents)
+    toks = d.selectExpr(
+        "doc_id", "explode(array_distinct(split(text, ' '))) AS w"
+    )
+    a = toks.selectExpr("doc_id", "w AS w_a")
+    b = toks.selectExpr("doc_id AS doc_id2", "w AS w_b")
+    return (
+        a.join(b, (a.doc_id == b.doc_id2) & (a.w_a < b.w_b))
+        .groupBy("w_a", "w_b")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(F.desc("n_docs"), "w_a", "w_b")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sketched quantiles, vector centroids
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_agg_approx_quantile",
+    oracle=(
+        "SELECT l_returnflag, "
+        "CAST(quantile_disc(l_quantity, 0.25) AS DOUBLE) AS q25, "
+        "CAST(quantile_disc(l_quantity, 0.50) AS DOUBLE) AS q50, "
+        "CAST(quantile_disc(l_quantity, 0.75) AS DOUBLE) AS q75, "
+        "CAST(quantile_disc(l_quantity, 0.95) AS DOUBLE) AS q95 "
+        "FROM lineitem GROUP BY l_returnflag"
+    ),
+    tags=("pipeline", "agg"),
+)
+def q_agg_approx_quantile(spark, sf_dir):
+    """Sketch-based grouped quantiles: percentile_approx builds a
+    mergeable KLL-style sketch per partition (partial agg, one keyed
+    shuffle of sketches — the 100 TB path where exact percentile's
+    per-group sort buffer won't fit).  At accuracy 50000 on this
+    integer-valued column the sketch answer equals DuckDB's exact
+    discrete quantile, which keeps the op hash-checkable; real
+    deployments trade accuracy down for memory."""
+    li = Catalog(spark, sf_dir).lineitem
+    arr = F.expr(
+        "percentile_approx(l_quantity, array(0.25D, 0.50D, 0.75D, 0.95D), 50000)"
+    )
+    g = li.groupBy("l_returnflag").agg(arr.alias("qs"))
+    return g.select(
+        "l_returnflag",
+        F.element_at("qs", 1).cast("double").alias("q25"),
+        F.element_at("qs", 2).cast("double").alias("q50"),
+        F.element_at("qs", 3).cast("double").alias("q75"),
+        F.element_at("qs", 4).cast("double").alias("q95"),
+    )
+
+
+@query(
+    "q_vec_centroids",
+    oracle=(
+        "SELECT lang, CAST(count(*) AS BIGINT) AS n_vecs, "
+        "floor((avg(CAST(embedding[1] AS DOUBLE))) * 1000000 + 0.5) / 1000000 AS c1, "
+        "floor((avg(CAST(embedding[2] AS DOUBLE))) * 1000000 + 0.5) / 1000000 AS c2 "
+        "FROM embeddings JOIN documents ON vec_id = doc_id GROUP BY lang"
+    ),
+    tags=("pipeline", "similarity"),
+)
+def q_vec_centroids(spark, sf_dir):
+    """Per-class embedding centroids (first two dims + counts): the
+    building block for IVF coarse-quantizer training and per-class
+    drift monitoring.  Per-dimension avg is a plain partial-aggregable
+    sum/count — one keyed shuffle; the doc metadata join broadcasts
+    nothing explicitly (Catalyst decides by size)."""
+    c = Catalog(spark, sf_dir)
+    e = c.embeddings
+    d = c.documents.select("doc_id", "lang")
+    return (
+        e.join(d, e.vec_id == d.doc_id)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            ratio(F.avg(F.element_at("embedding", 1).cast("double"))).alias("c1"),
+            ratio(F.avg(F.element_at("embedding", 2).cast("double"))).alias("c2"),
+        )
+    )

@@ -61,13 +61,19 @@ _LOADED = False
 # list pins the front of the registry each round; anything not listed
 # keeps module-import order after it.
 #
-# Round-3 rotation: the 46 entries never driver-verified (all §2.12/LLM
-# ops, all streaming, UDF surface, subqueries, the round-2 scans/sorts/
-# windows additions, q_join_asof) plus the four r1-only entries being
-# modified this round (multiway join reorder, ntile guard, tpch-q3
-# broadcast removal, topk).  The 46 r2-green entries rotate to the back;
-# they remain covered by tests/test_correctness.py's local oracle diff.
+# Round-3 rotation: the 10 new §2.14 pipeline ops, then the entries
+# never driver-verified (all §2.12/LLM ops, all streaming, UDF surface,
+# subqueries, round-2 scans) — the window cuts at entry #50
+# (q_runstats); the tail below it (transform_orc, sort_nulls, window
+# family, asof, plus the four r1-only modified entries) rotates into
+# round 4's window.  Everything stays covered by
+# tests/test_correctness.py's local oracle diff regardless.
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
+    # -- NEW in round 3 (queries/pipeline.py) — never existed before (10)
+    "q_sample_stratified", "q_split_group_aware", "q_sample_balanced",
+    "q_upsert_latest", "q_agg_salted_skew", "q_join_range",
+    "q_text_repetition", "q_text_cooccur", "q_agg_approx_quantile",
+    "q_vec_centroids",
     # -- never driver-verified: LLM / training-data ops (22)
     "q_dedup_exact", "q_dedup_fuzzy", "q_dedup_simhash", "q_dedup_ngram",
     "q_dedup_embed", "q_dedup_decontaminate", "q_vec_normalize",
@@ -104,6 +110,7 @@ def load_all() -> dict[str, QuerySpec]:
             functions_q,
             joins,
             llm,
+            pipeline,
             scans,
             setops,
             sorts,
