@@ -31,9 +31,14 @@ EVENTS_RAW_SCHEMA = T.StructType(
 )
 
 
-def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def events_stream(
+    spark: SparkSession, sf_dir: str, glob: str = "events.parquet"
+) -> DataFrame:
     """readStream over the events fixture with the same microsecond
-    timestamp rebuild the batch Catalog applies."""
+    timestamp rebuild the batch Catalog applies.  `glob` selects which
+    parquet files in the directory feed the stream (a directory of
+    file-level COPIES of the fixture is the zero-cost way to replay
+    the same events N times — no Spark rewrite job needed)."""
     # The raw-long read of the NANOS timestamp needs the same conf the
     # batch Catalog guarantees; the driver's session may lack it.
     from skyhookdb_ceph_spark.catalog import Catalog
@@ -43,11 +48,9 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.set(k, v)
         except Exception:  # noqa: BLE001
             pass
-    # The file stream source requires a directory; pathGlobFilter picks
-    # out the events fixture from the scale-factor dir.
     raw = (
         spark.readStream.schema(EVENTS_RAW_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
+        .option("pathGlobFilter", glob)
         .parquet(sf_dir)
     )
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
