@@ -59,8 +59,9 @@ def q_dedup_exact(spark, sf_dir):
     )
 
 
-_FUZZY_ORACLE = """
-WITH sh AS (
+# Split into CTE body + final select so q_dedup_cluster can reuse the
+# identical pair derivation as a sub-CTE of its propagation oracle.
+FUZZY_CTES = """sh AS (
   -- array_to_string(list_slice(...)) mirrors Spark's concat_ws/slice
   -- exactly for docs shorter than the shingle width (a partial
   -- shingle, not NULL — round-2 advisory parity edge)
@@ -76,14 +77,16 @@ sig AS (
   FROM hsh, unnest(generate_series(0, 7)) t(b)),
 cand AS (
   SELECT DISTINCT a.doc_id AS da, c.doc_id AS db
-  FROM sig a JOIN sig c ON a.b = c.b AND a.bsig = c.bsig AND a.doc_id < c.doc_id)
-SELECT da AS doc_a, db AS doc_b,
+  FROM sig a JOIN sig c ON a.b = c.b AND a.bsig = c.bsig AND a.doc_id < c.doc_id)"""
+
+FUZZY_SELECT = """SELECT da AS doc_a, db AS doc_b,
   floor((len(list_intersect(x.shingles, y.shingles)) * 1.0
         / len(list_distinct(x.shingles || y.shingles))) * 1000000 + 0.5) / 1000000 AS jac
 FROM cand JOIN sh x ON x.doc_id = cand.da JOIN sh y ON y.doc_id = cand.db
 WHERE floor((len(list_intersect(x.shingles, y.shingles)) * 1.0
-        / len(list_distinct(x.shingles || y.shingles))) * 1000000 + 0.5) / 1000000 >= 0.8
-"""
+        / len(list_distinct(x.shingles || y.shingles))) * 1000000 + 0.5) / 1000000 >= 0.8"""
+
+_FUZZY_ORACLE = f"WITH {FUZZY_CTES}\n{FUZZY_SELECT}"
 
 
 @query("q_dedup_fuzzy", oracle=_FUZZY_ORACLE, tags=("llm", "dedup"))

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 from skyhookdb_ceph_spark.operators import ensure_parallelism
 from skyhookdb_ceph_spark.operators.range_join import banded_interval_join
 from skyhookdb_ceph_spark.operators.skew import salted_sum_count
-from skyhookdb_ceph_spark.queries._util import Catalog, money, ratio
+from skyhookdb_ceph_spark.queries._util import Catalog, money, quantize, ratio
 from skyhookdb_ceph_spark.registry import query
 
 # ---------------------------------------------------------------------------
@@ -357,4 +357,208 @@ def q_vec_centroids(spark, sf_dir):
             ratio(F.avg(F.element_at("embedding", 1).cast("double"))).alias("c1"),
             ratio(F.avg(F.element_at("embedding", 2).cast("double"))).alias("c2"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wave 2: clustering, modal values, correlation, URL parsing, PII redaction
+# ---------------------------------------------------------------------------
+
+
+def _cluster_oracle() -> str:
+    from skyhookdb_ceph_spark.queries.llm import FUZZY_CTES, FUZZY_SELECT
+
+    return f"""
+WITH {FUZZY_CTES},
+pairs AS ({FUZZY_SELECT}),
+und AS (
+  SELECT doc_a AS v, doc_b AS n FROM pairs
+  UNION ALL SELECT doc_b AS v, doc_a AS n FROM pairs),
+l1 AS (
+  SELECT d.doc_id AS v, least(d.doc_id, coalesce(min(und.n), d.doc_id)) AS lab
+  FROM documents d LEFT JOIN und ON und.v = d.doc_id GROUP BY d.doc_id),
+l2 AS (
+  SELECT l1.v, least(l1.lab, coalesce(min(ln.lab), l1.lab)) AS cluster
+  FROM l1 LEFT JOIN und ON und.v = l1.v LEFT JOIN l1 ln ON ln.v = und.n
+  GROUP BY l1.v, l1.lab)
+SELECT v AS doc_id, cluster FROM l2
+"""
+
+
+@query("q_dedup_cluster", oracle=_cluster_oracle(), tags=("pipeline", "dedup"))
+def q_dedup_cluster(spark, sf_dir):
+    """Duplicate-cluster labeling: near-dup PAIRS (the MinHash LSH
+    edges from q_dedup_fuzzy) propagated to per-document cluster ids
+    via TWO rounds of min-label propagation — each round is one keyed
+    shuffle (join edges to current labels + grouped min), the standard
+    large-graph connected-components step.  Two rounds label every
+    component of diameter <= 2 exactly (near-dup clusters are dense:
+    LSH emits most cross pairs directly); production fixpoints loop
+    the same step until labels stop changing — the plan per round is
+    identical at any scale.  Isolated documents keep their own id."""
+    from skyhookdb_ceph_spark.operators import minhash
+
+    d = Catalog(spark, sf_dir).documents
+    pairs = minhash.jaccard_pairs(d, threshold=0.8).select("doc_a", "doc_b")
+    und = pairs.unionByName(
+        pairs.selectExpr("doc_b AS doc_a", "doc_a AS doc_b")
+    ).selectExpr("doc_a AS v", "doc_b AS n")
+    docs = d.select(F.col("doc_id").alias("v"))
+    l1 = (
+        docs.join(und, "v", "left")
+        .groupBy("v")
+        .agg(F.least(F.col("v"), F.coalesce(F.min("n"), F.col("v"))).alias("lab"))
+    )
+    neigh_lab = und.join(
+        l1.selectExpr("v AS nv", "lab AS nlab"), F.col("n") == F.col("nv")
+    ).select("v", "nlab")
+    return (
+        l1.join(neigh_lab, "v", "left")
+        .groupBy("v", "lab")
+        .agg(F.least(F.col("lab"), F.coalesce(F.min("nlab"), F.col("lab"))).alias("cluster"))
+        .selectExpr("v AS doc_id", "cluster")
+    )
+
+
+@query(
+    "q_agg_mode",
+    oracle=(
+        "SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt FROM ("
+        "  SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS cnt, "
+        "  row_number() OVER (PARTITION BY o_orderstatus "
+        "                     ORDER BY count(*) DESC, o_orderpriority) AS rn "
+        "  FROM orders GROUP BY o_orderstatus, o_orderpriority) WHERE rn = 1"
+    ),
+    tags=("pipeline", "agg"),
+)
+def q_agg_mode(spark, sf_dir):
+    """Modal value per group (most frequent order priority per status)
+    with a DETERMINISTIC tie-break (lexicographic) — engines' built-in
+    mode() break ties arbitrarily, so the explicit count + window
+    formulation is the oracle-safe one.  Count partial-aggregates
+    map-side; the window only ranks the (status, priority) aggregate,
+    never base rows."""
+    from pyspark.sql import Window
+
+    o = Catalog(spark, sf_dir).orders
+    counts = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("cnt"), "o_orderpriority"
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            "cnt",
+        )
+    )
+
+
+@query(
+    "q_agg_corr",
+    oracle=(
+        "SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n, "
+        "floor((corr(l_extendedprice, l_quantity)) * 1000000 + 0.5) / 1000000 AS price_qty_corr, "
+        "floor((covar_samp(l_extendedprice, l_quantity)) * 100 + 0.5) / 100 AS price_qty_covar "
+        "FROM lineitem GROUP BY l_returnflag"
+    ),
+    tags=("pipeline", "agg"),
+)
+def q_agg_corr(spark, sf_dir):
+    """Correlation / covariance aggregates per group — the feature-
+    screening statistics.  Both are single-pass mergeable co-moment
+    aggregates (partial per partition, exact merge), so the plan is
+    the plain partial+final HashAggregate at any scale.  Cross-engine
+    float drift measured at ~1e-15 relative; quantization absorbs it."""
+    li = Catalog(spark, sf_dir).lineitem
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        quantize(F.corr("l_extendedprice", "l_quantity"), 6).alias("price_qty_corr"),
+        money(F.covar_samp("l_extendedprice", "l_quantity")).alias("price_qty_covar"),
+    )
+
+
+@query(
+    "q_fn_url_parse",
+    oracle=(
+        "SELECT doc_id, url, "
+        "regexp_extract(url, '^https://([^/]+)', 1) AS host, "
+        "regexp_extract(url, '^https://[^/]+(/[^?]*)', 1) AS path, "
+        "regexp_extract(url, 'ref=([a-z0-9]+)', 1) AS ref_param "
+        "FROM (SELECT doc_id, 'https://' || source || '.example.com/' || lang "
+        "|| '/doc/' || CAST(doc_id AS VARCHAR) || '?ref=' || lang AS url FROM documents)"
+    ),
+    tags=("pipeline", "text"),
+)
+def q_fn_url_parse(spark, sf_dir):
+    """URL parsing (host / path / query param) — the crawl-metadata
+    extraction every web-corpus pipeline runs.  URLs are synthesized
+    deterministically from fixture columns (the corpus has none);
+    Spark's parse_url is the JVM fast path, the oracle mirrors with
+    anchored regexes."""
+    d = Catalog(spark, sf_dir).documents
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/"),
+        F.col("lang"), F.lit("/doc/"), F.col("doc_id").cast("string"),
+        F.lit("?ref="), F.col("lang"),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        "url",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("ref")).alias("ref_param"),
+    )
+
+
+@query(
+    "q_text_pii_redact",
+    oracle=(
+        "SELECT doc_id, "
+        "CAST(len(regexp_extract_all(augmented, '[a-z0-9]+@[a-z0-9.]+')) AS INT) AS n_emails, "
+        "CAST(len(regexp_extract_all(augmented, '\\+1-555-[0-9]{4}')) AS INT) AS n_phones, "
+        "md5(regexp_replace(regexp_replace(augmented, '[a-z0-9]+@[a-z0-9.]+', '<EMAIL>', 'g'), "
+        "'\\+1-555-[0-9]{4}', '<PHONE>', 'g')) AS redacted_md5 "
+        "FROM (SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR) "
+        "|| '@example.com or +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') "
+        "AS augmented FROM documents)"
+    ),
+    tags=("pipeline", "text"),
+)
+def q_text_pii_redact(spark, sf_dir):
+    """PII redaction (emails, phone numbers) with per-doc match counts
+    and a digest of the redacted text.  The fixture corpus contains no
+    PII, so deterministic synthetic contact strings are appended
+    first — honestly a plumbing demonstration; real corpora swap in
+    richer patterns, same plan (per-row JVM regex, no shuffle, global
+    replace semantics aligned across engines)."""
+    d = Catalog(spark, sf_dir).documents
+    aug = F.concat(
+        F.col("text"), F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    email_re = "[a-z0-9]+@[a-z0-9.]+"
+    phone_re = r"\+1-555-[0-9]{4}"
+    a = d.select("doc_id", aug.alias("augmented"))
+    return a.select(
+        "doc_id",
+        F.size(F.expr(f"regexp_extract_all(augmented, '{email_re}', 0)"))
+        .cast("int")
+        .alias("n_emails"),
+        F.size(F.expr(f"regexp_extract_all(augmented, '\\\\+1-555-[0-9]{{4}}', 0)"))
+        .cast("int")
+        .alias("n_phones"),
+        F.md5(
+            F.regexp_replace(
+                F.regexp_replace("augmented", email_re, "<EMAIL>"),
+                phone_re,
+                "<PHONE>",
+            )
+        ).alias("redacted_md5"),
     )

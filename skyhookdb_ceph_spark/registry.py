@@ -61,19 +61,20 @@ _LOADED = False
 # list pins the front of the registry each round; anything not listed
 # keeps module-import order after it.
 #
-# Round-3 rotation: the 10 new §2.14 pipeline ops, then the entries
-# never driver-verified (all §2.12/LLM ops, all streaming, UDF surface,
-# subqueries, round-2 scans) — the window cuts at entry #50
-# (q_runstats); the tail below it (transform_orc, sort_nulls, window
+# Round-3 rotation: the 15 new §2.14 pipeline ops, then the entries
+# never driver-verified (all §2.12/LLM ops, all streaming, UDF
+# surface) — the window cuts at entry #50; everything below it
+# (subqueries, round-2 scans, transform_orc, sort_nulls, the window
 # family, asof, plus the four r1-only modified entries) rotates into
 # round 4's window.  Everything stays covered by
 # tests/test_correctness.py's local oracle diff regardless.
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # -- NEW in round 3 (queries/pipeline.py) — never existed before (10)
+    # -- NEW in round 3 (queries/pipeline.py) — never existed before (15)
     "q_sample_stratified", "q_split_group_aware", "q_sample_balanced",
     "q_upsert_latest", "q_agg_salted_skew", "q_join_range",
     "q_text_repetition", "q_text_cooccur", "q_agg_approx_quantile",
-    "q_vec_centroids",
+    "q_vec_centroids", "q_dedup_cluster", "q_agg_mode", "q_agg_corr",
+    "q_fn_url_parse", "q_text_pii_redact",
     # -- never driver-verified: LLM / training-data ops (22)
     "q_dedup_exact", "q_dedup_fuzzy", "q_dedup_simhash", "q_dedup_ngram",
     "q_dedup_embed", "q_dedup_decontaminate", "q_vec_normalize",
