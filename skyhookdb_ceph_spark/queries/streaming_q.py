@@ -275,7 +275,7 @@ def q_stream_stateful(spark, sf_dir):
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    return drain_to_memory(updated, output_mode="update")
+    return drain_to_memory(updated, output_mode="update", state_partitions=4)
 
 
 @query(

@@ -57,7 +57,9 @@ def events_stream(
 
 
 def drain_to_memory(
-    stream_df: DataFrame, output_mode: str = "complete"
+    stream_df: DataFrame,
+    output_mode: str = "complete",
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Run a streaming DataFrame to completion (AvailableNow) into a
     uniquely-named memory sink; returns the sink table as a DataFrame.
@@ -68,12 +70,25 @@ def drain_to_memory(
     """
     name = f"sink_{uuid.uuid4().hex[:12]}"
     spark = stream_df.sparkSession
+    # Checkpoint IO (offset log, commit log, state snapshots) lands on
+    # java.io.tmpdir by default — a disk.  A RAM-backed scratch dir
+    # (tmpfs) removes that IO from every micro-batch commit; a real
+    # deployment would point this at fast shared storage instead.
+    ckpt_base = os.environ.get("SPARK_GRAFT_STREAM_CKPT")
+    if ckpt_base is None and os.path.isdir("/dev/shm"):
+        ckpt_base = "/dev/shm/skyhook_stream_ckpt"
+    ckpt = f"{ckpt_base}/{name}" if ckpt_base else None
     # Stateful operators allocate one state store per shuffle partition
     # and pay a per-store commit each micro-batch; size the count to the
     # deployment (cluster: >= executor cores).  Local fixtures: 2 —
-    # measured best (8 doubles commit overhead; 1 serializes the Python
-    # state fn in applyInPandasWithState).
-    stream_parts = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "2")
+    # measured best for JVM-side state (8 doubles commit overhead) —
+    # except applyInPandasWithState, whose per-group Python work wants
+    # more parallel workers (callers pass state_partitions=4, measured
+    # 2.6 s -> 1.9 s at sf0.1).
+    stream_parts = os.environ.get(
+        "SPARK_GRAFT_STREAM_SHUFFLE",
+        str(state_partitions) if state_partitions else "2",
+    )
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", stream_parts)
     # A finite AvailableNow drain never restarts from an old offset, so
@@ -81,15 +96,30 @@ def drain_to_memory(
     # 1 is the measured (small) win.  Real deployments that resume
     # from checkpoints should keep the default.
     spark.conf.set("spark.sql.streaming.minBatchesToRetain", "1")
+    # After the data batch, Spark schedules one extra NO-DATA micro-batch
+    # purely to advance the watermark and evict state (measured 0.5-1.2 s
+    # of commit + eviction work per drain).  Every sink here emits its
+    # rows in the data batch itself (complete / update / append modes
+    # that emit on arrival: dedup, inner join, stateful update), so the
+    # eviction batch buys nothing for a finite drain.  A live deployment
+    # that uses append-mode *windowed aggregation* (emission gated on
+    # watermark passage) must leave this ON.
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     try:
-        q = (
+        writer = (
             stream_df.writeStream.format("memory")
             .queryName(name)
             .outputMode(output_mode)
             .trigger(availableNow=True)
-            .start()
         )
+        if ckpt:
+            writer = writer.option("checkpointLocation", ckpt)
+        q = writer.start()
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        if ckpt:
+            import shutil
+
+            shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
