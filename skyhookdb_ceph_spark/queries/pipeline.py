@@ -562,3 +562,218 @@ def q_text_pii_redact(spark, sf_dir):
             )
         ).alias("redacted_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 3 — sequence packing, mixture sampling, LM scoring, sessionization,
+# URL canonicalization
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_pack_sequences",
+    oracle=(
+        "SELECT doc_id, source, n_tokens, "
+        "CAST(floor(CAST(cum_after - n_tokens AS DOUBLE) / 512) AS BIGINT) AS pack_id, "
+        "CAST(cum_after - n_tokens AS BIGINT) AS stream_offset "
+        "FROM (SELECT doc_id, source, "
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, "
+        "CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) OVER ("
+        "PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_after "
+        "FROM documents)"
+    ),
+    tags=("pipeline", "packing"),
+)
+def q_pack_sequences(spark, sf_dir):
+    """Sequence packing for LLM pretraining: concatenate documents in
+    deterministic (source, doc_id) order and cut the token stream into
+    512-token packs — every doc gets (pack_id, stream_offset) so the
+    tokenizer stage can materialize fixed-length training sequences
+    without a second pass.  Packing is PER SOURCE (real pipelines pack
+    per shard), so the running-sum window is partitioned — no global
+    single-task sort, any corpus size."""
+    from pyspark.sql import Window
+
+    d = Catalog(spark, sf_dir).documents
+    ntok = F.size(F.split("text", " ")).cast("bigint")
+    base = d.select("doc_id", "source", ntok.alias("n_tokens"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    offset = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return base.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.floor(offset.cast("double") / 512).cast("bigint").alias("pack_id"),
+        offset.cast("bigint").alias("stream_offset"),
+    )
+
+
+@query(
+    "q_sample_weighted",
+    oracle=(
+        "WITH per AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_lang "
+        "FROM documents GROUP BY lang), "
+        "tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM documents) "
+        "SELECT doc_id, d.lang AS lang FROM documents d "
+        "JOIN per ON d.lang = per.lang, tot "
+        "WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) "
+        "* 5 * n_lang < n_total * 65536"
+    ),
+    tags=("pipeline", "sampling"),
+)
+def q_sample_weighted(spark, sf_dir):
+    """Mixture-weighted resampling: downsample over-represented
+    languages toward an EQUAL 1/5 share per language (the
+    domain-reweighting step of corpus curation).  Per-language keep
+    rate = min(1, n_total / (5 * n_lang)), applied with an md5-keyed
+    INTEGER comparison (h * 5 * n_lang < n_total * 65536) — exact in
+    both engines, no float thresholds, reproducible, join-stable.
+    Plan: two tiny partial aggs broadcast back onto a map-side filter;
+    the corpus itself never shuffles."""
+    d = Catalog(spark, sf_dir).documents
+    per = d.groupBy("lang").agg(F.count("*").cast("bigint").alias("n_lang"))
+    tot = d.groupBy().agg(F.count("*").cast("bigint").alias("n_total"))
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast(
+        "bigint"
+    )
+    return (
+        d.join(F.broadcast(per), "lang")
+        .crossJoin(F.broadcast(tot))
+        .filter(h * 5 * F.col("n_lang") < F.col("n_total") * F.lit(65536))
+        .select("doc_id", "lang")
+    )
+
+
+@query(
+    "q_text_unigram_lp",
+    oracle=(
+        "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w "
+        "FROM documents), "
+        "vocab AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY w) "
+        "SELECT doc_id, "
+        "floor(avg(log10(CAST(c AS DOUBLE) / (SELECT CAST(count(*) AS BIGINT) FROM tok))) "
+        "* 1000000 + 0.5) / 1000000 AS avg_logp, "
+        "CAST(count(*) AS BIGINT) AS n_tokens "
+        "FROM tok JOIN vocab USING (w) GROUP BY doc_id"
+    ),
+    tags=("pipeline", "text"),
+)
+def q_text_unigram_lp(spark, sf_dir):
+    """Unigram language-model scoring: corpus-derived token
+    frequencies -> per-document mean log10 probability — the classic
+    cheap perplexity proxy for quality filtering (low score = rare
+    gibberish tokens).  Two passes over the token stream: (1) vocab =
+    one keyed partial agg, (2) re-join tokens to vocab (equi-join,
+    AQE broadcasts when the vocab is small) and one per-doc agg.
+    Cross-engine float drift from summation order is absorbed by
+    6-decimal quantization (house rule, see q_agg_corr)."""
+    d = ensure_parallelism(Catalog(spark, sf_dir).documents)
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    vocab = tok.groupBy("w").agg(F.count("*").cast("bigint").alias("c"))
+    tot = tok.groupBy().agg(F.count("*").cast("bigint").alias("n"))
+    return (
+        tok.join(vocab, "w")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            ratio(F.avg(F.log10(F.col("c").cast("double") / F.col("n")))).alias(
+                "avg_logp"
+            ),
+            F.count("*").cast("bigint").alias("n_tokens"),
+        )
+    )
+
+
+@query(
+    "q_win_sessionize",
+    oracle=(
+        "SELECT user_id, event_id, ts, "
+        "CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq "
+        "FROM (SELECT user_id, event_id, ts, "
+        "CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL "
+        "OR date_diff('second', lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) > 43200 "
+        "THEN 1 ELSE 0 END AS is_new FROM events)"
+    ),
+    tags=("pipeline", "window"),
+)
+def q_win_sessionize(spark, sf_dir):
+    """Batch sessionization (gaps-and-islands): a new session starts
+    when a user's inter-event gap exceeds 12 h; session_seq is the
+    running count of session starts.  Two stacked windows over the
+    SAME (user_id; ts, event_id) partitioning — one shuffle, one sort,
+    both window ops pipeline over it.  The streaming twin is
+    q_stream_session (session_window); this is the backfill/batch
+    formulation every event pipeline also needs."""
+    from pyspark.sql import Window
+
+    e = Catalog(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    is_new = F.when(gap.isNull() | (gap > 43200), 1).otherwise(0)
+    flagged = e.select("user_id", "event_id", "ts", is_new.alias("is_new"))
+    wc = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return flagged.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum("is_new").over(wc).cast("bigint").alias("session_seq"),
+    )
+
+
+@query(
+    "q_dedup_url",
+    oracle=(
+        "SELECT canonical_url, CAST(min(doc_id) AS BIGINT) AS keep_doc, "
+        "CAST(count(*) AS BIGINT) AS n_dupes "
+        "FROM (SELECT doc_id, "
+        "regexp_replace(regexp_replace(lower(raw_url), '\\?.*$', ''), '/$', '') AS canonical_url "
+        "FROM (SELECT doc_id, 'https://' || "
+        "CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END || "
+        "'.Example.COM/page/' || CAST(doc_id % 10 AS VARCHAR) || "
+        "CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END || "
+        "'?sid=' || CAST(doc_id AS VARCHAR) AS raw_url FROM documents)) "
+        "GROUP BY canonical_url"
+    ),
+    tags=("pipeline", "dedup"),
+)
+def q_dedup_url(spark, sf_dir):
+    """Canonical-URL deduplication — the first dedup pass of every
+    web-crawl pipeline: canonicalize (lowercase host, drop query
+    string and fragment, strip trailing slash) and keep the lowest
+    doc_id per canonical URL.  URLs are synthesized with
+    deterministic case/query/trailing-slash noise (fixtures carry no
+    URLs) so canonicalization genuinely collapses ~2-3 variants per
+    page.  Plan: per-row canonicalization, ONE keyed partial agg —
+    min/count combine map-side, only (url, id) pairs shuffle."""
+    d = Catalog(spark, sf_dir).documents
+    raw = F.concat(
+        F.lit("https://"),
+        F.when(F.col("doc_id") % 2 == 0, F.upper("source")).otherwise(
+            F.col("source")
+        ),
+        F.lit(".Example.COM/page/"),
+        (F.col("doc_id") % 10).cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?sid="),
+        F.col("doc_id").cast("string"),
+    )
+    canon = F.regexp_replace(
+        F.regexp_replace(F.lower(raw), r"\?.*$", ""), "/$", ""
+    )
+    return (
+        d.select("doc_id", canon.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.min("doc_id").cast("bigint").alias("keep_doc"),
+            F.count("*").cast("bigint").alias("n_dupes"),
+        )
+    )

@@ -112,3 +112,35 @@ def test_quantize_has_no_shuffle(spark):
     """Int8 quantization is per-row: no Exchange in the plan."""
     plan = explain_str(q("q_embed_quantize", spark))
     assert "Exchange" not in plan
+
+
+def test_pack_sequences_window_is_partitioned(spark):
+    """Sequence packing must never plan a global (single-partition)
+    window sort — the running sum is per source."""
+    plan = explain_str(q("q_pack_sequences", spark))
+    assert "Window" in plan
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(source" in plan
+
+
+def test_sample_weighted_broadcasts_rates(spark):
+    """The per-language rate table and the corpus total must reach the
+    filter via broadcast — the corpus itself never key-shuffles."""
+    plan = explain_str(q("q_sample_weighted", spark))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_sessionize_shuffles_once(spark):
+    """Both stacked windows share one (user_id) partitioning: exactly
+    one key Exchange in the whole plan."""
+    plan = explain_str(q("q_win_sessionize", spark))
+    assert plan.count("hashpartitioning(user_id") <= 1
+    assert "SinglePartition" not in plan
+
+
+def test_dedup_url_partial_aggregates(spark):
+    """URL dedup combines map-side: two HashAggregates (partial+final)
+    around one Exchange; only (url, id) pairs cross the wire."""
+    plan = explain_str(q("q_dedup_url", spark))
+    assert plan.count("HashAggregate") >= 2
