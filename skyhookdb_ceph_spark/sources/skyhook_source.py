@@ -26,6 +26,8 @@ SkyhookDM cluster itself).
 
 from __future__ import annotations
 
+import json
+import os
 from typing import Iterator
 
 from pyspark.sql.datasource import (
@@ -138,8 +140,14 @@ def _stats_can_match(f: Filter, stats) -> bool:
 
 
 class SkyhookReader(DataSourceReader):
-    def __init__(self, path: str):
+    def __init__(self, path: str, pushdown: bool = True):
         self.path = path
+        # the reference exposes pushdown as a PER-QUERY flag
+        # (--use-cls on/off [U: run-query.cc]); so do we — an A/B knob,
+        # not a deployment config.  (A runtime flip of
+        # spark.sql.python.filterPushdown.enabled does NOT reach the
+        # planning worker — verified empirically.)
+        self.pushdown = pushdown
         self.accepted: list[Filter] = []
 
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
@@ -147,6 +155,9 @@ class SkyhookReader(DataSourceReader):
         # across plannings of the same DataFrame, so reset accumulated
         # state or a previous query's predicates would leak into this one
         self.accepted = []
+        if not self.pushdown:
+            yield from filters  # client-side mode: Spark evaluates all
+            return
         for f in filters:
             if _to_arrow_expr(f) is not None:
                 self.accepted.append(f)  # we evaluate it storage-side
@@ -184,6 +195,19 @@ class SkyhookReader(DataSourceReader):
             planned=len(parts),
             pruned=md.num_row_groups - len(parts),
         )
+        # Spark plans Python data sources in a SEPARATE worker process,
+        # so the in-memory stats above never reach the driver under
+        # real execution (only direct-call tests see them).  When the
+        # observer asks (env var set), persist the counts — the
+        # reference's "objects touched vs skipped" metric from the
+        # --use-cls experiment [U: run-query.cc].
+        stats_file = os.environ.get("SPARK_GRAFT_PLAN_STATS_FILE")
+        if stats_file:
+            try:
+                with open(stats_file, "w") as fh:
+                    json.dump(LAST_PLAN_STATS, fh)
+            except OSError:
+                pass  # observability must never fail the scan
         return parts
 
     def read(self, partition: RowGroupPartition):
@@ -216,7 +240,10 @@ class SkyhookDataSource(DataSource):
         )
 
     def reader(self, schema) -> SkyhookReader:
-        return SkyhookReader(self.options["path"])
+        return SkyhookReader(
+            self.options["path"],
+            pushdown=self.options.get("pushdown", "true").lower() == "true",
+        )
 
 
 def register(spark) -> None:
@@ -238,3 +265,16 @@ def read_skyhook(spark, path: str):
     """
     register(spark)
     return spark.read.format("skyhook").option("path", path).load()
+
+
+def read_skyhook_no_pushdown(spark, path: str):
+    """Client-side-filtering twin of read_skyhook — every object ships
+    whole and Spark filters after the boundary (the --use-cls-OFF arm
+    of the reference's experiment)."""
+    register(spark)
+    return (
+        spark.read.format("skyhook")
+        .option("path", path)
+        .option("pushdown", "false")
+        .load()
+    )

@@ -116,3 +116,38 @@ def test_prefix_pruning_and_plan_stats(spark):
     assert r.partitions() == []
     assert src.LAST_PLAN_STATS["planned"] == 0
     assert src.LAST_PLAN_STATS["pruned"] == src.LAST_PLAN_STATS["total"] > 0
+
+
+def test_no_pushdown_twin_matches(spark, sf_small):
+    """--use-cls OFF arm: the client-side-filtering twin must return
+    identical rows (only WHERE the filter runs moves)."""
+    from skyhookdb_ceph_spark.sources.skyhook_source import (
+        read_skyhook,
+        read_skyhook_no_pushdown,
+    )
+
+    path = f"{sf_small}/lineitem.parquet"
+    on = read_skyhook(spark, path)
+    off = read_skyhook_no_pushdown(spark, path)
+    a = sorted(
+        on.filter(on["l_quantity"] > 45).select("l_orderkey", "l_quantity").collect()
+    )
+    b = sorted(
+        off.filter(off["l_quantity"] > 45).select("l_orderkey", "l_quantity").collect()
+    )
+    assert a == b and len(a) > 0
+
+
+def test_plan_stats_file_written(tmp_path, monkeypatch):
+    """partitions() persists object-touched counts when asked — the
+    only channel that survives Spark's separate planning worker."""
+    import json
+
+    from skyhookdb_ceph_spark.sources import skyhook_source as src
+
+    f = tmp_path / "stats.json"
+    monkeypatch.setenv("SPARK_GRAFT_PLAN_STATS_FILE", str(f))
+    r = src.SkyhookReader(ORD)
+    r.partitions()
+    stats = json.loads(f.read_text())
+    assert stats["total"] == stats["planned"] + stats["pruned"] > 0
