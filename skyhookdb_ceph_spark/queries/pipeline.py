@@ -777,3 +777,180 @@ def q_dedup_url(spark, sf_dir):
             F.count("*").cast("bigint").alias("n_dupes"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 4 — contrastive-training data prep: negative sampling, curriculum
+# binning, hard-negative mining
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_sample_negatives",
+    oracle=(
+        "WITH tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings) "
+        "SELECT e.vec_id AS anchor_id, "
+        "(e.vec_id * 31 + t.i * 7919) % (SELECT n FROM tot) AS neg_id, "
+        "e.label AS anchor_label, b.label AS neg_label, CAST(t.i AS INT) AS draw "
+        "FROM embeddings e, unnest(generate_series(1, 3)) t(i) "
+        "JOIN embeddings b ON b.vec_id = (e.vec_id * 31 + t.i * 7919) % (SELECT n FROM tot) "
+        "WHERE b.vec_id != e.vec_id AND b.label != e.label"
+    ),
+    tags=("pipeline", "sampling"),
+)
+def q_sample_negatives(spark, sf_dir):
+    """Deterministic negative sampling for contrastive training: 3
+    pseudo-random draws per anchor via integer hashing over the
+    contiguous id space ((id*31 + i*7919) mod n — exact in both
+    engines, reproducible run to run), dropping self-hits and
+    same-label (positive) collisions, as standard practice does.
+    Plan: corpus count = 1-row broadcast; the only shuffle is the
+    skinny (anchor, neg_id) equi-join back to labels."""
+    e = Catalog(spark, sf_dir).embeddings
+    tot = e.groupBy().agg(F.count("*").cast("bigint").alias("n"))
+    draws = (
+        e.select(
+            F.col("vec_id").alias("anchor_id"),
+            F.col("label").alias("anchor_label"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "anchor_id",
+            "anchor_label",
+            F.explode(F.expr("sequence(1, 3)")).alias("draw"),
+            "n",
+        )
+        .withColumn(
+            "neg_id",
+            (F.col("anchor_id") * 31 + F.col("draw") * 7919) % F.col("n"),
+        )
+    )
+    labels = e.select(
+        F.col("vec_id").alias("neg_id"), F.col("label").alias("neg_label")
+    )
+    return (
+        draws.join(labels, "neg_id")
+        .filter(
+            (F.col("neg_id") != F.col("anchor_id"))
+            & (F.col("neg_label") != F.col("anchor_label"))
+        )
+        .select(
+            "anchor_id",
+            "neg_id",
+            "anchor_label",
+            "neg_label",
+            F.col("draw").cast("int").alias("draw"),
+        )
+    )
+
+
+_QUALITY_SPARK = (
+    "floor((cast(0.5 AS double) * least(size(split(text, ' ')) / cast(80.0 AS double), cast(1.0 AS double)) "
+    "+ cast(0.5 AS double) * (cast(size(array_distinct(split(text, ' '))) AS double) "
+    "/ size(split(text, ' ')))) * 1000000 + 0.5) / 1000000"
+)
+_QUALITY_DUCKDB = (
+    "floor((0.5 * least(len(string_split(text, ' ')) / CAST(80.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) "
+    "+ 0.5 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) "
+    "/ len(string_split(text, ' ')))) * 1000000 + 0.5) / 1000000"
+)
+
+
+@query(
+    "q_curriculum_bins",
+    oracle=(
+        f"WITH scored AS (SELECT doc_id, {_QUALITY_DUCKDB} AS quality FROM documents), "
+        "b AS (SELECT quantile_cont(quality, 0.25) AS q1, "
+        "quantile_cont(quality, 0.5) AS q2, quantile_cont(quality, 0.75) AS q3 "
+        "FROM scored) "
+        "SELECT doc_id, quality, CAST(CASE WHEN quality <= q1 THEN 1 "
+        "WHEN quality <= q2 THEN 2 WHEN quality <= q3 THEN 3 ELSE 4 END AS INT) AS bin "
+        "FROM scored, b"
+    ),
+    tags=("pipeline", "text"),
+)
+def q_curriculum_bins(spark, sf_dir):
+    """Curriculum binning: quality-score quartile assignment
+    (easy -> hard training order).  Same score as q_text_quality;
+    same scale-safe shape as q_win_quartile_scalable — percentile
+    BOUNDARIES via a mergeable aggregate, broadcast, per-row CASE.
+    No global sort or window at any corpus size.  The score is
+    6-decimal-quantized BEFORE the quantile, so both engines rank an
+    identical multiset."""
+    d = Catalog(spark, sf_dir).documents
+    scored = d.selectExpr("doc_id", f"{_QUALITY_SPARK} AS quality")
+    b = scored.agg(
+        F.expr("percentile(quality, 0.25)").alias("q1"),
+        F.expr("percentile(quality, 0.5)").alias("q2"),
+        F.expr("percentile(quality, 0.75)").alias("q3"),
+    )
+    return scored.crossJoin(F.broadcast(b)).selectExpr(
+        "doc_id",
+        "quality",
+        "CAST(CASE WHEN quality <= q1 THEN 1 WHEN quality <= q2 THEN 2 "
+        "WHEN quality <= q3 THEN 3 ELSE 4 END AS INT) AS bin",
+    )
+
+
+def _hardneg_oracle():
+    from skyhookdb_ceph_spark.operators import vectors
+
+    cos = vectors.cosine_duckdb("x.embedding", "y.embedding")
+    return f"""
+WITH {vectors.banded_cells_cte_duckdb()},
+cand AS (
+  SELECT DISTINCT a.vec_id AS va, c.vec_id AS vb
+  FROM cells a JOIN cells c ON a.bucket = c.bucket AND a.vec_id < c.vec_id),
+oriented AS (
+  SELECT va AS anchor_id, vb AS cand_id FROM cand
+  UNION ALL SELECT vb, va FROM cand),
+scored AS (
+  SELECT o.anchor_id, o.cand_id,
+    floor(({cos}) * 1000000 + 0.5) / 1000000 AS cos_sim,
+    x.label AS la, y.label AS lb
+  FROM oriented o
+  JOIN embeddings x ON x.vec_id = o.anchor_id
+  JOIN embeddings y ON y.vec_id = o.cand_id)
+SELECT anchor_id, cand_id AS hard_neg_id, cos_sim FROM (
+  SELECT anchor_id, cand_id, cos_sim, row_number() OVER (
+    PARTITION BY anchor_id ORDER BY cos_sim DESC, cand_id) AS rn
+  FROM scored WHERE la != lb) WHERE rn = 1
+"""
+
+
+@query("q_mine_hardneg", oracle=_hardneg_oracle(), tags=("pipeline", "similarity"))
+def q_mine_hardneg(spark, sf_dir):
+    """Hard-negative mining: per anchor, the MOST similar vector with
+    a DIFFERENT label — the pair that most improves a contrastive
+    objective.  Candidates come from the scaled multi-band LSH
+    (operators/vectors.bucketed_pairs), never all pairs; both
+    orientations of each (a < b) pair are scored; ties break on the
+    6-decimal-QUANTIZED cosine then id, so the winner is identical
+    across engines (raw-double ordering could flip on 1-ulp drift)."""
+    from pyspark.sql import Window
+
+    from skyhookdb_ceph_spark.operators import vectors
+
+    e = Catalog(spark, sf_dir).embeddings
+    pairs = vectors.bucketed_pairs(e)  # va, vb, ea, eb
+    cos = quantize(F.expr(vectors.cosine_expr("ea", "eb")), 6)
+    scored_ab = pairs.select(
+        F.col("va").alias("anchor_id"), F.col("vb").alias("cand_id"), cos.alias("cos_sim")
+    )
+    scored_ba = pairs.select(
+        F.col("vb").alias("anchor_id"), F.col("va").alias("cand_id"), cos.alias("cos_sim")
+    )
+    scored = scored_ab.unionByName(scored_ba)
+    la = e.select(F.col("vec_id").alias("anchor_id"), F.col("label").alias("la"))
+    lb = e.select(F.col("vec_id").alias("cand_id"), F.col("label").alias("lb"))
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cos_sim").desc(), F.col("cand_id")
+    )
+    return (
+        scored.join(la, "anchor_id")
+        .join(lb, "cand_id")
+        .filter(F.col("la") != F.col("lb"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("anchor_id", F.col("cand_id").alias("hard_neg_id"), "cos_sim")
+    )

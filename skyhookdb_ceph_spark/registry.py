@@ -69,9 +69,10 @@ _LOADED = False
 # round 4's window.  Everything stays covered by
 # tests/test_correctness.py's local oracle diff regardless.
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # -- NEWEST (round-3 wave 3, queries/pipeline.py) (5)
+    # -- NEWEST (round-3 waves 3-4, queries/pipeline.py) (8)
     "q_pack_sequences", "q_sample_weighted", "q_text_unigram_lp",
-    "q_win_sessionize", "q_dedup_url",
+    "q_win_sessionize", "q_dedup_url", "q_sample_negatives",
+    "q_curriculum_bins", "q_mine_hardneg",
     # -- NEW in round 3 (queries/pipeline.py) — never existed before (15)
     "q_sample_stratified", "q_split_group_aware", "q_sample_balanced",
     "q_upsert_latest", "q_agg_salted_skew", "q_join_range",

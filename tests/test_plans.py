@@ -144,3 +144,18 @@ def test_dedup_url_partial_aggregates(spark):
     around one Exchange; only (url, id) pairs cross the wire."""
     plan = explain_str(q("q_dedup_url", spark))
     assert plan.count("HashAggregate") >= 2
+
+
+def test_hardneg_has_no_cartesian(spark):
+    """Hard-negative candidates come from the LSH band equi-join —
+    all-pairs shapes (cartesian / broadcast nested loop over the
+    corpus) must never appear."""
+    plan = explain_str(q("q_mine_hardneg", spark))
+    assert "CartesianProduct" not in plan
+
+
+def test_curriculum_bins_no_global_window(spark):
+    """Quartile assignment is boundaries-broadcast, never a global
+    single-task window."""
+    plan = explain_str(q("q_curriculum_bins", spark))
+    assert "SinglePartition" not in plan or "Window" not in plan
