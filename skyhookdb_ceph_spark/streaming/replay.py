@@ -60,6 +60,7 @@ def drain_to_memory(
     stream_df: DataFrame,
     output_mode: str = "complete",
     state_partitions: int | None = None,
+    needs_watermark_batch: bool = False,
 ) -> DataFrame:
     """Run a streaming DataFrame to completion (AvailableNow) into a
     uniquely-named memory sink; returns the sink table as a DataFrame.
@@ -101,10 +102,18 @@ def drain_to_memory(
     # of commit + eviction work per drain).  Every sink here emits its
     # rows in the data batch itself (complete / update / append modes
     # that emit on arrival: dedup, inner join, stateful update), so the
-    # eviction batch buys nothing for a finite drain.  A live deployment
-    # that uses append-mode *windowed aggregation* (emission gated on
-    # watermark passage) must leave this ON.
-    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    # eviction batch buys nothing for a finite drain.  An append-mode
+    # *windowed aggregation* (emission gated on watermark passage)
+    # MUST pass needs_watermark_batch=True or its closed windows are
+    # silently never emitted — the flag exists so that failure mode is
+    # an explicit per-call decision, not a buried global.
+    prev_nodata = spark.conf.get(
+        "spark.sql.streaming.noDataMicroBatches.enabled", "true"
+    )
+    spark.conf.set(
+        "spark.sql.streaming.noDataMicroBatches.enabled",
+        "true" if needs_watermark_batch else "false",
+    )
     try:
         writer = (
             stream_df.writeStream.format("memory")
@@ -118,6 +127,9 @@ def drain_to_memory(
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", prev_nodata
+        )
         if ckpt:
             import shutil
 
