@@ -25,6 +25,17 @@ from skyhookdb_ceph_spark.queries._util import Catalog, F
 from skyhookdb_ceph_spark.registry import query
 
 
+def _scratch_dir() -> str | None:
+    """$SPARK_GRAFT_SCRATCH if set; else tmpfs (/dev/shm) when present
+    so local round-trip queries don't pay disk IO; else None (system
+    temp).  A real cluster MUST set SPARK_GRAFT_SCRATCH to shared
+    storage (s3://..., hdfs://...) — executors don't share local /tmp."""
+    scratch = os.environ.get("SPARK_GRAFT_SCRATCH")
+    if scratch:
+        return scratch
+    return "/dev/shm" if os.path.isdir("/dev/shm") else None
+
+
 @query("q_scan_full", oracle="SELECT * FROM lineitem")
 def q_scan_full(spark, sf_dir):
     """Full-table scan, all columns (reference 'fastpath' select *)."""
@@ -63,8 +74,7 @@ def q_transform_format(spark, sf_dir):
     dir.  On a real cluster the scratch URI MUST be shared storage
     (s3://..., hdfs://...) — executors and driver do not share /tmp;
     local mode only needs the default."""
-    scratch = os.environ.get("SPARK_GRAFT_SCRATCH")
-    tmp = tempfile.mkdtemp(prefix="skyhook_transform_", dir=scratch)
+    tmp = tempfile.mkdtemp(prefix="skyhook_transform_", dir=_scratch_dir())
     try:
         src = Catalog(spark, sf_dir).lineitem.select(*_TRANSFORM_COLS)
         csv_path, pq_path = f"{tmp}/row_format_csv", f"{tmp}/col_format_parquet"
@@ -111,8 +121,7 @@ def q_transform_json(spark, sf_dir):
     schema through sources/formats.py, aggregate — matching the oracle
     on the source proves losslessness, including the nested props
     payload."""
-    scratch = os.environ.get("SPARK_GRAFT_SCRATCH")
-    tmp = tempfile.mkdtemp(prefix="skyhook_transform_json_", dir=scratch)
+    tmp = tempfile.mkdtemp(prefix="skyhook_transform_json_", dir=_scratch_dir())
     try:
         from skyhookdb_ceph_spark.sources.formats import read_table
 
@@ -220,8 +229,7 @@ def q_transform_orc(spark, sf_dir):
     SFT_* read paths]): project orders to ORC, re-ingest with an
     explicit schema through sources/formats.py, aggregate; matching
     the oracle on the source proves losslessness."""
-    scratch = os.environ.get("SPARK_GRAFT_SCRATCH")
-    tmp = tempfile.mkdtemp(prefix="skyhook_transform_orc_", dir=scratch)
+    tmp = tempfile.mkdtemp(prefix="skyhook_transform_orc_", dir=_scratch_dir())
     try:
         from skyhookdb_ceph_spark.sources.formats import read_table
 
