@@ -69,7 +69,9 @@ _LOADED = False
 # round 4's window.  Everything stays covered by
 # tests/test_correctness.py's local oracle diff regardless.
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # -- NEWEST (round-3 waves 3-4, queries/pipeline.py) (8)
+    # -- NEWEST (round-3 wave 5, queries/pipeline2.py) (4)
+    "q_sim_knn_batch", "q_dedup_passage", "q_fn_histogram", "q_layout_zorder",
+    # -- round-3 waves 3-4, queries/pipeline.py (8)
     "q_pack_sequences", "q_sample_weighted", "q_text_unigram_lp",
     "q_win_sessionize", "q_dedup_url", "q_sample_negatives",
     "q_curriculum_bins", "q_mine_hardneg",
@@ -116,6 +118,7 @@ def load_all() -> dict[str, QuerySpec]:
             joins,
             llm,
             pipeline,
+            pipeline2,
             scans,
             setops,
             sorts,
