@@ -70,6 +70,19 @@ def main() -> int:
     spark.range(1).collect()  # force JVM + first-job init
     startup = time.perf_counter() - t0
 
+    # Per-query dispatch floor on THIS box right now: a warmed 1-row
+    # job through the same materialization path (py4j + scheduling +
+    # Arrow).  Every query pays it regardless of data size, and it
+    # swings 1.3-1.5x with machine state across sessions (BASELINE.md
+    # §E) — reporting it makes records comparable across rounds:
+    # plan-attributable time ~= value - n_queries * floor_sec.
+    spark.range(1).toPandas()
+    floor = float("inf")
+    for _ in range(3):
+        t = time.perf_counter()
+        spark.range(1).toPandas()
+        floor = min(floor, time.perf_counter() - t)
+
     specs = load_all()
     times: dict[str, float] = {}
     errors: dict[str, str] = {}
@@ -107,6 +120,7 @@ def main() -> int:
         "queries": times,
         "sf": sf,
         "startup_sec": round(startup, 2),
+        "floor_sec": round(floor, 4),
         "n_queries": len(times),
         "aqe_off": True,  # bench profile; correctness gate runs AQE-on
     }
@@ -129,6 +143,7 @@ def main() -> int:
         "headline_sum_sec": round(sum(headline_times.values()), 4),
         "sf": sf,
         "startup_sec": round(startup, 2),
+        "floor_sec": round(floor, 4),
         "n_queries": len(times),
         "n_errors": len(errors),
         "full_record": str(side),

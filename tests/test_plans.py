@@ -159,3 +159,38 @@ def test_curriculum_bins_no_global_window(spark):
     single-task window."""
     plan = explain_str(q("q_curriculum_bins", spark))
     assert "SinglePartition" not in plan or "Window" not in plan
+
+
+def test_knn_batch_broadcasts_query_set(spark):
+    """Batch ANN: the query set reaches the corpus via broadcast (a
+    deliberate BroadcastNestedLoopJoin — |Q| scores per corpus row);
+    the corpus itself must never appear under a CartesianProduct or a
+    key shuffle before scoring."""
+    plan = explain_str(q("q_sim_knn_batch", spark))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dedup_passage_joins_on_hash_only(spark):
+    """Passage dedup: candidates meet on the block-hash equi-join;
+    all-pairs shapes must never appear, and the per-hash frequency
+    partial-aggregates map-side."""
+    plan = explain_str(q("q_dedup_passage", spark))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_histogram_aggregates_partially(spark):
+    """Histogram: the 10-bin key partial-aggregates before the
+    Exchange, so at most one row per bin per task crosses the wire."""
+    plan = explain_str(q("q_fn_histogram", spark))
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_zorder_aggregates_partially(spark):
+    """Z-order ranges: pure codegen int math + partial aggregation —
+    no window, no join, nothing but scan -> agg -> exchange -> agg."""
+    plan = explain_str(q("q_layout_zorder", spark))
+    assert plan.count("HashAggregate") >= 2
+    assert "Window" not in plan
