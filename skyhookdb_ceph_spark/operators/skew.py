@@ -18,6 +18,43 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+    salt_src_col: Column,
+    n_salts: int = 8,
+) -> DataFrame:
+    """Skew-safe equi-join: salt the big side's key with a
+    deterministic hash of `salt_src_col` (mod n_salts) and replicate
+    the small side once per salt value, joining on (key, salt).
+
+    A hot key's rows — all hashed to ONE shuffle partition by a plain
+    equi-join — are spread across n_salts partitions; the price is an
+    n_salts-fold replication of the small side, which is the right
+    trade exactly when the small side is too big to broadcast but far
+    smaller than the hot key's row count.  (AQE's skew-join split
+    covers sort-merge joins after the fact; salting fixes the shuffle
+    itself and also applies when AQE is off or the join is
+    hash-partitioned for a downstream stage.)  The salt is a hash of a
+    stable row id, never RNG, so the result is reproducible and equal
+    to the unsalted join for any salt assignment."""
+    salted_big = big.withColumn(
+        "__salt", F.pmod(F.hash(salt_src_col), F.lit(n_salts))
+    )
+    replicated = small.withColumn(
+        "__salt",
+        F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))),
+    )
+    joined = salted_big.join(
+        replicated,
+        (salted_big[big_key] == replicated[small_key])
+        & (salted_big["__salt"] == replicated["__salt"]),
+    )
+    return joined.drop("__salt")
+
+
 def salted_sum_count(
     df: DataFrame,
     group_cols: list[str],

@@ -10,12 +10,18 @@ in Spark and oracle SQL.
 
 from __future__ import annotations
 
+import shutil
+import tempfile
+
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from skyhookdb_ceph_spark.operators.multimodal import frame_sample
+from skyhookdb_ceph_spark.operators.skew import salted_join
 from skyhookdb_ceph_spark.operators.vectors import cosine_duckdb, cosine_expr
 from skyhookdb_ceph_spark.queries._util import Catalog, quantize
 from skyhookdb_ceph_spark.registry import query
+from skyhookdb_ceph_spark.streaming.replay import drain_to_files, events_stream
 
 # ---------------------------------------------------------------------------
 # Batch ANN: top-k neighbors for a SET of query vectors in one pass
@@ -241,3 +247,138 @@ def q_layout_zorder(spark, sf_dir):
         F.min("y").alias("min_y"),
         F.max("y").alias("max_y"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 6: multimodal frame sampling, salted skew join, file-sink streaming
+# ---------------------------------------------------------------------------
+
+# Frames are 256 BYTES and the oracle slices CHARACTERS — exact parity
+# holds because the documents fixture is pure ASCII (verified: 0 rows
+# with octet_length <> length at sf0.001/sf0.01).  Real media payloads
+# are opaque bytes with no char/byte ambiguity at all.
+_FRAMES_ORACLE = """
+SELECT doc_id, CAST((gs - 1) // 256 AS INT) AS frame_no,
+  CAST(length(substr(text, CAST(gs AS INT), 256)) AS INT) AS frame_bytes,
+  md5(substr(text, CAST(gs AS INT), 256)) AS frame_md5
+FROM documents, unnest(generate_series(1, length(text), 512)) t(gs)
+"""
+
+
+@query(
+    "q_multimodal_frames",
+    oracle=_FRAMES_ORACLE,
+    tags=("pipeline", "multimodal"),
+)
+def q_multimodal_frames(spark, sf_dir):
+    """Video-style frame sampling over an opaque binary column: split
+    each payload into fixed 256-byte pseudo-frames and keep every 2nd
+    (operators/multimodal.py frame_sample — the Arrow-batched
+    mapInPandas shape a real decoder drops into; the codec itself is
+    the documented stub).  Pure map stage: frames never shuffle, output
+    rows stay on the partition that scanned the payload, so at 100 TB
+    cost is one pass over the media bytes.  The query fingerprints each
+    kept frame (md5 + length) so the oracle can verify the exact frame
+    boundaries and sampling phase cross-engine."""
+    d = Catalog(spark, sf_dir).documents
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.col("text").cast("binary").alias("payload"),
+    )
+    frames = frame_sample(media, every_n=2)
+    return frames.select(
+        F.col("media_id").alias("doc_id"),
+        "frame_no",
+        F.length("frame").alias("frame_bytes"),
+        F.md5("frame").alias("frame_md5"),
+    )
+
+
+_SKEW_JOIN_ORACLE = """
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS cnt,
+  floor(sum(o_totalprice) * 100 + 0.5) / 100 AS sum_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+@query(
+    "q_join_skew_salted",
+    oracle=_SKEW_JOIN_ORACLE,
+    tags=("pipeline", "join", "skew"),
+)
+def q_join_skew_salted(spark, sf_dir):
+    """Skew-safe fact-dim join via key salting (operators/skew.py
+    salted_join): orders' custkey is salted with hash(o_orderkey) mod 8
+    and customer is replicated once per salt, joining on (key, salt).
+    A plain equi-join funnels a hot key's rows into one shuffle task;
+    salting spreads them over n_salts tasks at the cost of replicating
+    the (much smaller) dim side — the standing fix when the dim is too
+    big to broadcast and AQE's sort-merge skew split doesn't apply.
+    The salt is a deterministic hash, so the join result — and the
+    per-segment rollup checked here — is identical to the unsalted
+    join."""
+    c = Catalog(spark, sf_dir)
+    joined = salted_join(
+        c.orders,
+        c.customer,
+        "o_custkey",
+        "c_custkey",
+        F.col("o_orderkey"),
+        n_salts=8,
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        quantize(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+_FILESINK_ORACLE = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+  floor(sum(value) * 100 + 0.5) / 100 AS sum_value
+FROM events
+WHERE event_type IN ('click', 'purchase') AND value > 10
+GROUP BY event_type
+"""
+
+
+@query(
+    "q_stream_filesink",
+    oracle=_FILESINK_ORACLE,
+    tags=("pipeline", "stream"),
+)
+def q_stream_filesink(spark, sf_dir):
+    """Exactly-once streaming persistence: readStream over the events
+    fixture -> stateless filter/projection -> transactional parquet
+    FILE sink (streaming/replay.py drain_to_files) -> batch read of
+    the committed files -> rollup.  The file sink's _spark_metadata
+    commit log lists exactly the files of committed batches, so the
+    read-back sees no partial output even if a task died mid-write —
+    matching the oracle on the SOURCE proves the sink round-trip is
+    lossless and exactly-once.  The streaming stage is a pure map
+    (no state, no watermark), so at scale it's one pass per
+    micro-batch with zero shuffle.
+
+    Scratch: $SPARK_GRAFT_SCRATCH if set, else tmpfs/local temp; a
+    real cluster must point this at shared storage."""
+    from skyhookdb_ceph_spark.queries.scans import _scratch_dir
+
+    tmp = tempfile.mkdtemp(prefix="skyhook_filesink_", dir=_scratch_dir())
+    try:
+        src = (
+            events_stream(spark, sf_dir)
+            .where(
+                F.col("event_type").isin("click", "purchase")
+                & (F.col("value") > 10)
+            )
+            .select("event_id", "event_type", "value")
+        )
+        committed = drain_to_files(src, f"{tmp}/out")
+        out = committed.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            quantize(F.sum("value"), 2).alias("sum_value"),
+        )
+        # Materialize before the scratch dir is removed.
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -69,7 +69,9 @@ _LOADED = False
 # round 4's window.  Everything stays covered by
 # tests/test_correctness.py's local oracle diff regardless.
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # -- NEWEST (round-3 wave 5, queries/pipeline2.py) (4)
+    # -- NEWEST (round-3 wave 6, queries/pipeline2.py) (3)
+    "q_multimodal_frames", "q_join_skew_salted", "q_stream_filesink",
+    # -- round-3 wave 5, queries/pipeline2.py (4)
     "q_sim_knn_batch", "q_dedup_passage", "q_fn_histogram", "q_layout_zorder",
     # -- round-3 waves 3-4, queries/pipeline.py (8)
     "q_pack_sequences", "q_sample_weighted", "q_text_unigram_lp",

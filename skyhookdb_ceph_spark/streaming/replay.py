@@ -135,3 +135,67 @@ def drain_to_memory(
 
             shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
+
+
+def drain_to_files(
+    stream_df: DataFrame,
+    out_dir: str,
+    needs_watermark_batch: bool = False,
+    state_partitions: int | None = None,
+) -> DataFrame:
+    """Drain a streaming DataFrame through Spark's transactional FILE
+    sink (parquet + `_spark_metadata` commit log) with
+    Trigger.AvailableNow, then read the committed files back.
+
+    This is the exactly-once persistence path: the metadata log lists
+    exactly the files of committed batches, so a batch read of the
+    directory sees no partial output even if a task died mid-write —
+    the streaming analog of the reference's transform-to-format ops.
+    Append-mode windowed aggregations emit only when the watermark
+    passes a window; such callers MUST pass needs_watermark_batch=True
+    (same contract as drain_to_memory) or closed windows never flush.
+    """
+    import shutil as _shutil
+
+    name = f"filesink_{uuid.uuid4().hex[:12]}"
+    spark = stream_df.sparkSession
+    ckpt_base = os.environ.get("SPARK_GRAFT_STREAM_CKPT")
+    if ckpt_base is None and os.path.isdir("/dev/shm"):
+        ckpt_base = "/dev/shm/skyhook_stream_ckpt"
+    if ckpt_base is None:
+        import tempfile as _tempfile
+
+        ckpt_base = _tempfile.mkdtemp(prefix="skyhook_stream_ckpt_")
+    ckpt = f"{ckpt_base}/{name}"  # file sink REQUIRES a checkpoint
+    stream_parts = os.environ.get(
+        "SPARK_GRAFT_STREAM_SHUFFLE",
+        str(state_partitions) if state_partitions else "2",
+    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", stream_parts)
+    spark.conf.set("spark.sql.streaming.minBatchesToRetain", "1")
+    prev_nodata = spark.conf.get(
+        "spark.sql.streaming.noDataMicroBatches.enabled", "true"
+    )
+    spark.conf.set(
+        "spark.sql.streaming.noDataMicroBatches.enabled",
+        "true" if needs_watermark_batch else "false",
+    )
+    try:
+        q = (
+            stream_df.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", prev_nodata
+        )
+        _shutil.rmtree(ckpt, ignore_errors=True)
+    # Batch read honors _spark_metadata: only committed files are seen.
+    return spark.read.parquet(out_dir)

@@ -194,3 +194,23 @@ def test_zorder_aggregates_partially(spark):
     plan = explain_str(q("q_layout_zorder", spark))
     assert plan.count("HashAggregate") >= 2
     assert "Window" not in plan
+
+
+def test_multimodal_frames_is_pure_map(spark):
+    """Frame sampling: Arrow-batched Python map over a pruned 2-column
+    scan — no shuffle, no join, no window anywhere in the plan."""
+    plan = explain_str(q("q_multimodal_frames", spark))
+    assert "MapInPandas" in plan
+    for op in ("Exchange", "Window", "Join"):
+        assert op not in plan, f"unexpected {op} in pure-map plan"
+
+
+def test_skew_salted_join_stays_equi(spark):
+    """Salted join: the (key, salt) condition must plan as an equi-join
+    (hash or sort-merge), never a nested-loop/cartesian shape, and the
+    internal salt column must not leak into the output."""
+    df = q("q_join_skew_salted", spark)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "__salt" not in df.columns
