@@ -111,6 +111,21 @@ class Catalog:
         raise AttributeError(name)
 
     def register_views(self, suffix: str = "") -> None:
-        """Register every fixture table as a temp view (SQL entry point)."""
+        """Register every fixture table as a temp view (SQL entry point).
+
+        Memoized per (session, sf_dir, suffix): registration costs ten
+        parquet-footer reads through py4j (~0.4 s), and temp views are
+        session-lived, so repeating it for every SQL-door query in one
+        session is pure overhead.  Re-registers when sf_dir changes for
+        the same suffix (views must track the active scale factor).
+        """
+        key = (self.sf_dir, suffix)
+        cache = getattr(self.spark, "_skyhook_graft_views", None)
+        if cache is None:
+            cache = {}
+            self.spark._skyhook_graft_views = cache  # noqa: SLF001
+        if cache.get(suffix) == key:
+            return
         for t in TABLES:
             self.table(t).createOrReplaceTempView(t + suffix)
+        cache[suffix] = key

@@ -1,0 +1,395 @@
+"""Training-data pipeline operators, round 3 wave 7 (SURVEY.md §2.14)
+— time-series regularization (gap-fill/LOCF, OHLC downsampling),
+exact-k reservoir sampling, hierarchical dedup, tokenizer-training
+pair mining, nearest-event joins, and parquet schema evolution.
+
+Same house rules as pipeline.py/pipeline2.py: deterministic (no RNG),
+every computed column quantized engine-invariantly and aliased
+identically in Spark and oracle SQL.  Time arithmetic is done on
+whole epoch seconds (unix_timestamp / floor(epoch())) so the ns-vs-µs
+timestamp precision difference between the two engines can never
+reorder ties — ordering keys are (sec, event_id), both exact BIGINTs.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from skyhookdb_ceph_spark.operators import ensure_parallelism
+from skyhookdb_ceph_spark.queries._util import Catalog, quantize
+from skyhookdb_ceph_spark.queries.scans import _scratch_dir
+from skyhookdb_ceph_spark.registry import query
+
+# ---------------------------------------------------------------------------
+# Time-series gap-fill: dense hourly grid + zero-fill + LOCF
+# ---------------------------------------------------------------------------
+
+_GAPFILL_ORACLE = """
+WITH bounds AS (
+  SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+  FROM events),
+types AS (SELECT DISTINCT event_type FROM events),
+grid AS (
+  SELECT t.event_type,
+         unnest(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS bucket_ts
+  FROM types t, bounds b),
+agg AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+         CAST(count(*) AS BIGINT) AS n_events, avg(value) AS avg_raw
+  FROM events GROUP BY 1, 2)
+SELECT g.event_type, g.bucket_ts,
+  coalesce(a.n_events, 0) AS n_events,
+  floor(last_value(a.avg_raw IGNORE NULLS) OVER (
+      PARTITION BY g.event_type ORDER BY g.bucket_ts
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000000 + 0.5)
+    / 1000000 AS value_locf
+FROM grid g LEFT JOIN agg a USING (event_type, bucket_ts)
+"""
+
+
+@query("q_ts_gapfill", oracle=_GAPFILL_ORACLE, tags=("pipeline", "timeseries"))
+def q_ts_gapfill(spark, sf_dir):
+    """Time-series regularization: densify an irregular event stream
+    onto an hourly grid — zero-fill counts, last-observation-carried-
+    forward for the hourly mean — the standard prep before windowed
+    feature extraction.  The grid is SPAN-bound, not row-bound
+    (hours-in-range x event types), so it stays tiny at 100 TB; the
+    only row-bound work is one partial-aggregating groupBy of the raw
+    events.  Bounds are a 1-row aggregate broadcast into the grid
+    build; LOCF is a per-type running `last(ignorenulls)` window —
+    partitioned by event_type, never global.  Leading buckets with no
+    prior observation stay NULL in both engines."""
+    ev = Catalog(spark, sf_dir).events
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket_ts")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.avg("value").alias("avg_raw"),
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias(
+                "bucket_ts"
+            ),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return grid.join(hourly, ["event_type", "bucket_ts"], "left").select(
+        "event_type",
+        "bucket_ts",
+        F.coalesce(F.col("n_events"), F.lit(0)).cast("bigint").alias("n_events"),
+        quantize(F.last("avg_raw", ignorenulls=True).over(w), 6).alias(
+            "value_locf"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# OHLC downsampling: 6-hour bars per event type
+# ---------------------------------------------------------------------------
+
+_DOWNSAMPLE_ORACLE = """
+WITH b AS (
+  SELECT event_type, event_id, value,
+    CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+    CAST(floor(floor(epoch(ts)) / 21600) * 21600 AS BIGINT) AS bucket_sec
+  FROM events),
+r AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY event_type, bucket_sec
+                       ORDER BY sec, event_id) AS rn_a,
+    row_number() OVER (PARTITION BY event_type, bucket_sec
+                       ORDER BY sec DESC, event_id DESC) AS rn_d
+  FROM b)
+SELECT event_type, bucket_sec,
+  max(CASE WHEN rn_a = 1 THEN value END) AS open_v,
+  max(value) AS high_v,
+  min(value) AS low_v,
+  max(CASE WHEN rn_d = 1 THEN value END) AS close_v,
+  CAST(count(*) AS BIGINT) AS n_events
+FROM r GROUP BY 1, 2
+"""
+
+
+@query("q_ts_downsample", oracle=_DOWNSAMPLE_ORACLE, tags=("pipeline", "timeseries"))
+def q_ts_downsample(spark, sf_dir):
+    """OHLC downsampling: collapse the raw stream into 6-hour
+    open/high/low/close/count bars per event type — the lossy
+    time-series compaction step (hypertable rollup analog).  Buckets
+    are pure epoch-second arithmetic (no timezone, no tz-aware
+    timestamp round-trip); open/close come from row_number windows
+    ordered by (sec, event_id) — exact BIGINTs, so the ns-vs-µs
+    precision gap between engines cannot flip a tie.  One keyed
+    shuffle on (event_type, bucket); bars = span/6h x types, tiny at
+    any corpus size; values are untouched doubles (bit-identical)."""
+    ev = Catalog(spark, sf_dir).events
+    b = ev.select(
+        "event_type",
+        "event_id",
+        "value",
+        F.unix_timestamp("ts").alias("sec"),
+    ).withColumn(
+        "bucket_sec", (F.floor(F.col("sec") / 21600) * 21600).cast("bigint")
+    )
+    w_asc = Window.partitionBy("event_type", "bucket_sec").orderBy(
+        "sec", "event_id"
+    )
+    w_desc = Window.partitionBy("event_type", "bucket_sec").orderBy(
+        F.desc("sec"), F.desc("event_id")
+    )
+    r = b.withColumn("rn_a", F.row_number().over(w_asc)).withColumn(
+        "rn_d", F.row_number().over(w_desc)
+    )
+    return r.groupBy("event_type", "bucket_sec").agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open_v"),
+        F.max("value").alias("high_v"),
+        F.min("value").alias("low_v"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close_v"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact-k deterministic reservoir (priority) sample per stratum
+# ---------------------------------------------------------------------------
+
+_RESERVOIR_ORACLE = """
+SELECT doc_id, lang, rnk FROM (
+  SELECT doc_id, lang,
+    CAST(row_number() OVER (
+      PARTITION BY lang
+      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS rnk
+  FROM documents)
+WHERE rnk <= 20
+"""
+
+
+@query("q_sample_reservoir", oracle=_RESERVOIR_ORACLE, tags=("pipeline", "sampling"))
+def q_sample_reservoir(spark, sf_dir):
+    """Exactly-k-per-stratum deterministic sample: rank every doc
+    inside its language by a content-independent hash (md5 of id) and
+    keep the k smallest — distributed priority/reservoir sampling.
+    Unlike q_sample_stratified's rate-based filter (which yields a
+    BINOMIAL count per stratum), this guarantees exactly k rows per
+    stratum, reproducibly.  The per-stratum top-k is a partial
+    TakeOrdered per partition then a k-row merge per key — never a
+    global sort; strata are languages, so the window key never skews
+    beyond corpus language balance (salt the hash prefix into the
+    partition key if one stratum dominates)."""
+    d = Catalog(spark, sf_dir).documents
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.select("doc_id", "lang")
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .where("rnk <= 20")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hierarchical (shard-local then global) exact dedup
+# ---------------------------------------------------------------------------
+
+_HIER_DEDUP_ORACLE = """
+SELECT md5(text) AS content_key, min(doc_id) AS keeper_doc,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+@query("q_dedup_hierarchical", oracle=_HIER_DEDUP_ORACLE, tags=("pipeline", "dedup"))
+def q_dedup_hierarchical(spark, sf_dir):
+    """Two-level exact dedup: collapse duplicates WITHIN a shard
+    first (level 1), then merge shard survivors globally (level 2) —
+    the hierarchy every petabyte dedup runs so the global shuffle
+    carries one (key, keeper, count) row per shard-distinct document
+    instead of every raw row.  Result is provably identical to a
+    single global groupBy (min and sum are associative), which is
+    exactly what the oracle computes — the diff IS the equivalence
+    proof.  Level 1 here keys on (doc_id % 8); on a real cluster the
+    shard is the ingest partition, making level 1 map-side-only."""
+    d = Catalog(spark, sf_dir).documents
+    l1 = (
+        d.select(
+            F.md5("text").alias("content_key"),
+            (F.col("doc_id") % 8).alias("shard"),
+            "doc_id",
+        )
+        .groupBy("shard", "content_key")
+        .agg(F.min("doc_id").alias("keeper"), F.count(F.lit(1)).alias("cnt"))
+    )
+    return l1.groupBy("content_key").agg(
+        F.min("keeper").alias("keeper_doc"),
+        F.sum("cnt").alias("n_copies"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer-training pair mining (BPE first-merge statistics)
+# ---------------------------------------------------------------------------
+
+_VOCAB_PAIRS_ORACLE = """
+WITH w AS (SELECT string_split(text, ' ') AS words FROM documents),
+p AS (
+  SELECT unnest(CASE WHEN len(words) >= 2 THEN
+    list_transform(generate_series(1, len(words) - 1),
+      i -> array_to_string(list_slice(words, i, i + 1), ' '))
+    ELSE [] END) AS pair
+  FROM w),
+c AS (SELECT pair, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY pair)
+SELECT pair, n, rnk FROM (
+  SELECT pair, n,
+    CAST(row_number() OVER (ORDER BY n DESC, pair) AS INT) AS rnk
+  FROM c)
+WHERE rnk <= 20
+"""
+
+
+@query("q_vocab_pairs", oracle=_VOCAB_PAIRS_ORACLE, tags=("pipeline", "text"))
+def q_vocab_pairs(spark, sf_dir):
+    """Adjacent-pair frequency mining — the inner statistic of BPE /
+    WordPiece tokenizer training (which symbol pair to merge next) and
+    of collocation analysis.  Per-doc pair extraction is a pure map
+    (no shuffle); counting is one partial-aggregating groupBy on the
+    pair string; the top-20 is computed per-partition first (row_number
+    after a 20-row TakeOrdered), so nothing global ever sorts the full
+    pair vocabulary.  Sub-2-word docs contribute no pairs in either
+    engine (identical CASE guard)."""
+    d = ensure_parallelism(Catalog(spark, sf_dir).documents)
+    counts = (
+        d.selectExpr(
+            "CASE WHEN size(split(text, ' ')) >= 2 THEN "
+            "transform(sequence(1, size(split(text, ' ')) - 1), "
+            "i -> concat_ws(' ', slice(split(text, ' '), i, 2))) "
+            "ELSE array() END AS prs"
+        )
+        .select(F.explode("prs").alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    top = counts.orderBy(F.desc("n"), "pair").limit(20)
+    w = Window.orderBy(F.desc("n"), "pair")  # 20 rows post-limit: single tiny task
+    return top.withColumn("rnk", F.row_number().over(w).cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# Nearest-event join (band-limited |Δt| argmin)
+# ---------------------------------------------------------------------------
+
+_NEAREST_ORACLE = """
+WITH e AS (
+  SELECT event_id, user_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS sec
+  FROM events),
+c AS (SELECT event_id AS click_id, user_id, sec AS c_sec
+      FROM e WHERE event_type = 'click'),
+p AS (SELECT event_id AS purchase_id, user_id, sec AS p_sec
+      FROM e WHERE event_type = 'purchase'),
+j AS (
+  SELECT c.click_id, p.purchase_id, abs(p.p_sec - c.c_sec) AS gap_s
+  FROM c JOIN p USING (user_id)
+  WHERE p.p_sec BETWEEN c.c_sec - 21600 AND c.c_sec + 21600),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY click_id ORDER BY gap_s, purchase_id) AS rn
+  FROM j)
+SELECT click_id, purchase_id, gap_s FROM r WHERE rn = 1
+"""
+
+
+@query("q_join_nearest", oracle=_NEAREST_ORACLE, tags=("pipeline", "join"))
+def q_join_nearest(spark, sf_dir):
+    """Nearest-neighbor time join: for every click, the SAME USER's
+    temporally closest purchase within ±6 h — the bidirectional
+    generalization of q_join_asof (which only looks backward).  The
+    join is an equi-join on user_id plus a band predicate, so the
+    candidate set per click is bounded by the band (never the user's
+    whole history); the argmin is a per-click row_number window.  All
+    time math is whole epoch seconds (engine-invariant BIGINTs);
+    clicks with no purchase in the band drop out in both engines.  At
+    skew (one bot user) the user_id key salts exactly like any
+    equi-join — see operators/skew.salted_join."""
+    ev = Catalog(spark, sf_dir).events.select(
+        "event_id", "user_id", "event_type", F.unix_timestamp("ts").alias("sec")
+    )
+    clicks = ev.where("event_type = 'click'").selectExpr(
+        "event_id AS click_id", "user_id", "sec AS c_sec"
+    )
+    buys = ev.where("event_type = 'purchase'").selectExpr(
+        "event_id AS purchase_id", "user_id", "sec AS p_sec"
+    )
+    j = (
+        clicks.join(buys, "user_id")
+        .where("p_sec BETWEEN c_sec - 21600 AND c_sec + 21600")
+        .withColumn("gap_s", F.abs(F.col("p_sec") - F.col("c_sec")))
+    )
+    w = Window.partitionBy("click_id").orderBy("gap_s", "purchase_id")
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select("click_id", "purchase_id", "gap_s")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Parquet schema evolution (mergeSchema read across snapshot versions)
+# ---------------------------------------------------------------------------
+
+_EVOLVE_ORACLE = """
+SELECT doc_id, lang, CAST(NULL AS VARCHAR) AS source
+FROM documents WHERE doc_id % 2 = 0
+UNION ALL
+SELECT doc_id, lang, source FROM documents WHERE doc_id % 2 = 1
+"""
+
+
+@query("q_schema_evolve", oracle=_EVOLVE_ORACLE, tags=("pipeline", "storage"))
+def q_schema_evolve(spark, sf_dir):
+    """Schema evolution across dataset snapshots: an old snapshot
+    written WITHOUT a column and a new snapshot written WITH it read
+    back as ONE dataset via mergeSchema — old rows surface NULL for
+    the added column, byte-for-byte what the UNION-by-name oracle
+    computes.  This is the lakehouse additive-column contract every
+    long-lived training corpus relies on (schema drift without
+    rewrite).  mergeSchema costs one footer read per FILE at planning
+    time — at 100 TB restrict it to snapshot boundaries (explicit
+    paths, as here) rather than globbing the whole lake.  Scratch:
+    $SPARK_GRAFT_SCRATCH if set, else tmpfs/local temp; a real
+    cluster must point it at shared storage."""
+    tmp = tempfile.mkdtemp(prefix="skyhook_evolve_", dir=_scratch_dir())
+    try:
+        d = Catalog(spark, sf_dir).documents
+        d.where("doc_id % 2 = 0").select("doc_id", "lang").write.mode(
+            "overwrite"
+        ).parquet(f"{tmp}/v1")
+        d.where("doc_id % 2 = 1").select("doc_id", "lang", "source").write.mode(
+            "overwrite"
+        ).parquet(f"{tmp}/v2")
+        merged = (
+            spark.read.option("mergeSchema", True)
+            .parquet(f"{tmp}/v1", f"{tmp}/v2")
+            .select("doc_id", "lang", "source")
+        )
+        # Materialize before the scratch dir disappears (same pattern
+        # as q_transform_format); the result is one row per document.
+        rows = merged.collect()
+        return spark.createDataFrame(rows, merged.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -69,7 +69,11 @@ _LOADED = False
 # round 4's window.  Everything stays covered by
 # tests/test_correctness.py's local oracle diff regardless.
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # -- NEWEST (round-3 wave 6, queries/pipeline2.py) (3)
+    # -- NEWEST (round-3 wave 7, queries/pipeline3.py) (7)
+    "q_ts_gapfill", "q_ts_downsample", "q_sample_reservoir",
+    "q_dedup_hierarchical", "q_vocab_pairs", "q_join_nearest",
+    "q_schema_evolve",
+    # -- round-3 wave 6, queries/pipeline2.py (3)
     "q_multimodal_frames", "q_join_skew_salted", "q_stream_filesink",
     # -- round-3 wave 5, queries/pipeline2.py (4)
     "q_sim_knn_batch", "q_dedup_passage", "q_fn_histogram", "q_layout_zorder",
@@ -121,6 +125,7 @@ def load_all() -> dict[str, QuerySpec]:
             llm,
             pipeline,
             pipeline2,
+            pipeline3,
             scans,
             setops,
             sorts,
