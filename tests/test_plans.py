@@ -214,3 +214,64 @@ def test_skew_salted_join_stays_equi(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "__salt" not in df.columns
+
+
+def test_gapfill_grid_windows_stay_partitioned(spark):
+    """Gap-fill: the only single-partition stage allowed is the 1-row
+    bounds aggregate; the LOCF window itself must partition by
+    event_type (a global LOCF window would serialize the whole grid),
+    and the grid build must never plan a real cartesian."""
+    plan = explain_str(q("q_ts_gapfill", spark))
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+    # The formatted detail block for the Window node lists the
+    # partition spec; it must carry event_type.
+    assert "event_type" in plan.rsplit("Window", 1)[1][:400]
+
+
+def test_downsample_reuses_one_shuffle_key(spark):
+    """OHLC bars: both row_number windows and the final aggregate key
+    on (event_type, bucket); nothing in the plan may collapse to a
+    single partition."""
+    plan = explain_str(q("q_ts_downsample", spark))
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(event_type" in plan.replace("#", "").replace(
+        " ", ""
+    ) or "event_type" in plan
+
+
+def test_reservoir_sample_has_no_global_sort(spark):
+    """Exact-k sampling: per-stratum rank only — a SinglePartition
+    exchange would mean the corpus is being globally sorted."""
+    plan = explain_str(q("q_sample_reservoir", spark))
+    assert "SinglePartition" not in plan
+    assert "Window" in plan
+
+
+def test_hierarchical_dedup_is_pure_aggregation(spark):
+    """Two-level dedup: aggregates only — no join anywhere (the
+    equivalence to single-level dedup rests on agg associativity,
+    not on joining shard results back)."""
+    plan = explain_str(q("q_dedup_hierarchical", spark))
+    assert "HashAggregate" in plan
+    assert "Join" not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_vocab_pairs_top_k_fuses(spark):
+    """Pair mining: the top-20 must plan as TakeOrderedAndProject
+    (per-partition partial top-k), never a full sort of the pair
+    vocabulary."""
+    plan = explain_str(q("q_vocab_pairs", spark))
+    assert "TakeOrderedAndProject" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_join_nearest_stays_equi(spark):
+    """Nearest-event join: user_id equi-join + band residual — no
+    nested-loop/cartesian shape, and the per-click argmin window must
+    not collapse to a single partition."""
+    plan = explain_str(q("q_join_nearest", spark))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SinglePartition" not in plan

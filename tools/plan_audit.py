@@ -103,6 +103,27 @@ AUDIT = {
         "codegen'd int expressions in the scan project, partial "
         "HashAggregate before the Exchange on zrange."
     ),
+    "q_ts_gapfill": (
+        "Time-series gap-fill. Wanted: span-bound grid from a 1-row "
+        "bounds broadcast (the only SinglePartition stage), hourly "
+        "partial HashAggregate of raw events broadcast-joined to the "
+        "grid, LOCF window partitioned by event_type — never global."
+    ),
+    "q_ts_downsample": (
+        "OHLC downsampling. Wanted: one Exchange on (event_type, "
+        "bucket); both row_number windows and the final aggregate "
+        "reuse that partitioning; no SinglePartition anywhere."
+    ),
+    "q_join_nearest": (
+        "Nearest-event join. Wanted: user_id equi-join (hash/sort-"
+        "merge) with the ±6h band as residual filter — no nested "
+        "loop; per-click argmin window partitioned by click_id."
+    ),
+    "q_vocab_pairs": (
+        "Tokenizer pair mining. Wanted: pair explode as pure map, "
+        "partial HashAggregate on the pair key, TakeOrderedAndProject "
+        "for the top-20 — the full pair vocabulary is never sorted."
+    ),
 }
 
 
