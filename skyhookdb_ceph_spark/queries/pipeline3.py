@@ -393,3 +393,239 @@ def q_schema_evolve(spark, sf_dir):
         return spark.createDataFrame(rows, merged.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ===========================================================================
+# Wave 8
+# ===========================================================================
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval (full scoring path over the inverted-index idea)
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("table", "query")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+_BM25_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM (
+    SELECT doc_id, unnest(toks) AS term FROM d) x
+  WHERE term IN ('{_BM25_TERMS[0]}', '{_BM25_TERMS[1]}')
+  GROUP BY doc_id, term),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+    sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+        * tf.tf * ({_BM25_K1} + 1)
+        / (tf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl.dl / s.avgdl))
+    ) AS raw
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats s
+  GROUP BY tf.doc_id),
+q AS (
+  SELECT doc_id, floor(raw * 1000000 + 0.5) / 1000000 AS bm25,
+    CAST(row_number() OVER (
+      ORDER BY floor(raw * 1000000 + 0.5) / 1000000 DESC, doc_id) AS INT)
+      AS rnk
+  FROM scored)
+SELECT doc_id, bm25, rnk FROM q WHERE rnk <= 10
+"""
+
+
+@query("q_text_bm25", oracle=_BM25_ORACLE, tags=("pipeline", "text"))
+def q_text_bm25(spark, sf_dir):
+    """BM25 ranked retrieval — the full scoring path behind the §2.11
+    inverted index (q_text_keyword ranks by raw tf; this adds idf and
+    length normalization, the production ranking function).  Postings
+    are filtered to the query terms AT THE EXPLODE (the posting-list
+    fetch), so only matching (doc, term) pairs ever shuffle; N/avgdl
+    are a 1-row broadcast; per-term df is a tiny broadcast dim.  The
+    float sum per doc is over |query| terms only (2), so cross-engine
+    summation order cannot drift; 6-decimal quantization before the
+    rank window makes the ordering engine-invariant."""
+    d = Catalog(spark, sf_dir).documents.select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    dl = d.select("doc_id", F.size("toks").cast("bigint").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        d.select("doc_id", F.explode("toks").alias("term"))
+        .where(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    k1, b = _BM25_K1, _BM25_B
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+                * F.col("tf")
+                * (k1 + 1)
+                / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+            ).alias("raw")
+        )
+    )
+    ranked = scored.select(
+        "doc_id", quantize(F.col("raw"), 6).alias("bm25")
+    )
+    top = ranked.orderBy(F.desc("bm25"), "doc_id").limit(10)
+    w = Window.orderBy(F.desc("bm25"), "doc_id")  # 10 rows post-limit
+    return top.withColumn("rnk", F.row_number().over(w).cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window distinct users (bounded-replication explode, never a
+# sliding-state scan)
+# ---------------------------------------------------------------------------
+
+_SLIDING_DISTINCT_ORACLE = """
+WITH e AS (SELECT CAST(ts AS DATE) AS d, user_id FROM events),
+b AS (SELECT max(d) AS hi FROM e),
+x AS (
+  SELECT e.d + o.o AS w_day, e.user_id
+  FROM e, (SELECT CAST(unnest(range(0, 7)) AS INTEGER) AS o) o, b
+  WHERE e.d + o.o <= b.hi)
+SELECT CAST(w_day AS VARCHAR) AS w_day,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM x GROUP BY 1
+"""
+
+
+@query(
+    "q_win_sliding_distinct",
+    oracle=_SLIDING_DISTINCT_ORACLE,
+    tags=("pipeline", "window"),
+)
+def q_win_sliding_distinct(spark, sf_dir):
+    """Trailing 7-day distinct-user count for EVERY day — the sliding
+    count-distinct that defeats both window frames (distinct is not
+    frame-mergeable) and naive per-day self-joins.  The scale shape:
+    each event replicates into exactly the 7 window-ends it can
+    influence (bounded, data-independent fan-out), then ONE
+    (day)-keyed distinct aggregation — shuffle volume is 7x the
+    (day, user) pairs, never quadratic, and AQE coalesces the tiny
+    day partitions.  Replication factor = window/step, the same
+    arithmetic Structured Streaming uses for sliding windows."""
+    ev = Catalog(spark, sf_dir).events.select(
+        F.to_date("ts").alias("d"), "user_id"
+    )
+    hi = ev.agg(F.max("d").alias("hi"))
+    return (
+        ev.select(
+            "d", "user_id", F.explode(F.sequence(F.lit(0), F.lit(6))).alias("o")
+        )
+        .withColumn("w_day", F.date_add(F.col("d"), F.col("o")))
+        .crossJoin(F.broadcast(hi))
+        .where(F.col("w_day") <= F.col("hi"))
+        .groupBy(F.col("w_day").cast("string").alias("w_day"))
+        .agg(F.count_distinct("user_id").cast("bigint").alias("n_users"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dataset snapshot diff (added / removed / changed / unchanged)
+# ---------------------------------------------------------------------------
+
+_SNAPSHOT_DIFF_ORACLE = """
+WITH v1 AS (
+  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 5 <> 4),
+v2 AS (
+  SELECT doc_id,
+    md5(CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END) AS h
+  FROM documents WHERE doc_id % 7 <> 0)
+SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+  CASE WHEN v1.doc_id IS NULL THEN 'added'
+       WHEN v2.doc_id IS NULL THEN 'removed'
+       WHEN v1.h <> v2.h THEN 'changed'
+       ELSE 'unchanged' END AS change
+FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+"""
+
+
+@query("q_snapshot_diff", oracle=_SNAPSHOT_DIFF_ORACLE, tags=("pipeline", "storage"))
+def q_snapshot_diff(spark, sf_dir):
+    """Dataset-version diff: classify every document as added /
+    removed / changed / unchanged between two snapshots by comparing
+    content hashes under a full outer join on the stable id — the
+    audit step before promoting a new training-corpus version.  Only
+    (id, 16-byte hash) pairs shuffle, never document bodies; the join
+    is a plain equi-join on the id, so it buckets/salts like any
+    other.  Snapshots here are deterministic fixture slices (v1 drops
+    id%5==4, v2 drops id%7==0 and rewrites id%3==0)."""
+    docs = Catalog(spark, sf_dir).documents
+    v1 = docs.where("doc_id % 5 <> 4").select(
+        "doc_id", F.md5("text").alias("h")
+    )
+    v2 = docs.where("doc_id % 7 <> 0").select(
+        "doc_id",
+        F.md5(
+            F.when(F.col("doc_id") % 3 == 0, F.concat("text", F.lit(" v2")))
+            .otherwise(F.col("text"))
+        ).alias("h"),
+    )
+    j = v1.alias("a").join(
+        v2.alias("b"), F.col("a.doc_id") == F.col("b.doc_id"), "full_outer"
+    )
+    return j.select(
+        F.coalesce(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_id"),
+        F.when(F.col("a.doc_id").isNull(), "added")
+        .when(F.col("b.doc_id").isNull(), "removed")
+        .when(F.col("a.h") != F.col("b.h"), "changed")
+        .otherwise("unchanged")
+        .alias("change"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-source token entropy (vocabulary-diversity quality signal)
+# ---------------------------------------------------------------------------
+
+_ENTROPY_ORACLE = """
+WITH t AS (
+  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+c AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS n
+      FROM t GROUP BY source, tok),
+tot AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS vocab
+        FROM c GROUP BY source)
+SELECT c.source, tot.n_tokens, tot.vocab,
+  floor(-sum((n * 1.0 / n_tokens) * ln(n * 1.0 / n_tokens)) * 1000000 + 0.5)
+    / 1000000 AS entropy
+FROM c JOIN tot USING (source)
+GROUP BY c.source, tot.n_tokens, tot.vocab
+"""
+
+
+@query("q_agg_entropy", oracle=_ENTROPY_ORACLE, tags=("pipeline", "text"))
+def q_agg_entropy(spark, sf_dir):
+    """Shannon entropy of the token distribution per source — the
+    vocabulary-diversity signal quality filters use to catch template
+    spam (low entropy) and binary junk (spuriously high entropy).
+    Two keyed shuffles total: token counts partial-aggregate map-side
+    on (source, token); per-source totals are a second tiny agg
+    joined back broadcast-small.  Cross-engine float drift from
+    summation order is ~1e-12 against a 5e-7 quantization threshold
+    (same tolerance argument as q_text_unigram_lp/q_agg_corr)."""
+    t = ensure_parallelism(Catalog(spark, sf_dir).documents).select(
+        "source", F.explode(F.split("text", " ")).alias("tok")
+    )
+    c = t.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("n"))
+    tot = c.groupBy("source").agg(
+        F.sum("n").alias("n_tokens"), F.count(F.lit(1)).alias("vocab")
+    )
+    p = F.col("n") * 1.0 / F.col("n_tokens")
+    return (
+        c.join(F.broadcast(tot), "source")
+        .groupBy("source", "n_tokens", "vocab")
+        .agg(quantize(-F.sum(p * F.log(p)), 6).alias("entropy"))
+    )

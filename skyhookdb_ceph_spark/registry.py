@@ -69,7 +69,10 @@ _LOADED = False
 # round 4's window.  Everything stays covered by
 # tests/test_correctness.py's local oracle diff regardless.
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # -- NEWEST (round-3 wave 7, queries/pipeline3.py) (7)
+    # -- NEWEST (round-3 wave 8, queries/pipeline3.py) (4)
+    "q_text_bm25", "q_win_sliding_distinct", "q_snapshot_diff",
+    "q_agg_entropy",
+    # -- round-3 wave 7, queries/pipeline3.py (7)
     "q_ts_gapfill", "q_ts_downsample", "q_sample_reservoir",
     "q_dedup_hierarchical", "q_vocab_pairs", "q_join_nearest",
     "q_schema_evolve",

@@ -275,3 +275,47 @@ def test_join_nearest_stays_equi(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "SinglePartition" not in plan
+
+
+def test_bm25_broadcasts_stats_and_df(spark):
+    """BM25: corpus stats (N, avgdl) and per-term df must arrive via
+    broadcast; the top-10 must fuse into TakeOrderedAndProject; no
+    cartesian anywhere (the 1-row stats cross-join plans as a
+    broadcast nested loop, which is fine)."""
+    plan = explain_str(q("q_text_bm25", spark))
+    assert "BroadcastExchange" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sliding_distinct_bounded_fanout(spark):
+    """Sliding distinct: the explode is the bounded 7x replication —
+    the plan must be Generate + one keyed aggregate, with no window
+    operator and no single-partition collapse."""
+    plan = explain_str(q("q_win_sliding_distinct", spark))
+    assert "Generate" in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_snapshot_diff_joins_hashes_only(spark):
+    """Snapshot diff: the full outer join must be an equi-join and
+    must not carry document text through the shuffle — only ids and
+    16-byte hashes."""
+    plan = explain_str(q("q_snapshot_diff", spark))
+    assert "FullOuter" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # text is consumed by md5() inside the scan-side projections;
+    # no join/exchange operand should list the raw text column.
+    join_on = plan[plan.find("SortMergeJoin"):]
+    assert "text#" not in join_on.split("(")[0]
+
+
+def test_entropy_two_keyed_shuffles(spark):
+    """Entropy: (source, token) counts then per-source totals — the
+    totals join back must be broadcast (aggregate side is tiny), and
+    nothing may collapse to a single partition."""
+    plan = explain_str(q("q_agg_entropy", spark))
+    assert "BroadcastHashJoin" in plan
+    assert "SinglePartition" not in plan
