@@ -61,43 +61,17 @@ _LOADED = False
 # list pins the front of the registry each round; anything not listed
 # keeps module-import order after it.
 #
-# Round-3 rotation: the 15 new §2.14 pipeline ops, then the entries
-# never driver-verified (all §2.12/LLM ops, all streaming, UDF
-# surface) — the window cuts at entry #50; everything below it
-# (subqueries, round-2 scans, transform_orc, sort_nulls, the window
-# family, asof, plus the four r1-only modified entries) rotates into
-# round 4's window.  Everything stays covered by
+# Round-4 rotation: the 36 entries that have never appeared in any
+# CORRECTNESS_r{1,2,3}.json (cumulative driver-green after r3 =
+# 115/151), followed by this round's new queries so they get a verdict
+# immediately.  Everything outside the window stays covered by
 # tests/test_correctness.py's local oracle diff regardless.
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # -- NEWEST (round-3 wave 8, queries/pipeline3.py) (4)
-    "q_text_bm25", "q_win_sliding_distinct", "q_snapshot_diff",
-    "q_agg_entropy",
-    # -- round-3 wave 7, queries/pipeline3.py (7)
-    "q_ts_gapfill", "q_ts_downsample", "q_sample_reservoir",
-    "q_dedup_hierarchical", "q_vocab_pairs", "q_join_nearest",
-    "q_schema_evolve",
-    # -- round-3 wave 6, queries/pipeline2.py (3)
-    "q_multimodal_frames", "q_join_skew_salted", "q_stream_filesink",
-    # -- round-3 wave 5, queries/pipeline2.py (4)
-    "q_sim_knn_batch", "q_dedup_passage", "q_fn_histogram", "q_layout_zorder",
-    # -- round-3 waves 3-4, queries/pipeline.py (8)
-    "q_pack_sequences", "q_sample_weighted", "q_text_unigram_lp",
-    "q_win_sessionize", "q_dedup_url", "q_sample_negatives",
-    "q_curriculum_bins", "q_mine_hardneg",
-    # -- NEW in round 3 (queries/pipeline.py) — never existed before (15)
-    "q_sample_stratified", "q_split_group_aware", "q_sample_balanced",
-    "q_upsert_latest", "q_agg_salted_skew", "q_join_range",
-    "q_text_repetition", "q_text_cooccur", "q_agg_approx_quantile",
-    "q_vec_centroids", "q_dedup_cluster", "q_agg_mode", "q_agg_corr",
-    "q_fn_url_parse", "q_text_pii_redact",
-    # -- never driver-verified: LLM / training-data ops (22)
-    "q_dedup_exact", "q_dedup_fuzzy", "q_dedup_simhash", "q_dedup_ngram",
-    "q_dedup_embed", "q_dedup_decontaminate", "q_vec_normalize",
-    "q_embed_quantize", "q_sim_knn", "q_sim_pairs", "q_sim_knn_ivf",
-    "q_text_stats", "q_text_keyword", "q_text_langid", "q_text_quality",
-    "q_text_tokens", "q_text_fingerprint", "q_text_edit_distance",
-    "q_text_chunk", "q_text_tfidf", "q_multimodal_json",
-    "q_multimodal_binary",
+    # -- never driver-verified: LLM / text ops past r2's cut (13)
+    "q_sim_pairs", "q_sim_knn_ivf", "q_text_stats", "q_text_keyword",
+    "q_text_langid", "q_text_quality", "q_text_tokens",
+    "q_text_fingerprint", "q_text_edit_distance", "q_text_chunk",
+    "q_text_tfidf", "q_multimodal_json", "q_multimodal_binary",
     # -- never driver-verified: streaming (8)
     "q_stream_tumbling", "q_stream_sliding", "q_stream_session",
     "q_stream_watermark", "q_stream_dedup", "q_stream_join",
@@ -105,12 +79,18 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # -- never driver-verified: UDF surface + subqueries (6)
     "q_udf_pandas_scalar", "q_udaf_grouped_agg", "q_udtf",
     "q_subquery_exists", "q_subquery_scalar", "q_subquery_in",
-    # -- never driver-verified: round-2 scans/sorts/windows/joins (10)
+    # -- never driver-verified: round-2 scans/sorts/windows/joins (9)
     "q_transform_json", "q_scan_pushdown_source", "q_sample_hash",
     "q_runstats", "q_transform_orc", "q_sort_nulls", "q_win_first_last",
-    "q_win_quartile_scalable", "q_win_lag_lead", "q_join_asof",
-    # -- r1-verified-only, modified this round (4)
-    "q_join_multiway", "q_win_ntile_pct", "q_tpch_q3", "q_topk",
+    "q_win_quartile_scalable", "q_join_asof",
+    # -- only driver verdict is the r1 crash (fixed r2, never re-gated)
+    "q_win_lag_lead",
+    # -- NEW in round 4 (fill the remaining window slots as added)
+    "q_tpch_q1", "q_tpch_q6", "q_tpch_q12", "q_tpch_q14",
+    "q_graph_components", "q_graph_pagerank", "q_filter_bloom",
+    "q_agg_countmin", "q_ts_asof_interp", "q_delta_upsert_merge",
+    "q_fn_struct_ops", "q_win_cume_dist", "q_text_minhash_cluster",
+    "q_text_zipf",
 )
 
 

@@ -17,18 +17,21 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# Raw schema of events.parquet under nanosAsLong (see catalog.py): the
-# file stream source needs an explicit schema.
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # raw nanoseconds
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_ts_is_nanos(sf_dir: str, glob: str) -> bool:
+    """True iff the events fixture stores ts as TIMESTAMP(NANOS) (which
+    Spark can only read as a raw long under nanosAsLong).  Fixture
+    generators have shipped BOTH units across rounds, so sniff the
+    parquet footer instead of assuming — the batch Catalog does the
+    same adaptively (catalog.py _fix_event_ts)."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    paths = sorted(_glob.glob(os.path.join(sf_dir, glob)))
+    if not paths:
+        return False
+    ts_type = pq.read_schema(paths[0]).field("ts").type
+    return getattr(ts_type, "unit", None) == "ns"
 
 
 def events_stream(
@@ -39,7 +42,7 @@ def events_stream(
     parquet files in the directory feed the stream (a directory of
     file-level COPIES of the fixture is the zero-cost way to replay
     the same events N times — no Spark rewrite job needed)."""
-    # The raw-long read of the NANOS timestamp needs the same conf the
+    # The raw-long read of a NANOS timestamp needs the same conf the
     # batch Catalog guarantees; the driver's session may lack it.
     from skyhookdb_ceph_spark.catalog import Catalog
 
@@ -48,12 +51,29 @@ def events_stream(
             spark.conf.set(k, v)
         except Exception:  # noqa: BLE001
             pass
+    nanos = _events_ts_is_nanos(sf_dir, glob)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField(
+                "ts", T.LongType() if nanos else T.TimestampType()
+            ),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", glob)
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if nanos:
+        raw = raw.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return raw
 
 
 def drain_to_memory(
