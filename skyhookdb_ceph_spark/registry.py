@@ -109,6 +109,7 @@ def load_all() -> dict[str, QuerySpec]:
             pipeline,
             pipeline2,
             pipeline3,
+            pipeline4,
             scans,
             setops,
             sorts,

@@ -319,3 +319,91 @@ def test_entropy_two_keyed_shuffles(spark):
     plan = explain_str(q("q_agg_entropy", spark))
     assert "BroadcastHashJoin" in plan
     assert "SinglePartition" not in plan
+
+
+def test_tpch_q6_pushes_all_predicates(spark):
+    """Q6: the date band and both numeric ranges must ALL reach the
+    parquet scan — at 100 TB row-group statistics skip most of the
+    table before a byte is decoded."""
+    df = q("q_tpch_q6", spark)
+    assert has_pushed_filters(df)
+    plan = explain_str(df)
+    pushed = plan[plan.find("PushedFilters"):].split("]")[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed
+
+
+def test_tpch_q1_partial_aggregates(spark):
+    """Q1: all 8 aggregates must compute partially map-side; only the
+    6-group partial states cross the exchange."""
+    plan = explain_str(q("q_tpch_q1", spark))
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_sum" in plan or "partial" in plan.lower()
+
+
+def test_tpch_q12_stays_equi_join(spark):
+    """Q12: the orderkey join must stay an equi-join with the
+    late-shipment band as a residual filter — never a nested loop.
+    The STRATEGY is deliberately Catalyst's choice: at fixture scale
+    it broadcasts the small orders side; at 100 TB size stats make it
+    a sort-merge of the two facts (no hint pins either)."""
+    plan = explain_str(q("q_tpch_q12", spark))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    joins = joins_used(q("q_tpch_q12", spark))
+    assert joins & {"SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"}
+
+
+def test_bloom_probe_never_shuffles_fact(spark):
+    """Bloom pre-join: the three bit-position semi-joins must all be
+    broadcast (<=1024-row build sides); the lineitem probe side must
+    reach the final aggregate without a key Exchange."""
+    plan = explain_str(q("q_filter_bloom", spark))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_countmin_sketch_state_is_bounded(spark):
+    """CMS: explode is a pure map (Generate); counter build is a
+    partial/final HashAggregate pair; probe joins the broadcast
+    sketch — no sort-merge anywhere."""
+    plan = explain_str(q("q_agg_countmin", spark))
+    assert "Generate" in plan
+    assert plan.count("HashAggregate") >= 2
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_asof_interp_single_user_shuffle(spark):
+    """Interpolation: all four window frames must ride ONE
+    hashpartitioning(user_id) exchange — never SinglePartition."""
+    plan = explain_str(q("q_ts_asof_interp", spark))
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(user_id" in plan
+
+
+def test_cume_dist_window_is_partitioned(spark):
+    """cume_dist/percent_rank must partition by nation — the
+    scale-safe counterpart of the guarded global ntile."""
+    plan = explain_str(q("q_win_cume_dist", spark))
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(c_nationkey" in plan
+
+
+def test_upsert_merge_joins_once(spark):
+    """MERGE: both sides pre-aggregate, then exactly one full-outer
+    equi-join on the merge key."""
+    plan = explain_str(q("q_delta_upsert_merge", spark))
+    assert "FullOuter" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pagerank_iterations_broadcast(spark):
+    """PageRank: after the one fact-scale edge aggregation, every
+    rank iteration must join node-bounded tables via broadcast — no
+    iteration may sort-merge the 25-row rank table."""
+    plan = explain_str(q("q_graph_pagerank", spark))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

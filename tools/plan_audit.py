@@ -124,6 +124,41 @@ AUDIT = {
         "partial HashAggregate on the pair key, TakeOrderedAndProject "
         "for the top-20 — the full pair vocabulary is never sorted."
     ),
+    "q_tpch_q1": (
+        "TPC-H Q1. Wanted: pushed shipdate filter, partial "
+        "HashAggregate of all 8 aggregates before a 6-row Exchange, "
+        "final HashAggregate + sort."
+    ),
+    "q_tpch_q6": (
+        "TPC-H Q6. Wanted: date + discount + quantity ALL in "
+        "PushedFilters; 1-row partial/final aggregate, no shuffle of "
+        "data rows."
+    ),
+    "q_tpch_q12": (
+        "TPC-H Q12 shape. Wanted: fact-fact SortMergeJoin on the "
+        "orderkey (no broadcast of a scaling side), late-shipment "
+        "residual filter, conditional counts in ONE partial aggregate."
+    ),
+    "q_filter_bloom": (
+        "Bloom pre-join. Wanted: three BroadcastExchange + LEFT SEMI "
+        "BroadcastHashJoins on bit positions; the lineitem side has NO "
+        "Exchange before the final count — the probe never shuffles "
+        "the fact table."
+    ),
+    "q_agg_countmin": (
+        "Count-Min sketch. Wanted: explode (pure map) then partial "
+        "HashAggregate into a <=128-row Exchange; probes join the "
+        "sketch via BroadcastHashJoin."
+    ),
+    "q_ts_asof_interp": (
+        "Linear interpolation. Wanted: ONE Exchange on user_id serving "
+        "all four window frames over a single per-user sort; no "
+        "SinglePartition window."
+    ),
+    "q_win_cume_dist": (
+        "Distribution windows. Wanted: window Exchange is "
+        "hashpartitioning(c_nationkey) — never SinglePartition."
+    ),
 }
 
 
