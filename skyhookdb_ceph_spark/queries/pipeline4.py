@@ -861,3 +861,467 @@ def q_text_zipf(spark, sf_dir):
             6,
         ).alias("zipf_score"),
     ).orderBy("rank")
+
+
+# ---------------------------------------------------------------------------
+# §2.15.15 TPC-H Q4: priority counts gated on a correlated EXISTS
+# ---------------------------------------------------------------------------
+
+_Q4_ORACLE = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o_orderdate < TIMESTAMP '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+@query("q_tpch_q4", oracle=_Q4_ORACLE, tags=("tpch",))
+def q_tpch_q4(spark, sf_dir):
+    """TPC-H Q4 shape: quarter-filtered orders counted per priority,
+    gated on EXISTS(late lineitem).  The EXISTS is a LEFT SEMI join
+    whose condition references both sides (shipdate vs orderdate+60d)
+    — Catalyst keeps the orderkey equality as the join key and the
+    date band as residual, so the plan is a keyed semi join, never a
+    per-row subquery."""
+    c = Catalog(spark, sf_dir)
+    o = c.orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    li = c.lineitem.select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
+            ),
+            "leftsemi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.15.16 TPC-H Q15: top supplier(s) by quarterly revenue
+# ---------------------------------------------------------------------------
+
+_Q15_ORACLE = """
+WITH rev AS (
+  SELECT l_suppkey,
+    floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100 AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_rev
+FROM supplier JOIN rev ON s_suppkey = l_suppkey
+WHERE total_rev = (SELECT max(total_rev) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
+@query("q_tpch_q15", oracle=_Q15_ORACLE, tags=("tpch",))
+def q_tpch_q15(spark, sf_dir):
+    """TPC-H Q15 (top supplier view): quarterly revenue per supplier,
+    then the row(s) equal to the maximum.  Revenue is quantized to
+    cents BEFORE the max comparison so both engines elect the same
+    winner even when raw double sums differ in the last ulp.  The max
+    is a 1-row aggregate joined back by broadcast — the revenue table
+    is never re-scanned (the view is computed once, as Q15's CREATE
+    VIEW intends)."""
+    c = Catalog(spark, sf_dir)
+    rev = (
+        c.lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            quantize2(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("total_rev")
+        )
+    )
+    mx = rev.agg(F.max("total_rev").alias("max_rev"))
+    return (
+        c.supplier.join(rev, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(
+            F.broadcast(mx), F.col("total_rev") == F.col("max_rev")
+        )
+        .select("s_suppkey", "s_name", "total_rev")
+        .orderBy("s_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.15.17 TPC-H Q17: small-quantity revenue vs per-part average
+# ---------------------------------------------------------------------------
+
+_Q17_ORACLE = """
+WITH pq AS (
+  SELECT l_partkey AS pk, 0.2 * avg(l_quantity) AS qlim
+  FROM lineitem GROUP BY l_partkey)
+SELECT floor((sum(l_extendedprice) / 7.0) * 100 + 0.5) / 100 AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN pq ON pk = l_partkey
+WHERE p_brand = 'Brand#1' AND l_quantity < qlim
+"""
+
+
+@query("q_tpch_q17", oracle=_Q17_ORACLE, tags=("tpch",))
+def q_tpch_q17(spark, sf_dir):
+    """TPC-H Q17: revenue from orders below 20% of the part's average
+    quantity — the correlated aggregate subquery decorrelated into a
+    grouped aggregate re-joined on partkey (what Catalyst does to the
+    subquery form anyway, stated explicitly).  Quantities are integral
+    doubles, so avg = exact_sum/count is bit-deterministic in both
+    engines and the threshold comparison can never flip."""
+    c = Catalog(spark, sf_dir)
+    pq = c.lineitem.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qlim")
+    )
+    return (
+        c.lineitem.join(
+            c.part.filter(F.col("p_brand") == "Brand#1"),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(pq, F.col("pk") == F.col("l_partkey"))
+        .filter(F.col("l_quantity") < F.col("qlim"))
+        .agg(
+            quantize2(F.sum("l_extendedprice") / 7.0).alias("avg_yearly")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.15.18 TPC-H Q18: large-volume orders (HAVING over a fact agg)
+# ---------------------------------------------------------------------------
+
+_Q18_ORACLE = """
+WITH big AS (
+  SELECT l_orderkey AS bk, sum(l_quantity) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
+SELECT c_custkey, c_name, o_orderkey,
+  CAST(floor(epoch(o_orderdate)) AS BIGINT) AS o_sec,
+  floor(o_totalprice * 100 + 0.5) / 100 AS total_price,
+  floor(sum_qty * 100 + 0.5) / 100 AS sum_qty
+FROM big
+JOIN orders ON o_orderkey = bk
+JOIN customer ON c_custkey = o_custkey
+ORDER BY total_price DESC, o_orderkey LIMIT 100
+"""
+
+
+@query("q_tpch_q18", oracle=_Q18_ORACLE, tags=("tpch",))
+def q_tpch_q18(spark, sf_dir):
+    """TPC-H Q18 shape: orders whose total quantity exceeds 250
+    (fixture-scaled threshold), joined back to orders + customer,
+    top-100 by price.  The HAVING runs as a partial-aggregating
+    groupBy on the fact BEFORE any join — the join input is the
+    filtered aggregate (a few hundred keys), not the raw fact; the
+    top-100 fuses into TakeOrderedAndProject."""
+    c = Catalog(spark, sf_dir)
+    big = (
+        c.lineitem.groupBy(F.col("l_orderkey").alias("bk"))
+        .agg(F.sum("l_quantity").alias("raw_qty"))
+        .filter(F.col("raw_qty") > 250)
+    )
+    return (
+        big.join(c.orders, F.col("o_orderkey") == F.col("bk"))
+        .join(c.customer, F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.unix_timestamp("o_orderdate").alias("o_sec"),
+            quantize2(F.col("o_totalprice")).alias("total_price"),
+            quantize2(F.col("raw_qty")).alias("sum_qty"),
+        )
+        .orderBy(F.desc("total_price"), "o_orderkey")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.15.19 TPC-H Q22: above-average customers without big orders
+# ---------------------------------------------------------------------------
+
+_Q22_ORACLE = """
+WITH pos AS (
+  SELECT avg(c_acctbal) AS abal FROM customer
+  WHERE c_acctbal > 0 AND c_nationkey < 7)
+SELECT CAST(c_nationkey AS BIGINT) AS cntry,
+  CAST(count(*) AS BIGINT) AS numcust,
+  floor(sum(c_acctbal) * 100 + 0.5) / 100 AS totacctbal
+FROM customer, pos
+WHERE c_nationkey < 7 AND c_acctbal > abal
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+GROUP BY c_nationkey ORDER BY cntry
+"""
+
+
+@query("q_tpch_q22", oracle=_Q22_ORACLE, tags=("tpch",))
+def q_tpch_q22(spark, sf_dir):
+    """TPC-H Q22 shape (global-sales-opportunity): customers of a
+    nation group with above-average positive balance and NO
+    high-value orders — scalar-subquery threshold (1-row broadcast)
+    plus NOT EXISTS as a LEFT ANTI join on the pre-FILTERED orders
+    side (only big orders shuffle, not the whole table)."""
+    c = Catalog(spark, sf_dir)
+    nat = c.customer.filter(F.col("c_nationkey") < 7)
+    abal = nat.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("abal")
+    )
+    big_orders = c.orders.filter(F.col("o_totalprice") > 300000).select(
+        "o_custkey"
+    )
+    return (
+        nat.join(F.broadcast(abal))
+        .filter(F.col("c_acctbal") > F.col("abal"))
+        .join(
+            big_orders,
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left_anti",
+        )
+        .groupBy(F.col("c_nationkey").cast("bigint").alias("cntry"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            quantize2(F.sum("c_acctbal")).alias("totacctbal"),
+        )
+        .orderBy("cntry")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.15.20 Funnel analysis (ordered multi-stage conversion)
+# ---------------------------------------------------------------------------
+
+_FUNNEL_ORACLE = """
+WITH ev AS (
+  SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+  FROM events),
+u AS (
+  SELECT user_id,
+    min(CASE WHEN event_type = 'view' THEN sec END) AS v
+  FROM ev GROUP BY user_id),
+c AS (
+  SELECT e.user_id, min(e.sec) AS c
+  FROM ev e JOIN u ON u.user_id = e.user_id AND u.v IS NOT NULL
+  WHERE e.event_type = 'click' AND e.sec >= u.v AND e.sec < u.v + 21600
+  GROUP BY e.user_id),
+p AS (
+  SELECT e.user_id, min(e.sec) AS p
+  FROM ev e JOIN c ON c.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.sec >= c.c AND e.sec < c.c + 21600
+  GROUP BY e.user_id)
+SELECT CASE WHEN p.p IS NOT NULL THEN 3
+            WHEN c.c IS NOT NULL THEN 2
+            WHEN u.v IS NOT NULL THEN 1
+            ELSE 0 END AS stage,
+  CAST(count(*) AS BIGINT) AS n_users
+FROM u LEFT JOIN c ON c.user_id = u.user_id
+       LEFT JOIN p ON p.user_id = u.user_id
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@query("q_agg_funnel", oracle=_FUNNEL_ORACLE, tags=("pipeline", "analytics"))
+def q_agg_funnel(spark, sf_dir):
+    """Ordered funnel: view -> click (within 6 h) -> purchase (within
+    6 h of the click), users counted at their deepest stage — the
+    product-analytics window-funnel operator.  Each stage is one
+    user-keyed partial aggregate; stages join on user_id only (three
+    shuffles on the same key — co-partitioned, and a bucketed table
+    would make them exchange-free).  Whole-second BIGINT time math."""
+    ev = Catalog(spark, sf_dir).events.select(
+        "user_id", "event_type", F.unix_timestamp("ts").alias("sec")
+    )
+    u = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "view", F.col("sec"))
+        ).alias("v")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .join(
+            u.filter(F.col("v").isNotNull()).select("user_id", "v"),
+            "user_id",
+        )
+        .filter(
+            (F.col("sec") >= F.col("v"))
+            & (F.col("sec") < F.col("v") + 21600)
+        )
+        .groupBy("user_id")
+        .agg(F.min("sec").alias("c"))
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(clicks, "user_id")
+        .filter(
+            (F.col("sec") >= F.col("c"))
+            & (F.col("sec") < F.col("c") + 21600)
+        )
+        .groupBy("user_id")
+        .agg(F.min("sec").alias("p"))
+    )
+    stage = (
+        F.when(F.col("p").isNotNull(), 3)
+        .when(F.col("c").isNotNull(), 2)
+        .when(F.col("v").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return (
+        u.join(clicks.withColumnRenamed("c", "c"), "user_id", "left")
+        .join(purchases, "user_id", "left")
+        .select(stage.alias("stage"))
+        .groupBy("stage")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("stage")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.15.21 EWMA smoothing (finite-memory, 8-tap)
+# ---------------------------------------------------------------------------
+
+_EWMA_TAPS = 8
+_EWMA_ALPHA = 0.5
+
+
+def _ewma_terms_sql() -> tuple[str, str]:
+    """(numerator, denominator) SQL over lag columns a0..a7 — the
+    8-tap truncated EWMA, identical text for both engines' CASE
+    handling of missing leading buckets."""
+    num, den = [], []
+    for k in range(_EWMA_TAPS):
+        w = _EWMA_ALPHA * (1 - _EWMA_ALPHA) ** k
+        num.append(f"CASE WHEN a{k} IS NOT NULL THEN {w!r} * a{k} ELSE 0 END")
+        den.append(f"CASE WHEN a{k} IS NOT NULL THEN {w!r} ELSE 0 END")
+    return " + ".join(num), " + ".join(den)
+
+
+_EWMA_NUM, _EWMA_DEN = _ewma_terms_sql()
+
+_EWMA_ORACLE = f"""
+WITH hourly AS (
+  SELECT event_type,
+    CAST(floor(epoch(ts) / 3600) AS BIGINT) AS bucket,
+    avg(value) AS a
+  FROM events GROUP BY 1, 2),
+lagged AS (
+  SELECT event_type, bucket,
+    {', '.join(f'lag(a, {k}) OVER (PARTITION BY event_type ORDER BY bucket) AS a{k}' for k in range(_EWMA_TAPS))}
+  FROM hourly)
+SELECT event_type, bucket,
+  floor((({_EWMA_NUM}) / ({_EWMA_DEN})) * 1000000 + 0.5) / 1000000 AS ewma
+FROM lagged ORDER BY event_type, bucket
+"""
+
+
+@query("q_ts_ewma", oracle=_EWMA_ORACLE, tags=("timeseries",))
+def q_ts_ewma(spark, sf_dir):
+    """Exponentially weighted moving average of the hourly mean per
+    event type — truncated to 8 taps so it is a FINITE window
+    (recursive EWMA needs unbounded history; 8 taps of alpha=0.5
+    carry 99.6% of the mass and make the operator a pure window
+    expression, mergeable and backfill-friendly).  One shuffle on
+    (event_type) serves all 8 lags; weights renormalize over the
+    taps that exist near series start."""
+    ev = Catalog(spark, sf_dir).events
+    hourly = ev.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 3600)
+        .cast("bigint")
+        .alias("bucket"),
+    ).agg(F.avg("value").alias("a"))
+    w = Window.partitionBy("event_type").orderBy("bucket")
+    lagged = hourly.select(
+        "event_type",
+        "bucket",
+        *[F.lag("a", k).over(w).alias(f"a{k}") for k in range(_EWMA_TAPS)],
+    )
+    return lagged.select(
+        "event_type",
+        "bucket",
+        quantize(
+            F.expr(f"({_EWMA_NUM}) / ({_EWMA_DEN})"), 6
+        ).alias("ewma"),
+    ).orderBy("event_type", "bucket")
+
+
+# ---------------------------------------------------------------------------
+# §2.15.22 Prefix-containment dedup
+# ---------------------------------------------------------------------------
+
+_PREFIX_ORACLE = """
+WITH synth AS (
+  SELECT doc_id + 1000000 AS doc_id, substr(text, 1, 120) AS text
+  FROM documents WHERE doc_id % 10 = 0 AND length(text) >= 120),
+corpus AS (
+  SELECT doc_id, text FROM documents UNION ALL SELECT doc_id, text FROM synth),
+keyed AS (
+  SELECT doc_id, text, length(text) AS n, substr(text, 1, 64) AS k
+  FROM corpus WHERE length(text) >= 64)
+SELECT a.doc_id AS prefix_id, min(b.doc_id) AS of_id
+FROM keyed a JOIN keyed b
+  ON a.k = b.k AND a.doc_id <> b.doc_id
+  AND (b.n > a.n OR (b.n = a.n AND a.doc_id < b.doc_id))
+  AND substr(b.text, 1, a.n) = a.text
+GROUP BY a.doc_id ORDER BY prefix_id
+"""
+
+
+@query("q_dedup_prefix", oracle=_PREFIX_ORACLE, tags=("llm", "dedup"))
+def q_dedup_prefix(spark, sf_dir):
+    """Prefix-containment dedup: documents that are exact prefixes of
+    a longer document (truncation artifacts — the dedup class MinHash
+    under-catches because shingle sets differ in size).  Candidates
+    join on a fixed 64-char anchor key, so the match is a keyed
+    equi-join with a residual prefix check — never all-pairs; docs
+    shorter than the anchor are excluded by contract.  A synthetic
+    truncation set (every 10th doc's first 120 chars) guarantees the
+    fixture exercises hits deterministically."""
+    d = Catalog(spark, sf_dir).documents
+    synth = (
+        d.filter((F.col("doc_id") % 10 == 0) & (F.length("text") >= 120))
+        .select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.substring("text", 1, 120).alias("text"),
+        )
+    )
+    corpus = d.select("doc_id", "text").unionByName(synth)
+    keyed = corpus.filter(F.length("text") >= 64).select(
+        "doc_id",
+        "text",
+        F.length("text").alias("n"),
+        F.substring("text", 1, 64).alias("k"),
+    )
+    a = keyed.selectExpr("doc_id AS a_id", "text AS a_text", "n AS a_n", "k")
+    b = keyed.selectExpr("doc_id AS b_id", "text AS b_text", "n AS b_n", "k AS bk")
+    return (
+        a.join(
+            b,
+            (F.col("k") == F.col("bk"))
+            & (F.col("a_id") != F.col("b_id"))
+            & (
+                (F.col("b_n") > F.col("a_n"))
+                | ((F.col("b_n") == F.col("a_n")) & (F.col("a_id") < F.col("b_id")))
+            )
+            & (
+                F.expr("substr(b_text, 1, a_n)") == F.col("a_text")
+            ),
+        )
+        .groupBy(F.col("a_id").alias("prefix_id"))
+        .agg(F.min("b_id").alias("of_id"))
+        .orderBy("prefix_id")
+    )

@@ -85,12 +85,16 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q_win_quartile_scalable", "q_join_asof",
     # -- only driver verdict is the r1 crash (fixed r2, never re-gated)
     "q_win_lag_lead",
-    # -- NEW in round 4 (fill the remaining window slots as added)
+    # -- NEW in round 4 (fill the remaining window slots as added;
+    #    entries past #50 roll into round 5's window)
     "q_tpch_q1", "q_tpch_q6", "q_tpch_q12", "q_tpch_q14",
     "q_graph_components", "q_graph_pagerank", "q_filter_bloom",
     "q_agg_countmin", "q_ts_asof_interp", "q_delta_upsert_merge",
     "q_fn_struct_ops", "q_win_cume_dist", "q_text_minhash_cluster",
     "q_text_zipf",
+    # -- round-4 wave 2 (first candidates for round 5's window)
+    "q_tpch_q4", "q_tpch_q15", "q_tpch_q17", "q_tpch_q18", "q_tpch_q22",
+    "q_agg_funnel", "q_ts_ewma", "q_dedup_prefix",
 )
 
 
