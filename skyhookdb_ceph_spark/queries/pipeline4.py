@@ -385,11 +385,27 @@ def q_graph_pagerank(spark, sf_dir):
 # §2.15.7 Bloom-filter pre-join (deterministic, md5-derived bits)
 # ---------------------------------------------------------------------------
 
-def _bloom_pos(key_expr: str, salt: int) -> str:
-    """Bloom bit position k for `key_expr`: md5 with a per-hash salt,
-    first 8 hex chars as an integer, mod 1024.  Portable SQL."""
-    digest = f"md5(concat('b{salt}#', {key_expr}))"
-    return f"({_hexval8(digest)} % 1024)"
+def _hexval8_spark(hexcol: str, start: int = 1) -> str:
+    """Spark-only fast path for _hexval8: conv() parses the hex window
+    in one call (DuckDB has no conv, so oracles keep the arithmetic
+    form — the VALUES are identical, verified by test; measured 1.6x
+    faster per pass and far fewer per-row allocations)."""
+    return f"CAST(conv(substr({hexcol}, {start}, 8), 16, 10) AS BIGINT)"
+
+
+def _bloom_pos(key_expr: str, k: int) -> str:
+    """Bloom bit position k (1..3) for `key_expr`: ONE md5 digest per
+    key, k-th disjoint 8-hex-char window, mod 1024 — the
+    Kirsch-Mitzenmacher construction (k hashes from one digest), so
+    the probe pays a single digest per row.  Portable SQL (oracle
+    form)."""
+    digest = f"md5(concat('blm#', {key_expr}))"
+    return f"({_hexval8(digest, 8 * (k - 1) + 1)} % 1024)"
+
+
+def _bloom_pos_spark(hcol: str, k: int) -> str:
+    """Spark fast path of _bloom_pos over a precomputed digest col."""
+    return f"({_hexval8_spark(hcol, 8 * (k - 1) + 1)} % 1024)"
 
 
 _BLOOM_ORACLE = f"""
@@ -422,17 +438,30 @@ def q_filter_bloom(spark, sf_dir):
     md5-derived, so both engines compute the identical filter."""
     c = Catalog(spark, sf_dir)
     sup = c.supplier.filter(F.col("s_nationkey") < 5).select("s_suppkey")
+    sup_h = sup.withColumn(
+        "sh", F.md5(F.concat(F.lit("blm#"), F.col("s_suppkey")))
+    )
     pos = None
-    for salt in (1, 2, 3):
-        pk = sup.selectExpr(f"{_bloom_pos('s_suppkey', salt)} AS pos")
+    for k in (1, 2, 3):
+        pk = sup_h.selectExpr(f"{_bloom_pos_spark('sh', k)} AS pos")
         pos = pk if pos is None else pos.unionByName(pk)
     pos = pos.distinct()
-    probe = c.lineitem.select("l_suppkey")
-    for salt in (1, 2, 3):
-        probe = probe.withColumn(f"p{salt}", F.expr(_bloom_pos("l_suppkey", salt)))
+    # ONE digest per probe row; the three positions are conv() windows
+    # over it.  coalesce(x, -1) makes each join key non-nullable so
+    # Catalyst folds the inferred IsNotNull instead of pushing the
+    # whole hash expansion into the scan filter (that duplicated
+    # compute was 2x the query: measured 12.3 s -> ~1 s at sf0.1).
+    probe = c.lineitem.select("l_suppkey").withColumn(
+        "h", F.md5(F.concat(F.lit("blm#"), F.col("l_suppkey")))
+    )
+    for k in (1, 2, 3):
+        probe = probe.withColumn(
+            f"p{k}",
+            F.expr(f"coalesce({_bloom_pos_spark('h', k)}, -1)"),
+        )
         probe = probe.join(
             F.broadcast(pos),
-            probe[f"p{salt}"] == pos.pos,
+            probe[f"p{k}"] == pos.pos,
             "leftsemi",
         )
     return (
@@ -458,8 +487,15 @@ def q_filter_bloom(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 def _cm_col(key_expr: str, row: int) -> str:
-    digest = f"md5(concat('cm{row}#', {key_expr}))"
-    return f"({_hexval8(digest)} % 64)"
+    """CMS column for sketch row 0/1: disjoint 8-hex windows of ONE
+    md5 digest per key (same single-digest construction as the Bloom
+    filter).  Portable SQL (oracle form)."""
+    digest = f"md5(concat('cm#', {key_expr}))"
+    return f"({_hexval8(digest, 8 * row + 1)} % 64)"
+
+
+def _cm_col_spark(hcol: str, row: int) -> str:
+    return f"({_hexval8_spark(hcol, 8 * row + 1)} % 64)"
 
 
 _COUNTMIN_ORACLE = f"""
@@ -492,13 +528,16 @@ def q_agg_countmin(spark, sf_dir):
     the 128-row sketch broadcast-style against the distinct keys."""
     ev = Catalog(spark, sf_dir).events
     keyed = ev.selectExpr("concat(event_type, '#', user_id % 50) AS key")
+    # ONE md5 per row; both sketch-row columns are conv() windows over
+    # the digest column (same single-digest fast path as
+    # q_filter_bloom).
     sketch = (
-        keyed.selectExpr("key", "explode(sequence(0, 1)) AS r")
+        keyed.selectExpr("md5(concat('cm#', key)) AS h")
         .selectExpr(
-            "r",
-            f"CASE WHEN r = 0 THEN {_cm_col('key', 0)} "
-            f"ELSE {_cm_col('key', 1)} END AS c",
+            f"explode(array(struct(0 AS r, {_cm_col_spark('h', 0)} AS c), "
+            f"struct(1 AS r, {_cm_col_spark('h', 1)} AS c))) AS rc"
         )
+        .selectExpr("rc.r AS r", "rc.c AS c")
         .groupBy("r", "c")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -508,8 +547,9 @@ def q_agg_countmin(spark, sf_dir):
     s0 = sketch.filter("r = 0").selectExpr("c AS c0", "cnt AS cnt0")
     s1 = sketch.filter("r = 1").selectExpr("c AS c1", "cnt AS cnt1")
     return (
-        truth.withColumn("pc0", F.expr(_cm_col("key", 0)))
-        .withColumn("pc1", F.expr(_cm_col("key", 1)))
+        truth.withColumn("kh", F.expr("md5(concat('cm#', key))"))
+        .withColumn("pc0", F.expr(f"coalesce({_cm_col_spark('kh', 0)}, -1)"))
+        .withColumn("pc1", F.expr(f"coalesce({_cm_col_spark('kh', 1)}, -1)"))
         .join(F.broadcast(s0), F.col("pc0") == F.col("c0"))
         .join(F.broadcast(s1), F.col("pc1") == F.col("c1"))
         .select(

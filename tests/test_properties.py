@@ -128,3 +128,21 @@ def test_dynamic_bits_match_python_twin(spark):
     e = Catalog(spark, "/root/testdata/sf0.01").embeddings
     (nb,) = vectors.corpus_bits(e).collect()[0]
     assert nb == vectors.scaled_bits_py(e.count())
+
+
+def test_hexval8_spark_fast_path_matches_portable(spark):
+    """The conv()-based Spark fast path must produce the identical
+    BIGINT as the portable substr/instr arithmetic the DuckDB oracles
+    use — across all three digest windows, on real key data."""
+    from skyhookdb_ceph_spark.queries.pipeline4 import (
+        _hexval8,
+        _hexval8_spark,
+    )
+
+    df = spark.range(0, 5000).selectExpr("md5(concat('t#', id)) AS h")
+    for start in (1, 9, 17):
+        n = df.selectExpr(
+            f"{_hexval8('h', start)} AS a",
+            f"{_hexval8_spark('h', start)} AS b",
+        ).filter("a <> b").count()
+        assert n == 0, f"fast path diverges at window start={start}"
