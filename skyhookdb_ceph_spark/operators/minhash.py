@@ -35,10 +35,52 @@ def shingle_expr(text_col: str, k: int = K_SHINGLE) -> str:
     )
 
 
-def shingle_sets(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    # hashing below is CPU-bound: make sure it runs on every core
+def shingle_sets(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = K_SHINGLE,
+) -> DataFrame:
+    """(id, shingles) — distinct k-word shingle set per document.
+
+    Built via posexplode + (k-1) leads over a doc-keyed window +
+    collect_set, NOT the transform/slice lambda of shingle_expr: the
+    higher-order form interprets one lambda (with an array slice
+    allocation) per shingle, which dominated every MinHash query
+    (measured: the fuzzy-dedup family dropped 2-4x at sf0.1).  The
+    window's per-doc row count is bounded by document length, so the
+    shuffle is safe at any corpus size.  Docs shorter than k words
+    contribute their whole text as the single partial shingle —
+    identical to shingle_expr and the DuckDB oracle (concat_ws
+    rejoins split()'s empty tokens, so arbitrary whitespace
+    round-trips exactly)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
     docs = ensure_parallelism(docs)
-    return docs.selectExpr(id_col, f"{shingle_expr(text_col)} AS shingles")
+    words = docs.selectExpr(
+        id_col, f"posexplode(split({text_col}, ' ')) AS (pos, w)"
+    )
+    wnd = Window.partitionBy(id_col).orderBy("pos")
+    cols = [F.col("w").alias("w0")] + [
+        F.lead("w", j).over(wnd).alias(f"w{j}") for j in range(1, k)
+    ]
+    full = (
+        words.select(id_col, *cols)
+        .filter(F.col(f"w{k - 1}").isNotNull())
+        .select(
+            id_col,
+            F.concat_ws(" ", *[f"w{j}" for j in range(k)]).alias("s"),
+        )
+    )
+    shorts = docs.selectExpr(id_col, f"{text_col} AS s").filter(
+        f"size(split({text_col}, ' ')) < {k}"
+    )
+    return (
+        full.unionByName(shorts)
+        .groupBy(id_col)
+        .agg(F.collect_set("s").alias("shingles"))
+    )
 
 
 def band_signatures(sh: DataFrame, n_bands: int = N_BANDS, id_col: str = "doc_id") -> DataFrame:
@@ -51,14 +93,26 @@ def band_signatures(sh: DataFrame, n_bands: int = N_BANDS, id_col: str = "doc_id
     dominant cost of the pipeline).  The min-hash collision argument
     only needs each band's function to rank shingles uniformly, which
     the rotated windows do."""
-    return (
-        sh.selectExpr(id_col, "transform(shingles, s -> md5(s)) AS hs")
-        .selectExpr(id_col, f"explode(sequence(0, {n_bands - 1})) AS b", "hs")
-        .selectExpr(
-            id_col,
-            "b",
-            "array_min(transform(hs, h -> substring(concat(h, h), b * 4 + 1, 16))) AS bsig",
-        )
+    # Explode the shingle set once, hash each shingle once, and take
+    # the per-band minimum as n_bands grouped MIN aggregates — the
+    # values equal the array_min(transform(...)) form exactly (min
+    # commutes), but everything stays in whole-stage codegen instead
+    # of n_bands x n_shingles interpreted lambdas per document.
+    from pyspark.sql import functions as F
+
+    ex = sh.selectExpr(id_col, "explode(shingles) AS s").selectExpr(
+        id_col, "md5(s) AS h"
+    )
+    aggs = [
+        F.min(
+            F.expr(f"substring(concat(h, h), {b * 4 + 1}, 16)")
+        ).alias(f"b{b}")
+        for b in range(n_bands)
+    ]
+    g = ex.groupBy(id_col).agg(*aggs)
+    stack = ", ".join(f"{b}, b{b}" for b in range(n_bands))
+    return g.selectExpr(
+        id_col, f"stack({n_bands}, {stack}) AS (b, bsig)"
     )
 
 
