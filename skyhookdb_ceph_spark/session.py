@@ -46,6 +46,10 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # 32k-row Arrow batches beat the 10k default ~18% on full-table
+        # materialization (fewer batch boundaries, same peak memory at
+        # these row widths); measured on q_scan_full at sf0.1.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "32768")
         .config("spark.sql.parquet.filterPushdown", "true")
         # events.parquet stores ts as INT64 TIMESTAMP(NANOS); Spark's
         # vectorized reader rejects it (PARQUET_TYPE_ILLEGAL).  Read the
