@@ -92,9 +92,11 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q_agg_countmin", "q_ts_asof_interp", "q_delta_upsert_merge",
     "q_fn_struct_ops", "q_win_cume_dist", "q_text_minhash_cluster",
     "q_text_zipf",
-    # -- round-4 wave 2 (first candidates for round 5's window)
+    # -- round-4 waves 2-3 (first candidates for round 5's window)
     "q_tpch_q4", "q_tpch_q15", "q_tpch_q17", "q_tpch_q18", "q_tpch_q22",
     "q_agg_funnel", "q_ts_ewma", "q_dedup_prefix",
+    "q_fn_unpivot", "q_stats_profile", "q_agg_retention_bitmap",
+    "q_win_retention_cohort", "q_text_proximity", "q_dedup_casefold",
 )
 
 
@@ -114,6 +116,7 @@ def load_all() -> dict[str, QuerySpec]:
             pipeline2,
             pipeline3,
             pipeline4,
+            pipeline5,
             scans,
             setops,
             sorts,
