@@ -399,7 +399,17 @@ def q_dedup_cluster(spark, sf_dir):
     from skyhookdb_ceph_spark.operators import minhash
 
     d = Catalog(spark, sf_dir).documents
-    pairs = minhash.jaccard_pairs(d, threshold=0.8).select("doc_a", "doc_b")
+    # The LSH pair pipeline feeds BOTH propagation rounds; without a
+    # checkpoint each round re-runs shingling + banding + jaccard over
+    # the corpus (~3 recomputes, measured 3.4 s -> 1.4 s at sf0.1).
+    # The materialized edge list is near-dup pairs only — tiny relative
+    # to the corpus at any scale (clusters would checkpoint to shared
+    # storage on a real deployment).
+    pairs = (
+        minhash.jaccard_pairs(d, threshold=0.8)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
     und = pairs.unionByName(
         pairs.selectExpr("doc_b AS doc_a", "doc_a AS doc_b")
     ).selectExpr("doc_a AS v", "doc_b AS n")
