@@ -317,3 +317,237 @@ def q_dedup_casefold(spark, sf_dir):
         .select(F.md5("ctext").alias("canon_md5"), "keep_id", "dup_cnt")
         .orderBy("keep_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.15.29 TPC-H Q7: bilateral trade volume by year
+# ---------------------------------------------------------------------------
+
+_Q7_ORACLE = """
+SELECT supp_nation, cust_nation, l_year,
+  floor(sum(volume) * 100 + 0.5) / 100 AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS BIGINT) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM supplier
+  JOIN lineitem ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+    AND n2.n_name IN ('NATION_1', 'NATION_2')
+    AND n1.n_name <> n2.n_name) t
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
+@query("q_tpch_q7", oracle=_Q7_ORACLE, tags=("tpch",))
+def q_tpch_q7(spark, sf_dir):
+    """TPC-H Q7 volume-shipping shape: revenue between two nations by
+    ship year, in both directions.  The nation filters reach BOTH
+    sides before the fact joins (supplier and customer each pre-join
+    their 25-row nation dim broadcast-style and filter to the pair),
+    so the expensive lineitem-orders shuffle only carries rows whose
+    endpoints survive — the same dim-first pruning the reference's
+    storage-side filters deliver."""
+    c = Catalog(spark, sf_dir)
+    n1 = c.nation.filter(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    ).selectExpr("n_nationkey AS sk", "n_name AS supp_nation")
+    n2 = c.nation.filter(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    ).selectExpr("n_nationkey AS ck", "n_name AS cust_nation")
+    sup = c.supplier.join(n1, F.col("s_nationkey") == F.col("sk")).select(
+        "s_suppkey", "supp_nation"
+    )
+    cust = c.customer.join(n2, F.col("c_nationkey") == F.col("ck")).select(
+        "c_custkey", "cust_nation"
+    )
+    return (
+        c.lineitem.join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(c.orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(
+            quantize2(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.15.30 TPC-H Q8: national market share
+# ---------------------------------------------------------------------------
+
+_Q8_ORACLE = """
+SELECT o_year,
+  floor((sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
+         / sum(volume)) * 1000000 + 0.5) / 1000000 AS mkt_share
+FROM (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         n2.n_name AS nation
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'ASIA' AND p_type = 'PROMO') t
+GROUP BY o_year ORDER BY o_year
+"""
+
+
+@query("q_tpch_q8", oracle=_Q8_ORACLE, tags=("tpch",))
+def q_tpch_q8(spark, sf_dir):
+    """TPC-H Q8 market-share shape: a 7-way join (3 dims on each side
+    of the fact path) with a conditional-share aggregate per order
+    year.  Every dim filter (region, part type) prunes before the
+    fact shuffles; the supplier nation arrives as a second broadcast
+    of the same 25-row dim.  The share division happens after ONE
+    grouped aggregate (both sums in the same pass)."""
+    c = Catalog(spark, sf_dir)
+    cust_asia = (
+        c.customer.join(
+            c.nation, F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .join(
+            c.region.filter(F.col("r_name") == "ASIA"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("c_custkey")
+    )
+    supp_nat = c.supplier.join(
+        c.nation.selectExpr("n_nationkey AS snk", "n_name AS nation"),
+        F.col("s_nationkey") == F.col("snk"),
+    ).select("s_suppkey", "nation")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        c.lineitem.join(
+            c.part.filter(F.col("p_type") == "PROMO"),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(supp_nat, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(c.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust_asia, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(
+            quantize(
+                F.sum(
+                    F.when(F.col("nation") == "NATION_3", vol).otherwise(0.0)
+                )
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.15.31 TPC-H Q13: customer order-count distribution
+# ---------------------------------------------------------------------------
+
+_Q13_ORACLE = """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey) t
+GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+"""
+
+
+@query("q_tpch_q13", oracle=_Q13_ORACLE, tags=("tpch",))
+def q_tpch_q13(spark, sf_dir):
+    """TPC-H Q13 customer-distribution shape: LEFT join with an extra
+    join-side predicate (excluded priority), count per customer
+    including zero-order customers, then the histogram of counts.
+    Two grouped aggregates; the second runs on at most |customers|
+    rows.  The join-side filter must NOT become a WHERE (that would
+    drop zero-order customers) — stated identically in both
+    engines."""
+    c = Catalog(spark, sf_dir)
+    joined = c.customer.join(
+        c.orders,
+        (F.col("c_custkey") == F.col("o_custkey"))
+        & (F.col("o_orderpriority") != "1-URGENT"),
+        "left",
+    )
+    per_cust = joined.groupBy("c_custkey").agg(
+        F.count("o_orderkey").alias("c_count")
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.15.32 TPC-H Q19: disjunctive predicate pushdown
+# ---------------------------------------------------------------------------
+
+_Q19_ORACLE = """
+SELECT floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100
+       AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity >= 1 AND l_quantity <= 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 25
+       AND l_quantity >= 10 AND l_quantity <= 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 35
+       AND l_quantity >= 20 AND l_quantity <= 30)
+"""
+
+
+@query("q_tpch_q19", oracle=_Q19_ORACLE, tags=("tpch",))
+def q_tpch_q19(spark, sf_dir):
+    """TPC-H Q19 disjunctive-predicate shape: three OR'd brand/size/
+    quantity conjunctions across the join.  Catalyst derives the
+    common implied ranges (l_quantity in [1,30], p_size in [1,35]) and
+    pushes them into BOTH scans even though the full disjunction can
+    only evaluate post-join — the query that shows predicate
+    simplification working, not just pushdown of literal filters."""
+    c = Catalog(spark, sf_dir)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & (F.col("l_quantity") >= 1)
+            & (F.col("l_quantity") <= 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(10, 25)
+            & (F.col("l_quantity") >= 10)
+            & (F.col("l_quantity") <= 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(20, 35)
+            & (F.col("l_quantity") >= 20)
+            & (F.col("l_quantity") <= 30)
+        )
+    )
+    return (
+        c.lineitem.join(c.part, F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(
+            quantize2(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("revenue")
+        )
+    )

@@ -97,6 +97,7 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q_agg_funnel", "q_ts_ewma", "q_dedup_prefix",
     "q_fn_unpivot", "q_stats_profile", "q_agg_retention_bitmap",
     "q_win_retention_cohort", "q_text_proximity", "q_dedup_casefold",
+    "q_tpch_q7", "q_tpch_q8", "q_tpch_q13", "q_tpch_q19",
 )
 
 
