@@ -407,3 +407,42 @@ def test_pagerank_iterations_broadcast(spark):
     plan = explain_str(q("q_graph_pagerank", spark))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_tpch_q19_derives_implied_ranges(spark):
+    """Q19: Catalyst must derive the implied l_quantity range from the
+    OR of conjunctions and push it to the lineitem scan."""
+    df = q("q_tpch_q19", spark)
+    plan = explain_str(df)
+    pushed = plan[plan.find("PushedFilters"):]
+    assert "l_quantity" in pushed.split("]")[0] or "l_quantity" in pushed
+
+
+def test_tpch_q13_preserves_left_join(spark):
+    """Q13: the priority predicate must stay in the join condition —
+    a LeftOuter join must survive planning (a WHERE would have turned
+    it inner and dropped zero-order customers)."""
+    plan = explain_str(q("q_tpch_q13", spark))
+    assert "LeftOuter" in plan
+
+
+def test_stats_profile_single_scan(spark):
+    """Profiling must read the table once: exactly one lineitem scan
+    node in the plan."""
+    plan = explain_str(q("q_stats_profile", spark))
+    assert plan.count("lineitem.parquet") == 1
+
+
+def test_proximity_filters_before_exchange(spark):
+    """Proximity: the two-term IN filter must apply to the exploded
+    postings before any exchange; the pair join stays equi."""
+    plan = explain_str(q("q_text_proximity", spark))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_retention_bitmap_partial_aggregates(spark):
+    """bit_or must partially aggregate map-side before the user-keyed
+    exchange."""
+    plan = explain_str(q("q_agg_retention_bitmap", spark))
+    assert "partial_bit_or" in plan or plan.count("HashAggregate") >= 2

@@ -159,6 +159,35 @@ AUDIT = {
         "Distribution windows. Wanted: window Exchange is "
         "hashpartitioning(c_nationkey) — never SinglePartition."
     ),
+    "q_tpch_q19": (
+        "Disjunctive predicates. Wanted: implied ranges (l_quantity, "
+        "p_size) derived from the OR and visible in PushedFilters of "
+        "both scans; full disjunction evaluated post-join."
+    ),
+    "q_tpch_q8": (
+        "7-way market share. Wanted: every dim filter (region, "
+        "p_type) pruned before the fact shuffles; dims broadcast; one "
+        "grouped aggregate computes both share sums."
+    ),
+    "q_tpch_q13": (
+        "Left join + histogram. Wanted: the o_orderpriority predicate "
+        "stays IN the join condition (zero-order customers preserved); "
+        "two stacked HashAggregates."
+    ),
+    "q_stats_profile": (
+        "Table profile. Wanted: ONE scan computing all 20 aggregate "
+        "states (no per-column re-scan), stack() Generate on the "
+        "1-row aggregate."
+    ),
+    "q_text_proximity": (
+        "Proximity search. Wanted: the term filter lands on the "
+        "exploded postings BEFORE any exchange; per-doc pair join is "
+        "an equi-join on doc_id."
+    ),
+    "q_agg_retention_bitmap": (
+        "Activity bitmaps. Wanted: partial bit_or before the "
+        "user-keyed Exchange — event volume collapses map-side."
+    ),
 }
 
 
