@@ -551,3 +551,171 @@ def q_tpch_q19(spark, sf_dir):
             ).alias("revenue")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.15.33 Multi-probe IVF ANN (recall recovery without more cells)
+# ---------------------------------------------------------------------------
+
+def _multiprobe_oracle() -> str:
+    from skyhookdb_ceph_spark.operators import vectors
+
+    return f"""
+WITH {vectors.primary_cell_cte_duckdb()},
+q AS (SELECT embedding AS qv, bucket AS qb FROM b WHERE vec_id = 0),
+probes AS (
+  SELECT qb AS pb FROM q
+  UNION
+  SELECT substr(q.qb, 1, t.i - 1)
+         || (CASE WHEN substr(q.qb, t.i, 1) = '1' THEN '0' ELSE '1' END)
+         || substr(q.qb, t.i + 1, nb.nb) AS pb
+  FROM q, nb, unnest(generate_series(1, nb.nb)) t(i))
+SELECT b.vec_id,
+  floor(({vectors.cosine_duckdb('b.embedding', 'q.qv')}) * 1000000 + 0.5)
+    / 1000000 AS sim
+FROM b JOIN probes ON b.bucket = probes.pb, q
+ORDER BY sim DESC, b.vec_id LIMIT 10
+"""
+
+
+@query(
+    "q_sim_knn_multiprobe",
+    oracle=_multiprobe_oracle(),
+    tags=("llm", "similarity"),
+)
+def q_sim_knn_multiprobe(spark, sf_dir):
+    """Multi-probe IVF ANN: the query probes its own LSH cell PLUS the
+    nb Hamming-1 neighbor cells (each sign bit flipped once) — the
+    standard recall recovery for sign-bucket quantizers: near
+    neighbors that fell across a hyperplane boundary land in an
+    adjacent cell, so probing nb+1 of the 2^nb cells recovers most of
+    them while still scoring only ~(nb+1)/2^nb of the corpus.  The
+    probe set is nb+1 rows built from the 1-row query broadcast; the
+    candidate restriction stays a bucket equi-join (partition pruning
+    at scale, like q_sim_knn_ivf)."""
+    from skyhookdb_ceph_spark.operators import vectors
+
+    e = Catalog(spark, sf_dir).embeddings
+    withb = vectors.bucketed_cells(e)
+    qrow = withb.filter(F.col("vec_id") == 0).selectExpr(
+        "embedding AS qv", "bucket AS qb"
+    )
+    probes = (
+        qrow.crossJoin(F.broadcast(vectors.corpus_bits(e)))
+        .selectExpr(
+            "qv",
+            "explode(array_union(array(qb), "
+            "transform(sequence(1, nb), i -> concat(substr(qb, 1, i - 1), "
+            "CASE WHEN substr(qb, i, 1) = '1' THEN '0' ELSE '1' END, "
+            "substr(qb, i + 1, nb))))) AS pb",
+        )
+    )
+    return (
+        withb.join(F.broadcast(probes), F.col("bucket") == F.col("pb"))
+        .selectExpr(
+            "vec_id",
+            f"floor(({vectors.cosine_expr('embedding', 'qv')}) * 1000000 + 0.5)"
+            " / 1000000 AS sim",
+        )
+        .orderBy(F.col("sim").desc(), "vec_id")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.15.34 Feature hashing (the hashing trick)
+# ---------------------------------------------------------------------------
+
+def _feat_oracle() -> str:
+    from skyhookdb_ceph_spark.queries.pipeline4 import _hexval8
+
+    digest = "md5(concat('fh#', w))"
+    idx = f"({_hexval8(digest)} % 256)"
+    sign = (
+        f"(CASE WHEN ({_hexval8(digest, 9)} % 2) = 0 "
+        "THEN 1 ELSE -1 END)"
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+hashed AS (
+  SELECT doc_id, {idx} AS feat_idx, {sign} AS sign FROM tok WHERE w <> '')
+SELECT doc_id, feat_idx, CAST(sum(sign) AS BIGINT) AS feat_val
+FROM hashed GROUP BY doc_id, feat_idx
+HAVING sum(sign) <> 0
+ORDER BY doc_id, feat_idx
+"""
+
+
+@query("q_feat_hashing", oracle=_feat_oracle(), tags=("llm", "ml"))
+def q_feat_hashing(spark, sf_dir):
+    """Feature hashing (the hashing trick): tokens map to a fixed
+    256-dim sparse vector via hashed index + hashed sign (the signed
+    construction keeps collisions unbiased — Weinberger et al.) — the
+    vocabulary-free featurizer for n-gram/bag-of-words models at
+    corpus scale, where a fitted vocabulary would itself be a big
+    shuffle.  One explode + one (doc, idx) partial aggregate; index
+    and sign come from disjoint windows of ONE md5 per token (same
+    single-digest pattern as q_filter_bloom), via the conv() fast
+    path."""
+    from skyhookdb_ceph_spark.queries.pipeline4 import _hexval8_spark
+
+    d = ensure_parallelism(Catalog(spark, sf_dir).documents)
+    tok = (
+        d.selectExpr("doc_id", "explode(split(text, ' ')) AS w")
+        .filter("w <> ''")
+        .selectExpr("doc_id", "md5(concat('fh#', w)) AS h")
+    )
+    return (
+        tok.selectExpr(
+            "doc_id",
+            f"({_hexval8_spark('h')} % 256) AS feat_idx",
+            f"(CASE WHEN ({_hexval8_spark('h', 9)} % 2) = 0 "
+            "THEN 1 ELSE -1 END) AS sign",
+        )
+        .groupBy("doc_id", "feat_idx")
+        .agg(F.sum("sign").cast("bigint").alias("feat_val"))
+        .filter(F.col("feat_val") != 0)
+        .orderBy("doc_id", "feat_idx")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.15.35 Error-safe parsing (TRY_CAST / NULL-safe division)
+# ---------------------------------------------------------------------------
+
+_TRY_ORACLE = """
+WITH raw AS (
+  SELECT doc_id, n_chars,
+    CASE WHEN doc_id % 3 = 0 THEN 'x' || CAST(doc_id AS VARCHAR)
+         ELSE CAST(doc_id AS VARCHAR) END AS s
+  FROM documents)
+SELECT doc_id, TRY_CAST(s AS BIGINT) AS parsed,
+  CASE WHEN TRY_CAST(s AS BIGINT) IS NULL THEN 1 ELSE 0 END AS parse_err,
+  floor((CAST(n_chars AS DOUBLE) / nullif(doc_id % 5, 0)) * 1000000 + 0.5)
+    / 1000000 AS safe_ratio
+FROM raw ORDER BY doc_id
+"""
+
+
+@query("q_fn_try_cast", oracle=_TRY_ORACLE, tags=("functions",))
+def q_fn_try_cast(spark, sf_dir):
+    """Error-safe parsing: TRY_CAST returns NULL on malformed input
+    (every 3rd id gets a non-numeric prefix) instead of failing the
+    job — the dirty-data ingestion contract — plus NULL-safe division
+    via nullif.  At 100 TB a single bad row must never kill a stage;
+    per-row error columns make the failure rate itself queryable."""
+    d = Catalog(spark, sf_dir).documents
+    raw = d.selectExpr(
+        "doc_id",
+        "n_chars",
+        "CASE WHEN doc_id % 3 = 0 THEN concat('x', CAST(doc_id AS STRING)) "
+        "ELSE CAST(doc_id AS STRING) END AS s",
+    )
+    return raw.selectExpr(
+        "doc_id",
+        "TRY_CAST(s AS BIGINT) AS parsed",
+        "CASE WHEN TRY_CAST(s AS BIGINT) IS NULL THEN 1 ELSE 0 END AS parse_err",
+        "floor((CAST(n_chars AS DOUBLE) / nullif(doc_id % 5, 0)) * 1000000 + 0.5)"
+        " / 1000000 AS safe_ratio",
+    ).orderBy("doc_id")

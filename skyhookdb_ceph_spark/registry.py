@@ -98,6 +98,7 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q_fn_unpivot", "q_stats_profile", "q_agg_retention_bitmap",
     "q_win_retention_cohort", "q_text_proximity", "q_dedup_casefold",
     "q_tpch_q7", "q_tpch_q8", "q_tpch_q13", "q_tpch_q19",
+    "q_sim_knn_multiprobe", "q_feat_hashing", "q_fn_try_cast",
 )
 
 
