@@ -719,3 +719,111 @@ def q_fn_try_cast(spark, sf_dir):
         "floor((CAST(n_chars AS DOUBLE) / nullif(doc_id % 5, 0)) * 1000000 + 0.5)"
         " / 1000000 AS safe_ratio",
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# §2.15.36 Time-series anomaly flagging (z-score)
+# ---------------------------------------------------------------------------
+
+_ANOMALY_ORACLE = """
+WITH hourly AS (
+  SELECT event_type,
+    CAST(floor(epoch(ts) / 3600) AS BIGINT) AS bucket,
+    sum(value) AS v
+  FROM events GROUP BY 1, 2),
+stats AS (
+  SELECT event_type, avg(v) AS mu, stddev_samp(v) AS sigma
+  FROM hourly GROUP BY event_type)
+SELECT h.event_type, h.bucket,
+  floor(h.v * 1000000 + 0.5) / 1000000 AS v,
+  floor(((h.v - s.mu) / s.sigma) * 1000 + 0.5) / 1000 AS z,
+  CASE WHEN abs((h.v - s.mu) / s.sigma) > 2.5 THEN 1 ELSE 0 END AS is_anomaly
+FROM hourly h JOIN stats s ON h.event_type = s.event_type
+ORDER BY h.event_type, h.bucket
+"""
+
+
+@query("q_ts_anomaly", oracle=_ANOMALY_ORACLE, tags=("timeseries",))
+def q_ts_anomaly(spark, sf_dir):
+    """Z-score anomaly flagging on hourly sums per event type: one
+    partial-aggregating rollup of raw events, per-type mean/stddev as
+    a type-count-bounded aggregate broadcast back, per-bucket z and a
+    2.5-sigma flag.  The z column is quantized at 3 decimals (not 6):
+    it is a RATIO of two accumulated doubles, where cross-engine
+    summation-order drift is amplified near sigma ~ 0; 3 decimals is
+    still far finer than any anomaly threshold cares about."""
+    ev = Catalog(spark, sf_dir).events
+    hourly = ev.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 3600).cast("bigint").alias("bucket"),
+    ).agg(F.sum("value").alias("v"))
+    stats = hourly.groupBy(F.col("event_type").alias("et")).agg(
+        F.avg("v").alias("mu"), F.stddev_samp("v").alias("sigma")
+    )
+    z = (F.col("v") - F.col("mu")) / F.col("sigma")
+    return (
+        hourly.join(F.broadcast(stats), F.col("event_type") == F.col("et"))
+        .select(
+            "event_type",
+            "bucket",
+            quantize(F.col("v"), 6).alias("v"),
+            quantize(z, 3).alias("z"),
+            F.when(F.abs(z) > 2.5, 1).otherwise(0).alias("is_anomaly"),
+        )
+        .orderBy("event_type", "bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.15.37 Equi-depth histogram (quantile-boundary binning)
+# ---------------------------------------------------------------------------
+
+_EQDEPTH_ORACLE = """
+WITH b AS (
+  SELECT quantile_cont(o_totalprice, 0.25) AS q1,
+         quantile_cont(o_totalprice, 0.50) AS q2,
+         quantile_cont(o_totalprice, 0.75) AS q3
+  FROM orders)
+SELECT CASE WHEN o_totalprice <= q1 THEN 0
+            WHEN o_totalprice <= q2 THEN 1
+            WHEN o_totalprice <= q3 THEN 2
+            ELSE 3 END AS bin,
+  CAST(count(*) AS BIGINT) AS n,
+  floor(min(o_totalprice) * 100 + 0.5) / 100 AS lo,
+  floor(max(o_totalprice) * 100 + 0.5) / 100 AS hi
+FROM orders, b GROUP BY 1 ORDER BY 1
+"""
+
+
+@query("q_agg_histogram_eqdepth", oracle=_EQDEPTH_ORACLE, tags=("stats",))
+def q_agg_histogram_eqdepth(spark, sf_dir):
+    """Equi-depth histogram: quartile boundaries computed once
+    (percentile aggregate -> 1-row broadcast), every row binned by a
+    branch-only CASE, per-bin count and range — the optimizer-
+    statistics histogram (complements fixed-width q_fn_histogram).
+    Spark's percentile() interpolates identically to DuckDB's
+    quantile_cont on this data; the boundary compare uses the raw
+    (unquantized) values on both sides so bin membership is
+    identical."""
+    o = Catalog(spark, sf_dir).orders
+    b = o.agg(
+        F.expr("percentile(o_totalprice, 0.25)").alias("q1"),
+        F.expr("percentile(o_totalprice, 0.50)").alias("q2"),
+        F.expr("percentile(o_totalprice, 0.75)").alias("q3"),
+    )
+    binned = o.crossJoin(F.broadcast(b)).withColumn(
+        "bin",
+        F.when(F.col("o_totalprice") <= F.col("q1"), 0)
+        .when(F.col("o_totalprice") <= F.col("q2"), 1)
+        .when(F.col("o_totalprice") <= F.col("q3"), 2)
+        .otherwise(3),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            quantize2(F.min("o_totalprice")).alias("lo"),
+            quantize2(F.max("o_totalprice")).alias("hi"),
+        )
+        .orderBy("bin")
+    )
