@@ -116,14 +116,15 @@ def q_stats_profile(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _BITMAP_ORACLE = """
+WITH anchor AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events),
+off AS (
+  SELECT user_id,
+    CAST(date_diff('day', anchor.d0, CAST(ts AS DATE)) AS INT) AS k
+  FROM events, anchor)
 SELECT user_id,
-  bit_or(CAST(1 AS BIGINT) << CAST(date_diff('day', DATE '2024-01-01',
-                                             CAST(ts AS DATE)) AS INT))
-    AS day_bitmap,
-  CAST(bit_count(bit_or(CAST(1 AS BIGINT) <<
-    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INT)))
-    AS BIGINT) AS active_days
-FROM events GROUP BY user_id ORDER BY user_id
+  bit_or(CAST(1 AS BIGINT) << k) AS day_bitmap,
+  CAST(bit_count(bit_or(CAST(1 AS BIGINT) << k)) AS BIGINT) AS active_days
+FROM off WHERE k < 63 GROUP BY user_id ORDER BY user_id
 """
 
 
@@ -135,17 +136,19 @@ def q_agg_retention_bitmap(spark, sf_dir):
     31-day user history is 8 bytes regardless of event volume, and
     bitmaps AND/OR across periods for cohort algebra).  One partial
     bit_or aggregate; integers only, so cross-engine parity is
-    exact."""
+    exact.  The anchor day is the data's own min date (1-row
+    broadcast) and offsets cap below 63 — a fixture regenerated on a
+    different calendar can never push the shift past the BIGINT
+    width, where the engines' overflow semantics diverge."""
     ev = Catalog(spark, sf_dir).events
-    off = F.datediff(
-        F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
-    )
-    bit = F.expr(
-        "shiftleft(CAST(1 AS BIGINT), "
-        "datediff(CAST(ts AS DATE), DATE '2024-01-01'))"
-    )
+    anchor = ev.agg(F.min(F.col("ts").cast("date")).alias("d0"))
+    off = ev.crossJoin(F.broadcast(anchor)).select(
+        "user_id",
+        F.datediff(F.col("ts").cast("date"), F.col("d0")).alias("k"),
+    ).filter(F.col("k") < 63)
+    bit = F.expr("shiftleft(CAST(1 AS BIGINT), k)")
     return (
-        ev.groupBy("user_id")
+        off.groupBy("user_id")
         .agg(F.bit_or(bit).alias("day_bitmap"))
         .select(
             "user_id",
