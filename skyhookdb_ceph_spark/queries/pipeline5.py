@@ -830,3 +830,52 @@ def q_agg_histogram_eqdepth(spark, sf_dir):
         )
         .orderBy("bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.15.38 Gaps and islands (contiguous-range detection)
+# ---------------------------------------------------------------------------
+
+_ISLANDS_ORACLE = """
+WITH keys AS (
+  SELECT DISTINCT o_orderkey AS k FROM orders WHERE o_orderkey % 7 <> 0),
+grp AS (
+  SELECT k, k - row_number() OVER (ORDER BY k) AS g FROM keys)
+SELECT min(k) AS island_start, max(k) AS island_end,
+  CAST(count(*) AS BIGINT) AS island_len
+FROM grp GROUP BY g
+HAVING count(*) >= 3
+ORDER BY island_start
+"""
+
+
+@query("q_win_islands", oracle=_ISLANDS_ORACLE, tags=("window", "analytics"))
+def q_win_islands(spark, sf_dir):
+    """Gaps-and-islands: contiguous runs in a key sequence (orderkeys
+    with every 7th removed), via the classic k - row_number() grouping
+    constant — the sequence-integrity / missing-range audit.  NOTE the
+    deliberate single-partition window: island detection is inherently
+    a total order over the key domain.  The scale path is
+    range-partition by key first (islands can only span adjacent
+    partitions, fixable with a boundary merge pass); at fixture scale
+    Catalyst's single sort is correct and cheapest, and the row count
+    entering the window is already distinct-collapsed."""
+    o = Catalog(spark, sf_dir).orders
+    keys = (
+        o.filter(F.expr("o_orderkey % 7 <> 0"))
+        .select(F.col("o_orderkey").alias("k"))
+        .distinct()
+    )
+    w = Window.orderBy("k")
+    grp = keys.withColumn("g", F.col("k") - F.row_number().over(w))
+    return (
+        grp.groupBy("g")
+        .agg(
+            F.min("k").alias("island_start"),
+            F.max("k").alias("island_end"),
+            F.count(F.lit(1)).alias("island_len"),
+        )
+        .filter(F.col("island_len") >= 3)
+        .select("island_start", "island_end", "island_len")
+        .orderBy("island_start")
+    )

@@ -305,3 +305,29 @@ def q_stream_enrich(spark, sf_dir):
         (F.floor(F.sum("value") * 100 + F.lit(0.5)) / 100).alias("sum_value"),
     )
     return drain_to_memory(agg, output_mode="complete")
+
+
+@query(
+    "q_stream_topk",
+    oracle=(
+        "SELECT event_type, CAST(count(*) AS BIGINT) AS cnt "
+        "FROM events GROUP BY event_type "
+        "ORDER BY cnt DESC, event_type LIMIT 3"
+    ),
+    tags=("stream", "live-stream"),
+)
+def q_stream_topk(spark, sf_dir):
+    """TRUE streaming top-k: running counts per event type, complete
+    mode (sorting a streaming aggregate is only legal in complete
+    mode, which is exactly the continuously-maintained-leaderboard
+    semantics), top-3 emitted per trigger.  State is one counter per
+    key — bounded by type cardinality, not stream volume; the sort
+    runs on the aggregate (5 rows), never the stream."""
+    stream = events_stream(spark, sf_dir)
+    agg = (
+        stream.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "event_type")
+        .limit(3)
+    )
+    return drain_to_memory(agg, output_mode="complete")

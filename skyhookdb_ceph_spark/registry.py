@@ -100,6 +100,7 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q_tpch_q7", "q_tpch_q8", "q_tpch_q13", "q_tpch_q19",
     "q_sim_knn_multiprobe", "q_feat_hashing", "q_fn_try_cast",
     "q_ts_anomaly", "q_agg_histogram_eqdepth",
+    "q_stream_topk", "q_win_islands",
 )
 
 
