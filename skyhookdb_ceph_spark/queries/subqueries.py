@@ -48,3 +48,87 @@ def q_subquery_in(spark, sf_dir):
     """Uncorrelated IN subquery -> semi join on the subquery result."""
     Catalog(spark, sf_dir).register_views()
     return spark.sql(_IN_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Round-4 SQL-door additions: shared-dialect ANSI through spark.sql()
+# ---------------------------------------------------------------------------
+
+_CTE_SQL = (
+    "WITH seg AS ("
+    "  SELECT c_mktsegment AS seg, CAST(count(*) AS BIGINT) AS n_cust, "
+    "  floor(avg(c_acctbal) * 1000000 + 0.5) / 1000000 AS avg_bal "
+    "  FROM customer GROUP BY c_mktsegment) "
+    "SELECT a.seg, a.n_cust, a.avg_bal, CAST(b.n_cust AS BIGINT) AS bldg_n "
+    "FROM seg a JOIN seg b ON a.seg <> b.seg AND b.seg = 'BUILDING' "
+    "WHERE a.seg <> 'BUILDING' ORDER BY a.seg"
+)
+
+
+@query("q_sql_cte", oracle=_CTE_SQL)
+def q_sql_cte(spark, sf_dir):
+    """CTE referenced twice (self-join on the aggregate) — IDENTICAL
+    SQL text on both engines.  Catalyst either inlines or reuses the
+    CTE subplan; semantics must not depend on which."""
+    Catalog(spark, sf_dir).register_views()
+    return spark.sql(_CTE_SQL)
+
+
+_VALUES_SQL = (
+    "SELECT t.tier, CAST(count(*) AS BIGINT) AS n, "
+    "floor(sum(c_acctbal) * 100 + 0.5) / 100 AS bal "
+    "FROM customer JOIN (VALUES (0, 'low'), (1, 'mid'), (2, 'high')) "
+    "AS t(k, tier) "
+    "ON CAST(floor((c_acctbal + 1000) / 4000) AS INT) = t.k "
+    "GROUP BY t.tier ORDER BY t.tier"
+)
+
+
+@query("q_sql_values", oracle=_VALUES_SQL)
+def q_sql_values(spark, sf_dir):
+    """Inline VALUES relation joined as a lookup (band -> tier label)
+    — IDENTICAL SQL text on both engines; the literal table broadcasts
+    by construction."""
+    Catalog(spark, sf_dir).register_views()
+    return spark.sql(_VALUES_SQL)
+
+
+_NAMED_WINDOW_SQL = (
+    "SELECT o_custkey, o_orderkey, rank() OVER w AS rk, "
+    "CAST(count(*) OVER w AS BIGINT) AS n_so_far "
+    "FROM orders "
+    "WINDOW w AS (PARTITION BY o_custkey "
+    "ORDER BY year(o_orderdate), o_orderkey)"
+)
+
+
+@query("q_sql_named_window", oracle=_NAMED_WINDOW_SQL)
+def q_sql_named_window(spark, sf_dir):
+    """Named WINDOW clause shared by two window functions — IDENTICAL
+    SQL text; one (o_custkey) exchange serves both, and the unique
+    orderkey tie-break makes rank and the running count
+    deterministic."""
+    Catalog(spark, sf_dir).register_views()
+    return spark.sql(_NAMED_WINDOW_SQL)
+
+
+_RECURSIVE_SQL = (
+    "WITH RECURSIVE fib(i, a, b) AS ("
+    "  SELECT 1, CAST(0 AS BIGINT), CAST(1 AS BIGINT) "
+    "  UNION ALL "
+    "  SELECT i + 1, b, a + b FROM fib WHERE i < 40) "
+    "SELECT i, a AS fib_i FROM fib ORDER BY i"
+)
+
+
+@query("q_sql_recursive", oracle=_RECURSIVE_SQL)
+def q_sql_recursive(spark, sf_dir):
+    """WITH RECURSIVE (Spark 4 / DuckDB shared dialect) — IDENTICAL
+    SQL text; the feature-parity proof for iterative SQL, bounded at
+    40 steps.  Data-scale recursion lives in q_graph_components (the
+    Spark side there uses the convergent-join fixpoint because a
+    recursive CTE over fact-scale edges has no partial-aggregation
+    escape — this query proves the DIALECT, that one proves the
+    scale path)."""
+    Catalog(spark, sf_dir).register_views()
+    return spark.sql(_RECURSIVE_SQL)

@@ -101,6 +101,7 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q_sim_knn_multiprobe", "q_feat_hashing", "q_fn_try_cast",
     "q_ts_anomaly", "q_agg_histogram_eqdepth",
     "q_stream_topk", "q_win_islands",
+    "q_sql_cte", "q_sql_values", "q_sql_named_window", "q_sql_recursive",
 )
 
 
