@@ -879,3 +879,115 @@ def q_win_islands(spark, sf_dir):
         .select("island_start", "island_end", "island_len")
         .orderBy("island_start")
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.15.39 GDPR deletion propagation (right-to-be-forgotten audit)
+# ---------------------------------------------------------------------------
+
+_GDPR_ORACLE = """
+WITH del AS (
+  SELECT DISTINCT user_id FROM events WHERE user_id % 13 = 0)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_total,
+  CAST(sum(CASE WHEN d.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_deleted,
+  CAST(sum(CASE WHEN d.user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_kept
+FROM events e LEFT JOIN del d ON e.user_id = d.user_id
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+@query("q_gdpr_delete", oracle=_GDPR_ORACLE, tags=("pipeline", "compliance"))
+def q_gdpr_delete(spark, sf_dir):
+    """Deletion propagation (right-to-be-forgotten): a deletion list
+    of user ids applied across the event log, with the audit counts
+    (total / purged / retained per event type) compliance requires.
+    The deletion list arrives as a broadcast (id-only — at 100 TB the
+    list is millions of ids, the log is the 100 TB side, and the log
+    never shuffles for the match); the scrub itself is the same join
+    with a NULL filter."""
+    ev = Catalog(spark, sf_dir).events
+    dels = (
+        ev.filter(F.expr("user_id % 13 = 0"))
+        .select(F.col("user_id").alias("du"))
+        .distinct()
+    )
+    return (
+        ev.join(F.broadcast(dels), ev.user_id == dels.du, "left")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(F.col("du").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_deleted"),
+            F.sum(F.when(F.col("du").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.15.40 Grid-bucketed spatial self-join (close-pair counting)
+# ---------------------------------------------------------------------------
+
+_SPATIAL_ORACLE = """
+WITH pts AS (
+  SELECT p_partkey AS id, CAST(p_size AS BIGINT) AS x,
+    CAST(CAST(floor(p_retailprice) AS BIGINT) % 50 AS BIGINT) AS y
+  FROM part),
+probes AS (
+  SELECT id, x, y, x + dx.v AS px, y + dy.v AS py
+  FROM pts,
+    (SELECT unnest(generate_series(-1, 1)) AS v) dx,
+    (SELECT unnest(generate_series(-1, 1)) AS v) dy),
+pairs AS (
+  SELECT DISTINCT a.id AS ia, b.id AS ib
+  FROM probes a JOIN pts b ON a.px = b.x AND a.py = b.y AND a.id < b.id)
+SELECT CAST(count(*) AS BIGINT) AS n_close_pairs,
+  CAST(count(DISTINCT ia) AS BIGINT) AS n_left_points
+FROM pairs
+"""
+
+
+@query("q_join_spatial_grid", oracle=_SPATIAL_ORACLE, tags=("join", "spatial"))
+def q_join_spatial_grid(spark, sf_dir):
+    """2-D close-pair join via grid bucketing: points on an integer
+    grid, pairs within Chebyshev distance 1 found by probing the 3x3
+    neighbor cells — the standard spatial-join pattern (9x bounded
+    fan-out + equi-join on the cell, NEVER an all-pairs distance
+    filter).  The 1-D analog is operators/range_join.py; this is its
+    2-D extension, and at scale the cell key doubles as the partition
+    column.  Output is the close-pair audit (pair count, points with
+    a neighbor)."""
+    p = Catalog(spark, sf_dir).part
+    pts = p.selectExpr(
+        "p_partkey AS id",
+        "CAST(p_size AS BIGINT) AS x",
+        "CAST(CAST(floor(p_retailprice) AS BIGINT) % 50 AS BIGINT) AS y",
+    )
+    probes = pts.selectExpr(
+        "id",
+        "explode(sequence(-1, 1)) AS dxv",
+        "x",
+        "y",
+    ).selectExpr("id", "x + dxv AS basex", "y", "explode(sequence(-1, 1)) AS dyv").selectExpr(
+        "id", "basex AS px", "y + dyv AS py"
+    )
+    b = pts.selectExpr("id AS ib", "x AS bx", "y AS by")
+    pairs = (
+        probes.join(
+            b,
+            (F.col("px") == F.col("bx"))
+            & (F.col("py") == F.col("by"))
+            & (F.col("id") < F.col("ib")),
+        )
+        .select(F.col("id").alias("ia"), "ib")
+        .distinct()
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_close_pairs"),
+        F.count_distinct("ia").cast("bigint").alias("n_left_points"),
+    )

@@ -331,3 +331,41 @@ def q_stream_topk(spark, sf_dir):
         .limit(3)
     )
     return drain_to_memory(agg, output_mode="complete")
+
+
+@query(
+    "q_stream_cdc_apply",
+    oracle=(
+        "WITH ch AS ("
+        "  SELECT user_id, value, "
+        "  CAST(floor(epoch(ts)) AS BIGINT) * 100000000 + event_id AS seq "
+        "  FROM events) "
+        "SELECT user_id, "
+        "floor((max_by(value, seq)) * 100 + 0.5) / 100 AS latest_value, "
+        "CAST(count(*) AS BIGINT) AS n_changes "
+        "FROM ch GROUP BY user_id"
+    ),
+    tags=("stream", "live-stream"),
+)
+def q_stream_cdc_apply(spark, sf_dir):
+    """TRUE streaming CDC apply: the event stream treated as a
+    changelog keyed by user, latest-wins via max_by over a composite
+    (second, event_id) sequence — the lakehouse MERGE-apply kernel as
+    a streaming aggregate.  max_by is map-side-combinable, so state
+    per key is one (value, seq) pair regardless of change volume —
+    unlike a window formulation, which would buffer versions.  The
+    batch twin is q_upsert_latest; this runs the same semantics
+    through a readStream drain."""
+    stream = events_stream(spark, sf_dir)
+    ch = stream.selectExpr(
+        "user_id",
+        "value",
+        "CAST(unix_timestamp(ts) AS BIGINT) * 100000000 + event_id AS seq",
+    )
+    agg = ch.groupBy("user_id").agg(
+        F.expr("floor((max_by(value, seq)) * 100 + 0.5) / 100").alias(
+            "latest_value"
+        ),
+        F.count(F.lit(1)).alias("n_changes"),
+    )
+    return drain_to_memory(agg, output_mode="complete")
