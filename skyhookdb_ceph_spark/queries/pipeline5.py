@@ -991,3 +991,169 @@ def q_join_spatial_grid(spark, sf_dir):
         F.count(F.lit(1)).alias("n_close_pairs"),
         F.count_distinct("ia").cast("bigint").alias("n_left_points"),
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.15.41 Bucketed co-located join (surfacing operators/bucketing.py)
+# ---------------------------------------------------------------------------
+
+_BUCKETED_ORACLE = """
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+  floor(sum(o_totalprice) * 100 + 0.5) / 100 AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+@query("q_join_bucketed", oracle=_BUCKETED_ORACLE, tags=("join", "layout"))
+def q_join_bucketed(spark, sf_dir):
+    """Exchange-free co-located join: customer and orders are written
+    bucketBy(8, custkey) into the catalog, then joined WITHOUT any
+    shuffle on either side (tests/test_bucketing.py asserts the plan
+    has no Exchange before the SortMergeJoin) — the pay-the-shuffle-
+    once-at-ingest layout that makes repeated fact-fact joins cheap at
+    100 TB.  The write is part of the query here to stay
+    self-contained; a real deployment writes once and joins many
+    times.  The oracle is the plain join — bucketing must never
+    change results, only the plan."""
+    from skyhookdb_ceph_spark.operators.bucketing import (
+        colocated_join,
+        write_bucketed,
+    )
+
+    c = Catalog(spark, sf_dir)
+    write_bucketed(
+        c.customer.select("c_custkey", "c_mktsegment"),
+        "bq_customer",
+        ["c_custkey"],
+        8,
+        sort_cols=["c_custkey"],
+    )
+    write_bucketed(
+        c.orders.select("o_custkey", "o_totalprice"),
+        "bq_orders",
+        ["o_custkey"],
+        8,
+        sort_cols=["o_custkey"],
+    )
+    cust = spark.table("bq_customer")
+    orders = spark.table("bq_orders")
+    joined = cust.join(
+        orders, F.col("c_custkey") == F.col("o_custkey")
+    )
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            quantize2(F.sum("o_totalprice")).alias("revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.15.42 Partition-pruned scan (hive-style date partitioning)
+# ---------------------------------------------------------------------------
+
+_PARTPRUNE_ORACLE = """
+SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date,
+  event_type, CAST(count(*) AS BIGINT) AS cnt
+FROM events
+WHERE CAST(ts AS DATE) >= DATE '2024-01-10'
+  AND CAST(ts AS DATE) < DATE '2024-01-13'
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@query("q_scan_partition_prune", oracle=_PARTPRUNE_ORACLE, tags=("scan", "layout"))
+def q_scan_partition_prune(spark, sf_dir):
+    """Hive-style partition pruning: events re-laid-out
+    partitionBy(event_date), then a 3-day filter reads ONLY those
+    directories — the listing itself skips the other ~27 days before
+    any file opens (PartitionFilters in the scan node, vs
+    PushedFilters which still touches every file's footer).  This is
+    the date-partitioned table layout every 100 TB event store uses;
+    the write is in-query to stay self-contained."""
+    import shutil
+    import tempfile
+
+    from skyhookdb_ceph_spark.queries.scans import _scratch_dir
+
+    ev = Catalog(spark, sf_dir).events
+    tmp = tempfile.mkdtemp(prefix="skyhook_partprune_", dir=_scratch_dir())
+    try:
+        path = f"{tmp}/events_by_date"
+        (
+            ev.withColumn("event_date", F.col("ts").cast("date"))
+            .write.mode("overwrite")
+            .partitionBy("event_date")
+            .parquet(path)
+        )
+        part = spark.read.parquet(path)
+        out = (
+            part.filter(
+                (F.col("event_date") >= F.lit("2024-01-10").cast("date"))
+                & (F.col("event_date") < F.lit("2024-01-13").cast("date"))
+            )
+            .groupBy(
+                F.col("event_date").cast("string").alias("event_date"),
+                "event_type",
+            )
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy("event_date", "event_type")
+        )
+        # Materialize the (days x types)-bounded result before the
+        # scratch dir is removed (house pattern, scans.py).
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# §2.15.43 Skyline (Pareto frontier) query
+# ---------------------------------------------------------------------------
+
+_SKYLINE_ORACLE = """
+WITH pts AS (
+  SELECT DISTINCT CAST(p_size AS BIGINT) AS x,
+    CAST(floor(p_retailprice) AS BIGINT) AS y
+  FROM part),
+ranked AS (
+  SELECT x, y, min(y) OVER (ORDER BY x, y
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS min_y_before
+  FROM pts)
+SELECT x, y FROM ranked
+WHERE min_y_before IS NULL OR y < min_y_before
+ORDER BY x, y
+"""
+
+
+@query("q_agg_skyline", oracle=_SKYLINE_ORACLE, tags=("analytics",))
+def q_agg_skyline(spark, sf_dir):
+    """Skyline / Pareto frontier (minimize size AND price): a distinct
+    point is on the frontier iff no point sorted before it (x asc,
+    y asc) had y <= its y — one running-min window over the
+    DISTINCT-collapsed point set, not an all-pairs dominance join.
+    NOTE the deliberate single-partition window: like q_win_islands,
+    the frontier is inherently a total order over x; the scale path is
+    range-partition by x + a per-partition frontier + one boundary
+    min-broadcast merge, and the row count entering the sort is the
+    distinct grid, not the table."""
+    p = Catalog(spark, sf_dir).part
+    pts = p.selectExpr(
+        "CAST(p_size AS BIGINT) AS x",
+        "CAST(floor(p_retailprice) AS BIGINT) AS y",
+    ).distinct()
+    w = (
+        Window.orderBy("x", "y")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = pts.withColumn("min_y_before", F.min("y").over(w))
+    return (
+        ranked.filter(
+            F.col("min_y_before").isNull()
+            | (F.col("y") < F.col("min_y_before"))
+        )
+        .select("x", "y")
+        .orderBy("x", "y")
+    )
