@@ -1157,3 +1157,63 @@ def q_agg_skyline(spark, sf_dir):
         .select("x", "y")
         .orderBy("x", "y")
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.15.44 IVF index build + pruned probe (ANN as physical layout)
+# ---------------------------------------------------------------------------
+
+def _ivf_build_oracle() -> str:
+    from skyhookdb_ceph_spark.operators import vectors
+
+    return f"""
+WITH {vectors.primary_cell_cte_duckdb()},
+q AS (SELECT embedding AS qv, bucket AS qb FROM b WHERE vec_id = 0)
+SELECT b.vec_id,
+  floor(({vectors.cosine_duckdb('b.embedding', 'q.qv')}) * 1000000 + 0.5)
+    / 1000000 AS sim
+FROM b JOIN q ON b.bucket = q.qb
+ORDER BY sim DESC, b.vec_id LIMIT 5
+"""
+
+
+@query("q_vec_ivf_build", oracle=_ivf_build_oracle(), tags=("llm", "similarity", "layout"))
+def q_vec_ivf_build(spark, sf_dir):
+    """IVF index BUILD as physical layout: embeddings written
+    partitionBy(cell) to scratch (the index build), then the probe
+    reads back with a cell filter — so the candidate restriction is
+    DIRECTORY pruning, not even a row filter: the probe's IO is
+    |cell|, not |corpus|.  This is what q_sim_knn_ivf's docstring
+    promises at scale ('the cell assignment is a partition column'),
+    demonstrated end-to-end.  Results are identical to the logical
+    cell filter, which is what the oracle states."""
+    import shutil
+    import tempfile
+
+    from skyhookdb_ceph_spark.operators import vectors
+    from skyhookdb_ceph_spark.queries.scans import _scratch_dir
+
+    e = Catalog(spark, sf_dir).embeddings
+    tmp = tempfile.mkdtemp(prefix="skyhook_ivf_", dir=_scratch_dir())
+    try:
+        withb = vectors.bucketed_cells(e)
+        withb.write.mode("overwrite").partitionBy("bucket").parquet(
+            f"{tmp}/ivf"
+        )
+        index = spark.read.parquet(f"{tmp}/ivf")
+        qrow = withb.filter(F.col("vec_id") == 0).selectExpr(
+            "embedding AS qv", "bucket AS qb"
+        )
+        out = (
+            index.join(F.broadcast(qrow), F.col("bucket") == F.col("qb"))
+            .selectExpr(
+                "vec_id",
+                f"floor(({vectors.cosine_expr('embedding', 'qv')}) "
+                "* 1000000 + 0.5) / 1000000 AS sim",
+            )
+            .orderBy(F.col("sim").desc(), "vec_id")
+            .limit(5)
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

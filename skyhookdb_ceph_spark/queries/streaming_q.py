@@ -369,3 +369,38 @@ def q_stream_cdc_apply(spark, sf_dir):
         F.count(F.lit(1)).alias("n_changes"),
     )
     return drain_to_memory(agg, output_mode="complete")
+
+
+@query(
+    "q_stream_watermark_append",
+    oracle=(
+        "WITH mx AS (SELECT max(ts) AS m FROM events) "
+        "SELECT date_trunc('hour', ts) AS window_start, "
+        "CAST(count(*) AS BIGINT) AS cnt "
+        "FROM events, mx "
+        "GROUP BY date_trunc('hour', ts), mx.m "
+        "HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR "
+        "<= m - INTERVAL 10 MINUTE"
+    ),
+    tags=("stream", "live-stream"),
+)
+def q_stream_watermark_append(spark, sf_dir):
+    """APPEND-mode watermarked aggregation — the strictest streaming
+    emission contract: a window row is emitted exactly once, only
+    after the watermark (max event time - 10 min) passes its end, and
+    open windows are withheld.  This drain MUST run the trailing
+    no-data micro-batch (needs_watermark_batch=True) or closed
+    windows never flush — the failure mode drain_to_memory's flag
+    exists for, exercised here on purpose.  The oracle states the
+    same contract declaratively: hours whose end <= max(ts) - 10 min.
+    Complete-mode twin: q_stream_watermark (emits everything)."""
+    stream = events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("window.start").alias("window_start"), "cnt")
+    )
+    return drain_to_memory(
+        agg, output_mode="append", needs_watermark_batch=True
+    )

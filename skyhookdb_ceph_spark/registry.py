@@ -104,6 +104,7 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q_sql_cte", "q_sql_values", "q_sql_named_window", "q_sql_recursive",
     "q_gdpr_delete", "q_join_spatial_grid", "q_stream_cdc_apply",
     "q_join_bucketed", "q_scan_partition_prune", "q_agg_skyline",
+    "q_vec_ivf_build", "q_stream_watermark_append",
 )
 
 

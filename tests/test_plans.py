@@ -446,3 +446,32 @@ def test_retention_bitmap_partial_aggregates(spark):
     exchange."""
     plan = explain_str(q("q_agg_retention_bitmap", spark))
     assert "partial_bit_or" in plan or plan.count("HashAggregate") >= 2
+
+
+def test_partition_prune_uses_partition_filters(spark):
+    """The date-partitioned relayout must prune at the DIRECTORY level:
+    the re-read scan shows the event_date predicate as a partition
+    filter (pruned listing), not merely a pushed data filter."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from skyhookdb_ceph_spark.queries._util import Catalog
+    from skyhookdb_ceph_spark.queries.scans import _scratch_dir
+
+    tmp = tempfile.mkdtemp(prefix="skyhook_pp_test_", dir=_scratch_dir())
+    try:
+        ev = Catalog(spark, SF).events
+        ev.withColumn("event_date", F.col("ts").cast("date")).write.mode(
+            "overwrite"
+        ).partitionBy("event_date").parquet(f"{tmp}/p")
+        df = spark.read.parquet(f"{tmp}/p").filter(
+            F.col("event_date") == F.lit("2024-01-10").cast("date")
+        )
+        plan = explain_str(df)
+        assert "PartitionFilters" in plan
+        assert "event_date" in plan[plan.find("PartitionFilters"):].split("]")[0]
+    finally:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
