@@ -1217,3 +1217,191 @@ def q_vec_ivf_build(spark, sf_dir):
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# §2.15.45 BPE merge step (tokenizer-training inner loop)
+# ---------------------------------------------------------------------------
+
+_BPE_ORACLE = """
+WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+prs AS (
+  SELECT ws[t.i] || ' ' || ws[t.i + 1] AS pair
+  FROM w, unnest(generate_series(1, len(ws) - 1)) t(i)
+  WHERE len(ws) >= 2),
+top AS (SELECT pair FROM prs GROUP BY pair
+        ORDER BY count(*) DESC, pair LIMIT 1)
+SELECT t.pair AS merged_pair,
+  CAST(sum((length(w.text) - length(replace(w.text, t.pair, '')))
+           / length(t.pair)) AS BIGINT) AS n_occurrences,
+  CAST(sum(CASE WHEN contains(w.text, t.pair) THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_docs_affected
+FROM w, top t GROUP BY t.pair
+"""
+
+
+@query("q_text_bpe_merge", oracle=_BPE_ORACLE, tags=("llm", "text"))
+def q_text_bpe_merge(spark, sf_dir):
+    """One BPE training step: find the globally most frequent adjacent
+    token pair (q_vocab_pairs' statistic, argmax'd), then measure its
+    application across the corpus (occurrence count via the
+    length-delta trick, affected-doc count) — the inner loop a
+    tokenizer trainer repeats per merge.  The top pair is a 1-row
+    broadcast; application is a pure map over the corpus.  Counting is
+    string-level (both engines apply the identical non-overlapping
+    left-to-right replace), documented as the standard
+    whitespace-corpus approximation."""
+    d = ensure_parallelism(Catalog(spark, sf_dir).documents)
+    words = d.selectExpr(
+        "doc_id", "posexplode(split(text, ' ')) AS (pos, w)"
+    )
+    wnd = Window.partitionBy("doc_id").orderBy("pos")
+    top = (
+        words.withColumn("nxt", F.lead("w").over(wnd))
+        .filter(F.col("nxt").isNotNull())
+        .selectExpr("w || ' ' || nxt AS pair")
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "pair")
+        .limit(1)
+        .select("pair")
+    )
+    return (
+        d.crossJoin(F.broadcast(top))
+        .agg(
+            F.first("pair").alias("merged_pair"),
+            F.sum(
+                (F.length("text") - F.length(F.expr("replace(text, pair, '')")))
+                / F.length("pair")
+            )
+            .cast("bigint")
+            .alias("n_occurrences"),
+            F.sum(
+                F.when(F.expr("contains(text, pair)"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_docs_affected"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.15.46 CDC with tombstones (latest state excluding deletes)
+# ---------------------------------------------------------------------------
+
+_TOMBSTONE_ORACLE = """
+WITH log AS (
+  SELECT event_id AS key, value, 0 AS seq, 'U' AS op FROM events
+  UNION ALL
+  SELECT event_id, value + 1000, 1, 'U' FROM events WHERE event_id % 2 = 0
+  UNION ALL
+  SELECT event_id, CAST(NULL AS DOUBLE), 2, 'D' FROM events
+  WHERE event_id % 5 = 0)
+SELECT key, floor((max_by(value, seq)) * 100 + 0.5) / 100 AS value_q,
+  CAST(count(*) AS BIGINT) AS n_versions
+FROM log GROUP BY key
+HAVING max_by(op, seq) = 'U'
+ORDER BY key
+"""
+
+
+@query("q_dedup_tombstone", oracle=_TOMBSTONE_ORACLE, tags=("pipeline", "merge"))
+def q_dedup_tombstone(spark, sf_dir):
+    """CDC compaction with DELETE tombstones: the changelog carries
+    upserts AND deletes (op column); the compacted state is
+    latest-wins per key, with keys whose latest op is a delete dropped
+    entirely — q_upsert_latest extended to the full
+    insert/update/delete contract every CDC feed has.  Still one
+    map-combinable aggregate (max_by for both the value and the op);
+    the HAVING is a post-aggregate filter on the one-row-per-key
+    result, never a second pass over versions."""
+    e = Catalog(spark, sf_dir).events.select("event_id", "value")
+    base = e.selectExpr(
+        "event_id AS key", "value", "0 AS seq", "'U' AS op"
+    )
+    upd = (
+        e.filter(F.col("event_id") % 2 == 0)
+        .selectExpr("event_id AS key", "value + 1000 AS value", "1 AS seq", "'U' AS op")
+    )
+    dels = (
+        e.filter(F.col("event_id") % 5 == 0)
+        .selectExpr(
+            "event_id AS key", "CAST(NULL AS DOUBLE) AS value",
+            "2 AS seq", "'D' AS op",
+        )
+    )
+    return (
+        base.unionByName(upd)
+        .unionByName(dels)
+        .groupBy("key")
+        .agg(
+            quantize2(F.max_by("value", "seq")).alias("value_q"),
+            F.count(F.lit(1)).alias("n_versions"),
+            F.max_by("op", "seq").alias("_last_op"),
+        )
+        .filter(F.col("_last_op") == "U")
+        .drop("_last_op")
+        .orderBy("key")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.15.47 SCD2 point-in-time (temporal) dimension join
+# ---------------------------------------------------------------------------
+
+_SCD2_ORACLE = """
+WITH dim AS (
+  SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS attr,
+    TIMESTAMP '1995-01-01' AS valid_from, TIMESTAMP '1998-01-01' AS valid_to
+  FROM customer
+  UNION ALL
+  SELECT c_custkey, CAST((c_nationkey + 1) % 25 AS BIGINT),
+    TIMESTAMP '1998-01-01', TIMESTAMP '2005-01-01'
+  FROM customer)
+SELECT attr AS nation_at_order, CAST(count(*) AS BIGINT) AS n_orders,
+  floor(sum(o_totalprice) * 100 + 0.5) / 100 AS revenue
+FROM orders JOIN dim
+  ON o_custkey = c_custkey
+  AND o_orderdate >= valid_from AND o_orderdate < valid_to
+GROUP BY attr ORDER BY nation_at_order
+"""
+
+
+@query("q_join_scd2", oracle=_SCD2_ORACLE, tags=("join", "temporal"))
+def q_join_scd2(spark, sf_dir):
+    """SCD type-2 point-in-time join: each order joins the dimension
+    VERSION that was valid at its order date (a two-era synthetic
+    history over customer) — the temporal-consistency join every
+    warehouse fact load needs.  The join key stays the equi custkey
+    with the validity range as a residual predicate, so the plan is a
+    keyed join (broadcast at fixture scale, sort-merge at 100 TB) and
+    never a nested loop; version count per key bounds the residual
+    fan-out."""
+    c = Catalog(spark, sf_dir)
+    era1 = c.customer.selectExpr(
+        "c_custkey",
+        "CAST(c_nationkey AS BIGINT) AS attr",
+        "TIMESTAMP '1995-01-01' AS valid_from",
+        "TIMESTAMP '1998-01-01' AS valid_to",
+    )
+    era2 = c.customer.selectExpr(
+        "c_custkey",
+        "CAST((c_nationkey + 1) % 25 AS BIGINT) AS attr",
+        "TIMESTAMP '1998-01-01' AS valid_from",
+        "TIMESTAMP '2005-01-01' AS valid_to",
+    )
+    dim = era1.unionByName(era2)
+    return (
+        c.orders.join(
+            dim,
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("o_orderdate") >= F.col("valid_from"))
+            & (F.col("o_orderdate") < F.col("valid_to")),
+        )
+        .groupBy(F.col("attr").alias("nation_at_order"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            quantize2(F.sum("o_totalprice")).alias("revenue"),
+        )
+        .orderBy("nation_at_order")
+    )

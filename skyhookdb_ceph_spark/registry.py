@@ -105,6 +105,7 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q_gdpr_delete", "q_join_spatial_grid", "q_stream_cdc_apply",
     "q_join_bucketed", "q_scan_partition_prune", "q_agg_skyline",
     "q_vec_ivf_build", "q_stream_watermark_append",
+    "q_text_bpe_merge", "q_dedup_tombstone", "q_join_scd2",
 )
 
 
