@@ -1405,3 +1405,196 @@ def q_join_scd2(spark, sf_dir):
         )
         .orderBy("nation_at_order")
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.15.48 Data-quality constraint audit (expectations suite)
+# ---------------------------------------------------------------------------
+
+_CONSTRAINTS_ORACLE = """
+SELECT 'o_totalprice_nonneg' AS rule, CAST(count(*) AS BIGINT) AS n_checked,
+  CAST(sum(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_violations
+FROM orders
+UNION ALL
+SELECT 'o_orderdate_in_range', CAST(count(*) AS BIGINT),
+  CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '1990-01-01'
+                  OR o_orderdate > TIMESTAMP '2010-01-01'
+             THEN 1 ELSE 0 END) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'o_custkey_not_null', CAST(count(*) AS BIGINT),
+  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'o_custkey_fk_customer', CAST(count(*) AS BIGINT),
+  CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+ORDER BY rule
+"""
+
+
+@query("q_stats_constraints", oracle=_CONSTRAINTS_ORACLE, tags=("stats", "quality"))
+def q_stats_constraints(spark, sf_dir):
+    """Data-quality constraint audit (the expectations-suite shape):
+    non-negativity, range, NOT NULL, and referential integrity checked
+    in one pass each, emitting per-rule checked/violation counts — the
+    contract gate before a table is published downstream.  The three
+    column rules fold into ONE scan (single aggregate, stacked out);
+    the FK rule is a broadcast left join counting orphans — at 100 TB
+    the dim side broadcasts and the fact never shuffles to be
+    checked."""
+    c = Catalog(spark, sf_dir)
+    o = c.orders
+    col_rules = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("o_totalprice") < 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("v_price"),
+        F.sum(
+            F.when(
+                (F.col("o_orderdate") < F.lit("1990-01-01").cast("timestamp"))
+                | (F.col("o_orderdate") > F.lit("2010-01-01").cast("timestamp")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("v_date"),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("v_null"),
+    ).selectExpr(
+        "stack(3, "
+        "'o_totalprice_nonneg', n, v_price, "
+        "'o_orderdate_in_range', n, v_date, "
+        "'o_custkey_not_null', n, v_null"
+        ") AS (rule, n_checked, n_violations)"
+    )
+    fk = (
+        o.join(
+            F.broadcast(c.customer.select("c_custkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_checked"),
+            F.sum(F.when(F.col("c_custkey").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_violations"),
+        )
+        .selectExpr(
+            "'o_custkey_fk_customer' AS rule", "n_checked", "n_violations"
+        )
+    )
+    return col_rules.unionByName(fk).orderBy("rule")
+
+
+# ---------------------------------------------------------------------------
+# §2.15.49 Benford first-digit profile (fraud / synthetic-data signal)
+# ---------------------------------------------------------------------------
+
+_BENFORD_ORACLE = """
+WITH d AS (
+  SELECT CAST(floor(o_totalprice / power(10, floor(log10(o_totalprice))))
+              AS BIGINT) AS digit
+  FROM orders WHERE o_totalprice >= 1),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM d)
+SELECT digit, CAST(count(*) AS BIGINT) AS cnt,
+  floor((count(*) / tot.n) * 1000000 + 0.5) / 1000000 AS share,
+  floor(log10(1.0 + 1.0 / digit) * 1000000 + 0.5) / 1000000
+    AS benford_expected
+FROM d, tot GROUP BY digit, tot.n ORDER BY digit
+"""
+
+
+@query("q_agg_benford", oracle=_BENFORD_ORACLE, tags=("stats", "quality"))
+def q_agg_benford(spark, sf_dir):
+    """Benford's-law first-digit profile of order totals with the
+    theoretical log10(1 + 1/d) expectation alongside — the classic
+    fabricated-data / synthetic-corpus screen.  First digit via
+    floor(x / 10^floor(log10 x)) (pure IEEE, both engines identical);
+    one 9-group aggregate plus a 1-row total broadcast."""
+    o = Catalog(spark, sf_dir).orders.filter(F.col("o_totalprice") >= 1)
+    d = o.selectExpr(
+        "CAST(floor(o_totalprice / power(10, floor(log10(o_totalprice)))) "
+        "AS BIGINT) AS digit"
+    )
+    tot = d.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    return (
+        d.groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "cnt",
+            quantize(F.col("cnt") / F.col("n"), 6).alias("share"),
+            quantize(
+                F.log10(1.0 + 1.0 / F.col("digit")), 6
+            ).alias("benford_expected"),
+        )
+        .orderBy("digit")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.15.50 HTML/boilerplate stripping (corpus cleaning)
+# ---------------------------------------------------------------------------
+
+_HTMLSTRIP_ORACLE = """
+WITH corpus AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 5 = 0
+      THEN '<html><body><p>' || text || '</p><br/></body></html>'
+      ELSE text END AS raw
+  FROM documents),
+stripped AS (
+  SELECT doc_id, raw,
+    trim(regexp_replace(regexp_replace(raw, '<[^>]*>', ' ', 'g'),
+                        ' +', ' ', 'g')) AS clean
+  FROM corpus)
+SELECT CAST(sum(CASE WHEN length(raw) > length(clean) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_docs_stripped,
+  CAST(sum(length(raw) - length(clean)) AS BIGINT) AS bytes_removed,
+  md5(string_agg(clean, '|' ORDER BY doc_id)) AS corpus_digest
+FROM stripped
+"""
+
+
+@query("q_text_html_strip", oracle=_HTMLSTRIP_ORACLE, tags=("llm", "text"))
+def q_text_html_strip(spark, sf_dir):
+    """HTML/boilerplate stripping: tag removal + whitespace collapse
+    over a deterministically HTML-wrapped subset (every 5th doc) —
+    the first cleaning stage of any web-scrape corpus.  Pure per-row
+    JVM regex (global-replace semantics aligned via the oracle's 'g'
+    flag); the audit row carries an order-fixed corpus digest so the
+    oracle verifies the exact cleaned text of every document, not
+    just counts."""
+    d = ensure_parallelism(Catalog(spark, sf_dir).documents)
+    corpus = d.selectExpr(
+        "doc_id",
+        "CASE WHEN doc_id % 5 = 0 "
+        "THEN '<html><body><p>' || text || '</p><br/></body></html>' "
+        "ELSE text END AS raw",
+    )
+    stripped = corpus.select(
+        "doc_id",
+        "raw",
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.col("raw"), "<[^>]*>", " "), " +", " "
+            )
+        ).alias("clean"),
+    )
+    return stripped.agg(
+        F.sum(
+            F.when(F.length("raw") > F.length("clean"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_docs_stripped"),
+        F.sum(F.length("raw") - F.length("clean"))
+        .cast("bigint")
+        .alias("bytes_removed"),
+        F.md5(
+            F.expr("string_agg(clean, '|') WITHIN GROUP (ORDER BY doc_id)")
+        ).alias("corpus_digest"),
+    )

@@ -404,3 +404,28 @@ def q_stream_watermark_append(spark, sf_dir):
     return drain_to_memory(
         agg, output_mode="append", needs_watermark_batch=True
     )
+
+
+@query(
+    "q_stream_update_mode",
+    oracle=(
+        "SELECT event_type, CAST(count(*) AS BIGINT) AS cnt, "
+        "floor(sum(value) * 100 + 0.5) / 100 AS sum_value "
+        "FROM events GROUP BY event_type"
+    ),
+    tags=("stream", "live-stream"),
+)
+def q_stream_update_mode(spark, sf_dir):
+    """UPDATE-mode streaming aggregation: only keys whose aggregate
+    changed in a micro-batch are emitted (the kafka-compacted-topic /
+    upsert-sink contract, between append's emit-once and complete's
+    emit-all).  The single-file replay drains in one data batch, so
+    each key updates exactly once and the sink holds the final
+    aggregate — deterministic and oracle-comparable while still
+    exercising the update-mode state path."""
+    stream = events_stream(spark, sf_dir)
+    agg = stream.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.expr("floor(sum(value) * 100 + 0.5) / 100").alias("sum_value"),
+    )
+    return drain_to_memory(agg, output_mode="update")
