@@ -1197,9 +1197,15 @@ def q_vec_ivf_build(spark, sf_dir):
     tmp = tempfile.mkdtemp(prefix="skyhook_ivf_", dir=_scratch_dir())
     try:
         withb = vectors.bucketed_cells(e)
-        withb.write.mode("overwrite").partitionBy("bucket").parquet(
-            f"{tmp}/ivf"
-        )
+        # repartition by cell before the partitioned write: without it
+        # every input partition writes a file into every cell dir (the
+        # small-files problem — 32x the files at 32 input partitions);
+        # with it each cell is one file, the layout an ANN probe wants.
+        # Local wall time is job-count-bound either way (~6 jobs x
+        # dispatch floor); at scale the file count is what matters.
+        withb.repartition("bucket").write.mode("overwrite").partitionBy(
+            "bucket"
+        ).parquet(f"{tmp}/ivf")
         index = spark.read.parquet(f"{tmp}/ivf")
         qrow = withb.filter(F.col("vec_id") == 0).selectExpr(
             "embedding AS qv", "bucket AS qb"
