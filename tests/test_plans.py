@@ -475,3 +475,42 @@ def test_partition_prune_uses_partition_filters(spark):
         import shutil
 
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_scd2_join_stays_keyed(spark):
+    """SCD2: the temporal join must keep custkey as the equi key with
+    the validity range as residual — never a nested loop over
+    versions."""
+    plan = explain_str(q("q_join_scd2", spark))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_constraints_column_rules_single_scan(spark):
+    """The three column rules must fold into one orders scan; only the
+    FK rule adds a second (plus the customer dim)."""
+    plan = explain_str(q("q_stats_constraints", spark))
+    assert plan.count("orders.parquet") == 2  # column-rules scan + FK scan
+
+
+def test_spatial_grid_is_equi_join(spark):
+    """2-D close pairs: the 3x3 probe join must be an equi-join on the
+    cell, never an all-pairs distance filter."""
+    plan = explain_str(q("q_join_spatial_grid", spark))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_gdpr_list_broadcasts(spark):
+    """The deletion list must broadcast; the event log side must not
+    shuffle for the match."""
+    plan = explain_str(q("q_gdpr_delete", spark))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_tombstone_single_aggregate_pass(spark):
+    """Tombstone compaction: one grouped aggregate over the unioned
+    log — no window, no join."""
+    plan = explain_str(q("q_dedup_tombstone", spark))
+    assert "Window" not in plan
+    assert "Join" not in plan

@@ -188,6 +188,29 @@ AUDIT = {
         "Activity bitmaps. Wanted: partial bit_or before the "
         "user-keyed Exchange — event volume collapses map-side."
     ),
+    "q_join_scd2": (
+        "SCD2 temporal join. Wanted: custkey equi key + validity "
+        "range residual; no nested loop over dimension versions."
+    ),
+    "q_join_spatial_grid": (
+        "2-D close pairs. Wanted: bounded 3x3 probe explode, then an "
+        "equi-join on the cell coordinates — never an all-pairs "
+        "distance predicate."
+    ),
+    "q_join_bucketed": (
+        "Bucketed co-located join. Wanted: SortMergeJoin with NO "
+        "Exchange on either side (bucket metadata satisfies the "
+        "distribution requirement)."
+    ),
+    "q_gdpr_delete": (
+        "Deletion propagation. Wanted: deletion list broadcast; the "
+        "event log reaches the audit aggregate without a key shuffle."
+    ),
+    "q_stats_constraints": (
+        "Constraint audit. Wanted: the three column rules in ONE "
+        "orders scan (stacked out of a single aggregate); FK orphans "
+        "via broadcast left join."
+    ),
 }
 
 
