@@ -1604,3 +1604,91 @@ def q_text_html_strip(spark, sf_dir):
             F.expr("string_agg(clean, '|') WITHIN GROUP (ORDER BY doc_id)")
         ).alias("corpus_digest"),
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.15.51 nth_value window (completing the window-function family)
+# ---------------------------------------------------------------------------
+
+_NTH_ORACLE = """
+SELECT DISTINCT o_custkey,
+  nth_value(o_orderkey, 2) OVER w AS second_order,
+  nth_value(o_orderkey, 3) OVER w AS third_order
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+ORDER BY o_custkey
+"""
+
+
+@query("q_win_nth_value", oracle=_NTH_ORACLE, tags=("window",))
+def q_win_nth_value(spark, sf_dir):
+    """nth_value over the full partition frame: each customer's 2nd
+    and 3rd order by date — completing the window-function surface
+    (first/last/lag/lead/rank/ntile/cume_dist already covered).
+    Partitioned window + unique tie-break; DISTINCT collapses to one
+    row per customer."""
+    o = Catalog(spark, sf_dir).orders
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        o.select(
+            "o_custkey",
+            F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
+            F.nth_value("o_orderkey", 3).over(w).alias("third_order"),
+        )
+        .distinct()
+        .orderBy("o_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.15.52 Regression aggregates (trend screening)
+# ---------------------------------------------------------------------------
+
+_REGR_ORACLE = """
+SELECT o_orderstatus,
+  floor(regr_slope(o_totalprice, year(o_orderdate)) * 10000 + 0.5) / 10000
+    AS slope,
+  floor(regr_intercept(o_totalprice, year(o_orderdate)) * 10 + 0.5) / 10
+    AS intercept,
+  CAST(regr_count(o_totalprice, year(o_orderdate)) AS BIGINT) AS n
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+@query("q_agg_regression", oracle=_REGR_ORACLE, tags=("stats",))
+def q_agg_regression(spark, sf_dir):
+    """Linear-regression aggregates (slope / intercept / count of
+    order value vs order year, per status) — the single-pass trend
+    screen over a fact table; the co-moment accumulation is mergeable,
+    so it partial-aggregates map-side like any sum.  Slope quantizes
+    at 4 decimals and the intercept at 1: both are RATIOS of large
+    accumulated double sums (intercept ~1e5 magnitude), where
+    cross-engine summation order costs more ulps than plain sums —
+    the quantization absorbs it while staying far finer than any
+    trend decision needs."""
+    o = Catalog(spark, sf_dir).orders
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            quantize(
+                F.expr("regr_slope(o_totalprice, year(o_orderdate))"), 4
+            ).alias("slope"),
+            (
+                F.floor(
+                    F.expr("regr_intercept(o_totalprice, year(o_orderdate))")
+                    * 10
+                    + F.lit(0.5)
+                )
+                / 10
+            ).alias("intercept"),
+            F.expr("regr_count(o_totalprice, year(o_orderdate))")
+            .cast("bigint")
+            .alias("n"),
+        )
+        .orderBy("o_orderstatus")
+    )

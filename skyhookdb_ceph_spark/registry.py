@@ -107,7 +107,7 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q_vec_ivf_build", "q_stream_watermark_append",
     "q_text_bpe_merge", "q_dedup_tombstone", "q_join_scd2",
     "q_stream_update_mode", "q_stats_constraints", "q_agg_benford",
-    "q_text_html_strip",
+    "q_text_html_strip", "q_win_nth_value", "q_agg_regression",
 )
 
 
