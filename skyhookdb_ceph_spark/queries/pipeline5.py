@@ -1692,3 +1692,76 @@ def q_agg_regression(spark, sf_dir):
         )
         .orderBy("o_orderstatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.15.53 Dynamic partition pruning (star-join runtime pruning)
+# ---------------------------------------------------------------------------
+
+# OR'd equalities instead of IN: DuckDB 1.0.0 mismatches
+# CAST(ts AS DATE) IN (DATE ...) (returns empty) while = matches.
+_DPP_ORACLE = """
+WITH dim AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS d FROM events
+  WHERE CAST(ts AS DATE) = DATE '2024-01-05'
+     OR CAST(ts AS DATE) = DATE '2024-01-15'
+     OR CAST(ts AS DATE) = DATE '2024-01-25')
+SELECT CAST(e.event_date AS VARCHAR) AS event_date, e.event_type,
+  CAST(count(*) AS BIGINT) AS cnt
+FROM (SELECT CAST(ts AS DATE) AS event_date, event_type FROM events) e
+JOIN dim ON e.event_date = dim.d
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@query("q_join_dpp", oracle=_DPP_ORACLE, tags=("join", "layout"))
+def q_join_dpp(spark, sf_dir):
+    """Dynamic partition pruning: the fact table is laid out
+    partitionBy(event_date); the selective DIMENSION (3 chosen dates)
+    arrives only through a join, so no static filter exists on the
+    fact — Spark inserts a runtime dynamicpruning subquery that reads
+    the dim first and prunes the fact's partition listing to the 3
+    matching directories BEFORE scanning (tests/test_plans.py asserts
+    the dynamicpruningexpression).  This is THE star-join feature at
+    100 TB: the fact side's IO is decided by the dim filter at
+    runtime, exactly like the reference deciding which objects to
+    touch from an index lookup."""
+    import shutil
+    import tempfile
+
+    from skyhookdb_ceph_spark.queries.scans import _scratch_dir
+
+    ev = Catalog(spark, sf_dir).events
+    tmp = tempfile.mkdtemp(prefix="skyhook_dpp_", dir=_scratch_dir())
+    try:
+        path = f"{tmp}/events_by_date"
+        (
+            ev.withColumn("event_date", F.col("ts").cast("date"))
+            .repartition("event_date")
+            .write.mode("overwrite")
+            .partitionBy("event_date")
+            .parquet(path)
+        )
+        fact = spark.read.parquet(path)
+        dim = (
+            ev.select(F.col("ts").cast("date").alias("d"))
+            .filter(
+                F.col("d").isin(
+                    [F.lit(x).cast("date") for x in
+                     ("2024-01-05", "2024-01-15", "2024-01-25")]
+                )
+            )
+            .distinct()
+        )
+        out = (
+            fact.join(dim, fact.event_date == dim.d)
+            .groupBy(
+                F.col("event_date").cast("string").alias("event_date"),
+                "event_type",
+            )
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy("event_date", "event_type")
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -514,3 +514,43 @@ def test_tombstone_single_aggregate_pass(spark):
     plan = explain_str(q("q_dedup_tombstone", spark))
     assert "Window" not in plan
     assert "Join" not in plan
+
+
+def test_dpp_inserts_dynamic_pruning(spark):
+    """Star-join DPP: with the fact laid out partitionBy(event_date)
+    and the only date filter arriving through the dim join, Spark must
+    insert a dynamicpruning subquery on the fact scan — the runtime
+    partition pruning that decides fact IO from the dim at 100 TB."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from skyhookdb_ceph_spark.queries._util import Catalog
+    from skyhookdb_ceph_spark.queries.scans import _scratch_dir
+
+    ev = Catalog(spark, SF).events
+    tmp = tempfile.mkdtemp(prefix="skyhook_dpp_test_", dir=_scratch_dir())
+    try:
+        path = f"{tmp}/p"
+        ev.withColumn("event_date", F.col("ts").cast("date")).repartition(
+            "event_date"
+        ).write.mode("overwrite").partitionBy("event_date").parquet(path)
+        fact = spark.read.parquet(path)
+        dim = (
+            ev.select(F.col("ts").cast("date").alias("d"))
+            .filter(
+                F.col("d").isin(
+                    [F.lit(x).cast("date")
+                     for x in ("2024-01-05", "2024-01-15", "2024-01-25")]
+                )
+            )
+            .distinct()
+        )
+        j = fact.join(dim, fact.event_date == dim.d).groupBy(
+            "event_type"
+        ).count()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruning" in plan.lower()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
