@@ -211,6 +211,11 @@ AUDIT = {
         "orders scan (stacked out of a single aggregate); FK orphans "
         "via broadcast left join."
     ),
+    "q_join_dpp": (
+        "Star-join DPP. Wanted: dynamicpruningexpression on the fact "
+        "scan's PartitionFilters — the dim join decides fact IO at "
+        "runtime (asserted in tests/test_plans.py)."
+    ),
 }
 
 
