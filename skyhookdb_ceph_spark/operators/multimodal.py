@@ -124,3 +124,57 @@ def frame_sample(
             yield pd.DataFrame(rows, columns=["media_id", "frame_no", "frame"])
 
     return media.select(id_col, bytes_col).mapInPandas(process, schema)
+
+
+def sliding_windows(
+    media: DataFrame,
+    window_bytes: int = 256,
+    hop_bytes: int = 128,
+    id_col: str = "media_id",
+    bytes_col: str = "payload",
+) -> DataFrame:
+    """Audio-style OVERLAPPING windowing of a binary payload: fixed
+    window length, fixed hop (hop < window => overlap), one output row
+    per window with its byte offset — the STFT / feature-frame shape
+    every audio pipeline starts with (a real implementation would
+    replace the identity 'window content' with the codec + transform;
+    the Arrow batch contract is identical).  Trailing partial windows
+    are kept iff at least half the window length, matching common
+    framing defaults — stated explicitly so oracles can mirror it."""
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("win_no", T.IntegerType()),
+            T.StructField("byte_offset", T.IntegerType()),
+            T.StructField("win_len", T.IntegerType()),
+            T.StructField("window", T.BinaryType()),
+        ]
+    )
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[bytes_col]):
+                data = bytes(payload)
+                no = 0
+                for off in range(0, max(len(data), 1), hop_bytes):
+                    win = data[off : off + window_bytes]
+                    if not win:
+                        break
+                    if len(win) * 2 < window_bytes:
+                        break
+                    rows.append(
+                        {
+                            "media_id": int(mid),
+                            "win_no": no,
+                            "byte_offset": off,
+                            "win_len": len(win),
+                            "window": win,
+                        }
+                    )
+                    no += 1
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in schema.fields]
+            )
+
+    return media.select(id_col, bytes_col).mapInPandas(process, schema)

@@ -1765,3 +1765,123 @@ def q_join_dpp(spark, sf_dir):
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# §2.15.54 Audio-style overlapping windows over binary payloads
+# ---------------------------------------------------------------------------
+
+_AUDIO_WIN_ORACLE = """
+WITH w AS (
+  SELECT doc_id, text,
+    unnest(generate_series(0, greatest(length(text) - 1, 0), 128)) AS off
+  FROM documents WHERE length(text) > 0),
+wins AS (
+  SELECT doc_id AS media_id, CAST(off / 128 AS INT) AS win_no,
+    CAST(off AS INT) AS byte_offset,
+    CAST(length(substr(text, off + 1, 256)) AS INT) AS win_len,
+    md5(substr(text, off + 1, 256)) AS win_md5
+  FROM w WHERE length(substr(text, off + 1, 256)) * 2 >= 256)
+SELECT media_id, win_no, byte_offset, win_len, win_md5
+FROM wins ORDER BY media_id, win_no
+"""
+
+
+@query(
+    "q_multimodal_audio_windows",
+    oracle=_AUDIO_WIN_ORACLE,
+    tags=("pipeline", "multimodal"),
+)
+def q_multimodal_audio_windows(spark, sf_dir):
+    """Audio-style OVERLAPPING windowing: 256-byte windows at a
+    128-byte hop over an opaque binary payload (operators/multimodal
+    sliding_windows — the Arrow-batched mapInPandas shape an STFT /
+    feature-frame stage drops into; trailing windows shorter than half
+    the length are dropped, the common framing default).  Each kept
+    window is fingerprinted so the oracle verifies exact boundaries,
+    hop phase, and content cross-engine.  Pure map stage: windows
+    never shuffle.  Complements q_multimodal_frames (non-overlapping
+    video sampling)."""
+    from skyhookdb_ceph_spark.operators.multimodal import sliding_windows
+
+    d = ensure_parallelism(Catalog(spark, sf_dir).documents)
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.col("text").cast("binary").alias("payload"),
+    )
+    wins = sliding_windows(media, window_bytes=256, hop_bytes=128)
+    return wins.select(
+        "media_id",
+        "win_no",
+        "byte_offset",
+        "win_len",
+        F.md5("window").alias("win_md5"),
+    ).orderBy("media_id", "win_no")
+
+
+# ---------------------------------------------------------------------------
+# §2.15.55 Bigram language-model scoring (add-one smoothed)
+# ---------------------------------------------------------------------------
+
+_BIGRAM_LM_ORACLE = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+prs AS (
+  SELECT doc_id, ws[t.i] AS w1, ws[t.i + 1] AS w2
+  FROM w, unnest(generate_series(1, len(ws) - 1)) t(i)
+  WHERE len(ws) >= 2),
+pc AS (SELECT w1, w2, CAST(count(*) AS DOUBLE) AS c2 FROM prs GROUP BY 1, 2),
+uc AS (SELECT w1, CAST(count(*) AS DOUBLE) AS c1 FROM prs GROUP BY 1),
+v AS (SELECT CAST(count(DISTINCT w2) AS DOUBLE) AS vsz FROM prs)
+SELECT p.doc_id,
+  floor(avg(log10((pc.c2 + 1) / (uc.c1 + v.vsz))) * 1000000 + 0.5) / 1000000
+    AS mean_lp,
+  CAST(count(*) AS BIGINT) AS n_bigrams
+FROM prs p
+JOIN pc ON p.w1 = pc.w1 AND p.w2 = pc.w2
+JOIN uc ON p.w1 = uc.w1, v
+GROUP BY p.doc_id ORDER BY p.doc_id
+"""
+
+
+@query("q_text_bigram_lm", oracle=_BIGRAM_LM_ORACLE, tags=("llm", "text"))
+def q_text_bigram_lm(spark, sf_dir):
+    """Bigram language-model quality score: per-doc mean log10 of the
+    add-one-smoothed corpus bigram probability P(w2|w1) =
+    (c(w1,w2)+1)/(c(w1)+V) — the context-aware upgrade of
+    q_text_unigram_lp (gibberish scores low even when individual
+    words are common).  Pair extraction reuses the posexplode+lead
+    shape; corpus statistics are two keyed partial aggregates joined
+    back on the pair/unigram keys; V is a 1-row broadcast."""
+    d = ensure_parallelism(Catalog(spark, sf_dir).documents)
+    words = d.selectExpr(
+        "doc_id", "posexplode(split(text, ' ')) AS (pos, w)"
+    )
+    wnd = Window.partitionBy("doc_id").orderBy("pos")
+    prs = (
+        words.withColumn("nxt", F.lead("w").over(wnd))
+        .filter(F.col("nxt").isNotNull())
+        .selectExpr("doc_id", "w AS w1", "nxt AS w2")
+    )
+    pc = prs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("double").alias("c2")
+    )
+    uc = prs.groupBy(F.col("w1").alias("u1")).agg(
+        F.count(F.lit(1)).cast("double").alias("c1")
+    )
+    v = prs.agg(F.count_distinct("w2").cast("double").alias("vsz"))
+    return (
+        prs.join(pc, ["w1", "w2"])
+        .join(uc, F.col("w1") == F.col("u1"))
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            quantize(
+                F.avg(
+                    F.log10((F.col("c2") + 1) / (F.col("c1") + F.col("vsz")))
+                ),
+                6,
+            ).alias("mean_lp"),
+            F.count(F.lit(1)).alias("n_bigrams"),
+        )
+        .orderBy("doc_id")
+    )
