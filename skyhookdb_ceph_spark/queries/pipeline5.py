@@ -1885,3 +1885,53 @@ def q_text_bigram_lm(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.15.56 Two-level rollup (continuous-aggregate re-aggregability)
+# ---------------------------------------------------------------------------
+
+_ROLLUP2_ORACLE = """
+SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+  CAST(count(*) AS BIGINT) AS n_events,
+  floor(sum(value) * 100 + 0.5) / 100 AS sum_value,
+  floor(min(value) * 1000000 + 0.5) / 1000000 AS min_value,
+  floor(max(value) * 1000000 + 0.5) / 1000000 AS max_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@query("q_ts_rollup_two_level", oracle=_ROLLUP2_ORACLE, tags=("timeseries",))
+def q_ts_rollup_two_level(spark, sf_dir):
+    """Continuous-aggregate hierarchy: DAILY stats computed FROM the
+    HOURLY materialization's partial states (count/sum re-sum,
+    min/max re-min/max) — never from raw events — and the oracle
+    computes the same dailies directly from raw, so the diff PROVES
+    the rollup's mergeability (the property that makes hypertable /
+    materialized-rollup maintenance incremental: a late hour
+    re-aggregates one hourly row, not a day of raw data).  The raw
+    scan happens once (hourly level); the daily level aggregates
+    24x fewer rows."""
+    ev = Catalog(spark, sf_dir).events
+    hourly = ev.groupBy(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("h"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("s"),
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+    )
+    return (
+        hourly.groupBy(
+            "event_type",
+            F.col("h").cast("date").cast("string").alias("day"),
+        )
+        .agg(
+            F.sum("n").alias("n_events"),
+            quantize2(F.sum("s")).alias("sum_value"),
+            quantize(F.min("mn"), 6).alias("min_value"),
+            quantize(F.max("mx"), 6).alias("max_value"),
+        )
+        .orderBy("event_type", "day")
+    )

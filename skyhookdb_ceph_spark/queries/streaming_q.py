@@ -429,3 +429,56 @@ def q_stream_update_mode(spark, sf_dir):
         F.expr("floor(sum(value) * 100 + 0.5) / 100").alias("sum_value"),
     )
     return drain_to_memory(agg, output_mode="update")
+
+
+@query(
+    "q_stream_session_live",
+    oracle=(
+        "WITH marked AS ("
+        "  SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL "
+        "    OR ts - lag(ts) OVER w >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_s"
+        "  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+        "sess AS ("
+        "  SELECT user_id, ts, sum(new_s) OVER "
+        "    (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid "
+        "  FROM marked) "
+        "SELECT user_id, CAST(count(DISTINCT sid) AS BIGINT) AS n_sessions, "
+        "CAST(count(*) AS BIGINT) AS n_events "
+        "FROM sess GROUP BY user_id"
+    ),
+    tags=("stream", "live-stream"),
+)
+def q_stream_session_live(spark, sf_dir):
+    """TRUE readStream session windows: per-user session count and
+    event count computed from session_window state inside a streaming
+    drain (complete mode) — the live twin of q_stream_session, which
+    oracle-checks the shared batch/stream API in batch.  Session state
+    merges overlapping [ts, ts+gap) intervals per (user, session) and
+    is evicted when sessions close; the per-user rollup of the
+    session aggregate stays inside the same streaming plan.
+
+    STACKED stateful operators trip Spark's global-watermark
+    correctness check (a downstream stateful op could see rows older
+    than the watermark on an unbounded stream).  This drain is a
+    finite AvailableNow pass over a static fixture — ONE data batch,
+    so no row can arrive late by construction — which is exactly the
+    case the check's escape hatch exists for; the conf is restored
+    immediately after the drain.  An unbounded deployment would
+    instead watermark the session output and accept append-mode
+    emission delays."""
+    stream = events_stream(spark, sf_dir)
+    sessions = (
+        stream.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_ev"))
+    )
+    per_user = sessions.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_ev").alias("n_events"),
+    )
+    conf_key = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    prev = spark.conf.get(conf_key, "true")
+    spark.conf.set(conf_key, "false")
+    try:
+        return drain_to_memory(per_user, output_mode="complete")
+    finally:
+        spark.conf.set(conf_key, prev)

@@ -109,6 +109,7 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q_stream_update_mode", "q_stats_constraints", "q_agg_benford",
     "q_text_html_strip", "q_win_nth_value", "q_agg_regression",
     "q_join_dpp", "q_multimodal_audio_windows", "q_text_bigram_lm",
+    "q_stream_session_live", "q_ts_rollup_two_level",
 )
 
 
