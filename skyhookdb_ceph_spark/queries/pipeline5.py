@@ -1935,3 +1935,73 @@ def q_ts_rollup_two_level(spark, sf_dir):
         )
         .orderBy("event_type", "day")
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.15.57 Boolean aggregates (count_if / bool_and / bool_or)
+# ---------------------------------------------------------------------------
+
+_BOOL_AGG_ORACLE = """
+SELECT o_orderstatus,
+  CAST(sum(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_big,
+  bool_and(o_totalprice > 0) AS all_positive,
+  bool_or(o_orderpriority = '1-URGENT') AS any_urgent
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+@query("q_agg_bool", oracle=_BOOL_AGG_ORACLE, tags=("aggregate",))
+def q_agg_bool(spark, sf_dir):
+    """Boolean aggregate surface: count_if, bool_and (every), bool_or
+    (any) per group — the predicates-as-aggregates family data-quality
+    rules compose from.  All three partial-aggregate map-side like any
+    sum; the oracle states count_if as its sum(CASE) definition."""
+    o = Catalog(spark, sf_dir).orders
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.expr("count_if(o_totalprice > 100000)")
+            .cast("bigint")
+            .alias("n_big"),
+            F.expr("bool_and(o_totalprice > 0)").alias("all_positive"),
+            F.expr("bool_or(o_orderpriority = '1-URGENT')").alias(
+                "any_urgent"
+            ),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.15.58 Advanced string functions (translate/reverse/pad/repeat)
+# ---------------------------------------------------------------------------
+
+_STRING_ADV_ORACLE = """
+SELECT c_custkey,
+  reverse(c_mktsegment) AS seg_rev,
+  translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_lowvowel,
+  lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS key_padded,
+  repeat(substr(c_mktsegment, 1, 1), 3) AS initial_x3,
+  left(c_name, 4) AS name_head,
+  right(c_name, 2) AS name_tail
+FROM customer ORDER BY c_custkey
+"""
+
+
+@query("q_fn_string_adv", oracle=_STRING_ADV_ORACLE, tags=("functions",))
+def q_fn_string_adv(spark, sf_dir):
+    """Advanced string surface: reverse, translate (char mapping),
+    zero-padding lpad, repeat, left/right — completing the §2.4
+    function family (basic ops in q_fn_string).  Pure per-row JVM
+    expressions; byte-identical in both engines on ASCII fixtures."""
+    c = Catalog(spark, sf_dir).customer
+    return c.selectExpr(
+        "c_custkey",
+        "reverse(c_mktsegment) AS seg_rev",
+        "translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_lowvowel",
+        "lpad(CAST(c_custkey AS STRING), 8, '0') AS key_padded",
+        "repeat(substr(c_mktsegment, 1, 1), 3) AS initial_x3",
+        "left(c_name, 4) AS name_head",
+        "right(c_name, 2) AS name_tail",
+    ).orderBy("c_custkey")
