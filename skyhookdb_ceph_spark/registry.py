@@ -63,9 +63,15 @@ _LOADED = False
 #
 # Round-4 rotation: the 36 entries that have never appeared in any
 # CORRECTNESS_r{1,2,3}.json (cumulative driver-green after r3 =
-# 115/151), followed by this round's new queries so they get a verdict
+# 115/151), plus q_win_lag_lead (only verdict was the r1 crash),
+# followed by this round's new queries so they get a verdict
 # immediately.  Everything outside the window stays covered by
 # tests/test_correctness.py's local oracle diff regardless.
+#
+# ROUND-5 TODO: delete the entries CORRECTNESS_r04.json marks green
+# from the front of this list so the post-#50 round-4 waves (zipf,
+# TPC-H Q4..Q22, analytics, SQL door, layout ops, ...) advance into
+# the window; then append round-5's own new queries.
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # -- never driver-verified: LLM / text ops past r2's cut (13)
     "q_sim_pairs", "q_sim_knn_ivf", "q_text_stats", "q_text_keyword",
