@@ -2005,3 +2005,80 @@ def q_fn_string_adv(spark, sf_dir):
         "left(c_name, 4) AS name_head",
         "right(c_name, 2) AS name_tail",
     ).orderBy("c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# §2.15.59 Grouped argmax (max_by with a deterministic composite key)
+# ---------------------------------------------------------------------------
+
+_ARGMAX_ORACLE = """
+WITH keyed AS (
+  SELECT CAST(c_nationkey AS BIGINT) AS nation, c_custkey, c_name,
+    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) * 100000000 + c_custkey
+      AS ordkey
+  FROM customer)
+SELECT nation, max_by(c_custkey, ordkey) AS top_custkey,
+  max_by(c_name, ordkey) AS top_name,
+  CAST(count(*) AS BIGINT) AS n_cust
+FROM keyed GROUP BY nation ORDER BY nation
+"""
+
+
+@query("q_agg_argmax", oracle=_ARGMAX_ORACLE, tags=("aggregate",))
+def q_agg_argmax(spark, sf_dir):
+    """Grouped argmax: the richest customer per nation via max_by over
+    a composite (exact-cents, custkey) BIGINT — ties broken
+    deterministically INSIDE the ordering key, so the mergeable
+    aggregate replaces the usual rank-window idiom (one partial-agg
+    shuffle, no per-group sort; same trade q_upsert_latest makes)."""
+    cust = Catalog(spark, sf_dir).customer
+    keyed = cust.selectExpr(
+        "CAST(c_nationkey AS BIGINT) AS nation",
+        "c_custkey",
+        "c_name",
+        "CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) * 100000000 "
+        "+ c_custkey AS ordkey",
+    )
+    return (
+        keyed.groupBy("nation")
+        .agg(
+            F.max_by("c_custkey", "ordkey").alias("top_custkey"),
+            F.max_by("c_name", "ordkey").alias("top_name"),
+            F.count(F.lit(1)).alias("n_cust"),
+        )
+        .orderBy("nation")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.15.60 Pagination (ORDER BY + LIMIT/OFFSET)
+# ---------------------------------------------------------------------------
+
+_PAGINATION_ORACLE = """
+SELECT o_orderkey, o_custkey,
+  floor(o_totalprice * 100 + 0.5) / 100 AS total_price
+FROM orders ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20 OFFSET 40
+"""
+
+
+@query("q_sort_pagination", oracle=_PAGINATION_ORACLE, tags=("sort",))
+def q_sort_pagination(spark, sf_dir):
+    """Keyset-free pagination: page 3 of the price-ranked orders via
+    ORDER BY + LIMIT/OFFSET.  Spark plans offset+limit as a combined
+    top-(offset+limit) (per-partition heaps of 60 rows, driver
+    discards the first 40) — fine for UI-depth pages; deep pagination
+    at 100 TB should switch to keyset predicates (WHERE key > last)
+    which q_filter_range_conj's pushdown shape covers.  Unique
+    orderkey tie-break keeps both engines' page boundary identical."""
+    o = Catalog(spark, sf_dir).orders
+    return (
+        o.select(
+            "o_orderkey",
+            "o_custkey",
+            quantize2(F.col("o_totalprice")).alias("total_price"),
+        )
+        .orderBy(F.desc(F.col("o_totalprice")), "o_orderkey")
+        .offset(40)
+        .limit(20)
+    )

@@ -116,7 +116,7 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q_text_html_strip", "q_win_nth_value", "q_agg_regression",
     "q_join_dpp", "q_multimodal_audio_windows", "q_text_bigram_lm",
     "q_stream_session_live", "q_ts_rollup_two_level",
-    "q_agg_bool", "q_fn_string_adv",
+    "q_agg_bool", "q_fn_string_adv", "q_agg_argmax", "q_sort_pagination",
 )
 
 
