@@ -57,7 +57,12 @@ def shingle_sets(
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    docs = ensure_parallelism(docs)
+    # Explicit NULL-text filter: explode(split(NULL)) silently drops
+    # the row, whereas the DuckDB oracles produce a NULL signature that
+    # can never equi-join — filtering here makes "NULL text yields no
+    # candidates" true on both engines BY CONSTRUCTION, not by fixture
+    # luck (ADVICE r4).
+    docs = ensure_parallelism(docs).filter(F.col(text_col).isNotNull())
     words = docs.selectExpr(
         id_col, f"posexplode(split({text_col}, ' ')) AS (pos, w)"
     )

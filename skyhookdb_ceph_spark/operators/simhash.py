@@ -93,8 +93,13 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "d
     votes before the doc-keyed exchange; only 64-int states shuffle."""
     from pyspark.sql import functions as F
 
-    words = ensure_parallelism(docs).selectExpr(
-        id_col, f"explode(split({text_col}, ' ')) AS w"
+    # NULL text: explode(split(NULL)) would silently drop the doc while
+    # the DuckDB oracle keeps a NULL signature that can never equi-join.
+    # Filter explicitly so both engines drop it by construction.
+    words = (
+        ensure_parallelism(docs)
+        .filter(F.col(text_col).isNotNull())
+        .selectExpr(id_col, f"explode(split({text_col}, ' ')) AS w")
     )
     hx = words.selectExpr(
         id_col, "concat(md5(w), md5(concat('x', w))) AS h"

@@ -270,7 +270,9 @@ def q_graph_components(spark, sf_dir):
         .withColumn("lab", F.col("v"))
         .localCheckpoint()
     )
-    for _ in range(50):
+    max_rounds = 50
+    converged = False
+    for _ in range(max_rounds):
         neigh = (
             und.join(labels, und.dst == labels.v)
             .select(und.src.alias("v"), "lab")
@@ -289,8 +291,17 @@ def q_graph_components(spark, sf_dir):
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     und.unpersist()
+    if not converged:
+        # A diameter->max_rounds graph would otherwise return silent
+        # non-fixpoint labels diverging from the recursive-CTE oracle;
+        # surface it as an error instead of a wrong answer (ADVICE r4).
+        raise RuntimeError(
+            f"q_graph_components: min-label propagation did not reach "
+            f"fixpoint within {max_rounds} rounds"
+        )
     return (
         labels.select(
             F.col("v").alias("node"), F.col("lab").alias("component")

@@ -1775,7 +1775,9 @@ _AUDIO_WIN_ORACLE = """
 WITH w AS (
   SELECT doc_id, text,
     unnest(generate_series(0, greatest(length(text) - 1, 0), 128)) AS off
-  FROM documents WHERE length(text) > 0),
+  FROM documents
+  WHERE length(text) > 0
+    AND octet_length(encode(text)) = length(text)),
 wins AS (
   SELECT doc_id AS media_id, CAST(off / 128 AS INT) AS win_no,
     CAST(off AS INT) AS byte_offset,
@@ -1801,10 +1803,18 @@ def q_multimodal_audio_windows(spark, sf_dir):
     window is fingerprinted so the oracle verifies exact boundaries,
     hop phase, and content cross-engine.  Pure map stage: windows
     never shuffle.  Complements q_multimodal_frames (non-overlapping
-    video sampling)."""
+    video sampling).
+
+    The operator windows BYTES; DuckDB's substr/length are
+    character-based and it has no BLOB substring, so both engines
+    restrict to payloads whose UTF-8 byte length equals the char
+    length (byte==char semantics identical) — non-ASCII docs are
+    excluded identically on both sides instead of silently diverging.
+    """
     from skyhookdb_ceph_spark.operators.multimodal import sliding_windows
 
     d = ensure_parallelism(Catalog(spark, sf_dir).documents)
+    d = d.filter(F.octet_length("text") == F.length("text"))
     media = d.select(
         F.col("doc_id").alias("media_id"),
         F.col("text").cast("binary").alias("payload"),

@@ -338,7 +338,8 @@ def q_stream_topk(spark, sf_dir):
     oracle=(
         "WITH ch AS ("
         "  SELECT user_id, value, "
-        "  CAST(floor(epoch(ts)) AS BIGINT) * 100000000 + event_id AS seq "
+        "  lpad(CAST(CAST(floor(epoch(ts)) AS BIGINT) AS VARCHAR), 20, '0')"
+        "  || lpad(CAST(event_id AS VARCHAR), 20, '0') AS seq "
         "  FROM events) "
         "SELECT user_id, "
         "floor((max_by(value, seq)) * 100 + 0.5) / 100 AS latest_value, "
@@ -354,13 +355,18 @@ def q_stream_cdc_apply(spark, sf_dir):
     a streaming aggregate.  max_by is map-side-combinable, so state
     per key is one (value, seq) pair regardless of change volume —
     unlike a window formulation, which would buffer versions.  The
-    batch twin is q_upsert_latest; this runs the same semantics
-    through a readStream drain."""
+    sequence is a fixed-width zero-padded string (20+20 digits):
+    lexicographic = numeric order per field with NO cross-field
+    overlap, unlike arithmetic packing (sec*1e8+event_id breaks
+    latest-wins once event_id >= 1e8 — ADVICE r4).  The batch twin is
+    q_upsert_latest; this runs the same semantics through a
+    readStream drain."""
     stream = events_stream(spark, sf_dir)
     ch = stream.selectExpr(
         "user_id",
         "value",
-        "CAST(unix_timestamp(ts) AS BIGINT) * 100000000 + event_id AS seq",
+        "concat(lpad(CAST(CAST(unix_timestamp(ts) AS BIGINT) AS STRING),"
+        " 20, '0'), lpad(CAST(event_id AS STRING), 20, '0')) AS seq",
     )
     agg = ch.groupBy("user_id").agg(
         F.expr("floor((max_by(value, seq)) * 100 + 0.5) / 100").alias(

@@ -61,62 +61,41 @@ _LOADED = False
 # list pins the front of the registry each round; anything not listed
 # keeps module-import order after it.
 #
-# Round-4 rotation: the 36 entries that have never appeared in any
-# CORRECTNESS_r{1,2,3}.json (cumulative driver-green after r3 =
-# 115/151), plus q_win_lag_lead (only verdict was the r1 crash),
-# followed by this round's new queries so they get a verdict
-# immediately.  Everything outside the window stays covered by
-# tests/test_correctness.py's local oracle diff regardless.
-#
-# ROUND-5 TODO: delete the entries CORRECTNESS_r04.json marks green
-# from the front of this list so the post-#50 round-4 waves (zipf,
-# TPC-H Q4..Q22, analytics, SQL door, layout ops, ...) advance into
-# the window; then append round-5's own new queries.
+# Round-5 rotation: cumulative driver-green after r4 = 164/220; the
+# r4-green entries are deleted from the front so the 56 never-verified
+# queries advance.  Window = first 50, so exactly 50 of the 56 lead
+# (pipeline4's 9 late-wave + all 38 of pipeline5 + 3 SQL-door); the
+# deferred 6 (q_sql_recursive + 5 streaming replays) head round 6's
+# window, followed by round-5's new queries.  Everything outside the
+# window stays covered by tests/test_correctness.py's local oracle
+# diff regardless.
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # -- never driver-verified: LLM / text ops past r2's cut (13)
-    "q_sim_pairs", "q_sim_knn_ivf", "q_text_stats", "q_text_keyword",
-    "q_text_langid", "q_text_quality", "q_text_tokens",
-    "q_text_fingerprint", "q_text_edit_distance", "q_text_chunk",
-    "q_text_tfidf", "q_multimodal_json", "q_multimodal_binary",
-    # -- never driver-verified: streaming (8)
-    "q_stream_tumbling", "q_stream_sliding", "q_stream_session",
-    "q_stream_watermark", "q_stream_dedup", "q_stream_join",
-    "q_stream_stateful", "q_stream_enrich",
-    # -- never driver-verified: UDF surface + subqueries (6)
-    "q_udf_pandas_scalar", "q_udaf_grouped_agg", "q_udtf",
-    "q_subquery_exists", "q_subquery_scalar", "q_subquery_in",
-    # -- never driver-verified: round-2 scans/sorts/windows/joins (9)
-    "q_transform_json", "q_scan_pushdown_source", "q_sample_hash",
-    "q_runstats", "q_transform_orc", "q_sort_nulls", "q_win_first_last",
-    "q_win_quartile_scalable", "q_join_asof",
-    # -- only driver verdict is the r1 crash (fixed r2, never re-gated)
-    "q_win_lag_lead",
-    # -- NEW in round 4 (fill the remaining window slots as added;
-    #    entries past #50 roll into round 5's window)
-    "q_tpch_q1", "q_tpch_q6", "q_tpch_q12", "q_tpch_q14",
-    "q_graph_components", "q_graph_pagerank", "q_filter_bloom",
-    "q_agg_countmin", "q_ts_asof_interp", "q_delta_upsert_merge",
-    "q_fn_struct_ops", "q_win_cume_dist", "q_text_minhash_cluster",
-    "q_text_zipf",
-    # -- round-4 waves 2-3 (first candidates for round 5's window)
-    "q_tpch_q4", "q_tpch_q15", "q_tpch_q17", "q_tpch_q18", "q_tpch_q22",
-    "q_agg_funnel", "q_ts_ewma", "q_dedup_prefix",
+    # -- never driver-verified: round-4 wave 2 (pipeline4, 9)
+    "q_text_zipf", "q_tpch_q4", "q_tpch_q15", "q_tpch_q17",
+    "q_tpch_q18", "q_tpch_q22", "q_agg_funnel", "q_ts_ewma",
+    "q_dedup_prefix",
+    # -- never driver-verified: round-4 wave 3 (pipeline5, 38)
     "q_fn_unpivot", "q_stats_profile", "q_agg_retention_bitmap",
     "q_win_retention_cohort", "q_text_proximity", "q_dedup_casefold",
     "q_tpch_q7", "q_tpch_q8", "q_tpch_q13", "q_tpch_q19",
     "q_sim_knn_multiprobe", "q_feat_hashing", "q_fn_try_cast",
-    "q_ts_anomaly", "q_agg_histogram_eqdepth",
-    "q_stream_topk", "q_win_islands",
-    "q_sql_cte", "q_sql_values", "q_sql_named_window", "q_sql_recursive",
-    "q_gdpr_delete", "q_join_spatial_grid", "q_stream_cdc_apply",
-    "q_join_bucketed", "q_scan_partition_prune", "q_agg_skyline",
-    "q_vec_ivf_build", "q_stream_watermark_append",
+    "q_ts_anomaly", "q_agg_histogram_eqdepth", "q_win_islands",
+    "q_gdpr_delete", "q_join_spatial_grid", "q_join_bucketed",
+    "q_scan_partition_prune", "q_agg_skyline", "q_vec_ivf_build",
     "q_text_bpe_merge", "q_dedup_tombstone", "q_join_scd2",
-    "q_stream_update_mode", "q_stats_constraints", "q_agg_benford",
-    "q_text_html_strip", "q_win_nth_value", "q_agg_regression",
-    "q_join_dpp", "q_multimodal_audio_windows", "q_text_bigram_lm",
-    "q_stream_session_live", "q_ts_rollup_two_level",
-    "q_agg_bool", "q_fn_string_adv", "q_agg_argmax", "q_sort_pagination",
+    "q_stats_constraints", "q_agg_benford", "q_text_html_strip",
+    "q_win_nth_value", "q_agg_regression", "q_join_dpp",
+    "q_multimodal_audio_windows", "q_text_bigram_lm",
+    "q_ts_rollup_two_level", "q_agg_bool", "q_fn_string_adv",
+    "q_agg_argmax", "q_sort_pagination",
+    # -- never driver-verified: SQL door (3 of 4 fit in the window)
+    "q_sql_cte", "q_sql_values", "q_sql_named_window",
+    # ---- window boundary (~#50) ----
+    # -- deferred to round 6's window: 4th SQL-door + streaming replays
+    "q_sql_recursive",
+    "q_stream_topk", "q_stream_cdc_apply", "q_stream_watermark_append",
+    "q_stream_update_mode", "q_stream_session_live",
+    # -- NEW in round 5 (roll into round 6's window after the deferred)
 )
 
 

@@ -29,9 +29,22 @@ def _events_ts_is_nanos(sf_dir: str, glob: str) -> bool:
 
     paths = sorted(_glob.glob(os.path.join(sf_dir, glob)))
     if not paths:
-        return False
-    ts_type = pq.read_schema(paths[0]).field("ts").type
-    return getattr(ts_type, "unit", None) == "ns"
+        raise FileNotFoundError(
+            f"events_stream: no parquet matches {glob!r} under {sf_dir!r}"
+            " — nothing to replay (populate the directory first)"
+        )
+    # Sniff EVERY matched file: a replay dir mixing fixture
+    # generations (the cross-round unit drift that motivated this
+    # sniff) must fail loudly, not read half the files mis-typed.
+    units = {
+        p: getattr(pq.read_schema(p).field("ts").type, "unit", None)
+        for p in paths
+    }
+    if len(set(units.values())) > 1:
+        raise ValueError(
+            f"events_stream: mixed ts units across replay files: {units}"
+        )
+    return next(iter(units.values())) == "ns"
 
 
 def events_stream(
