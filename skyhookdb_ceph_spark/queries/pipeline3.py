@@ -13,6 +13,7 @@ reorder ties — ordering keys are (sec, event_id), both exact BIGINTs.
 
 from __future__ import annotations
 
+import os
 import shutil
 import tempfile
 
@@ -393,10 +394,16 @@ def q_schema_evolve(spark, sf_dir):
             .parquet(f"{tmp}/v1", f"{tmp}/v2")
             .select("doc_id", "lang", "source")
         )
-        # Materialize before the scratch dir disappears (same pattern
-        # as q_transform_format); the result is one row per document.
-        rows = merged.collect()
-        return spark.createDataFrame(rows, merged.schema)
+        # Persist the merged view DISTRIBUTED (executor-side parquet
+        # write to a process-lived scratch path, then re-read) instead
+        # of the old corpus-sized collect()+createDataFrame round-trip
+        # through the driver — at 100 TB the merged snapshot never fits
+        # driver memory; a write-back is one map-only pass.
+        out = os.path.join(
+            _scratch_dir(), f"skyhook_evolve_out_{os.getpid()}"
+        )
+        merged.write.mode("overwrite").parquet(out)
+        return spark.read.parquet(out).select("doc_id", "lang", "source")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

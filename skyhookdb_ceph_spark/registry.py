@@ -96,6 +96,8 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q_stream_topk", "q_stream_cdc_apply", "q_stream_watermark_append",
     "q_stream_update_mode", "q_stream_session_live",
     # -- NEW in round 5 (roll into round 6's window after the deferred)
+    "q_multimodal_decode", "q_join_stats_driven", "q_join_range_bucket", "q_win_gaps", "q_sample_length_biased",
+    "q_agg_weighted_avg", "q_vec_pq_code",
 )
 
 
@@ -116,6 +118,7 @@ def load_all() -> dict[str, QuerySpec]:
             pipeline3,
             pipeline4,
             pipeline5,
+            pipeline6,
             scans,
             setops,
             sorts,
