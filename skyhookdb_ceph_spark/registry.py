@@ -98,6 +98,9 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # -- NEW in round 5 (roll into round 6's window after the deferred)
     "q_multimodal_decode", "q_join_stats_driven", "q_join_range_bucket", "q_win_gaps", "q_sample_length_biased",
     "q_agg_weighted_avg", "q_vec_pq_code",
+    # -- NEW in round 5, wave 2 (pipeline7: TPC-H completion + splits)
+    "q_tpch_q2", "q_tpch_q9", "q_tpch_q11", "q_tpch_q16",
+    "q_tpch_q20", "q_tpch_q21", "q_data_mix", "q_data_split",
 )
 
 
@@ -119,6 +122,7 @@ def load_all() -> dict[str, QuerySpec]:
             pipeline4,
             pipeline5,
             pipeline6,
+            pipeline7,
             scans,
             setops,
             sorts,
