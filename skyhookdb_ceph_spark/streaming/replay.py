@@ -117,8 +117,8 @@ def drain_to_memory(
     # deployment (cluster: >= executor cores).  Local fixtures: 2 —
     # measured best for JVM-side state (8 doubles commit overhead) —
     # except applyInPandasWithState, whose per-group Python work wants
-    # more parallel workers (callers pass state_partitions=4, measured
-    # 2.6 s -> 1.9 s at sf0.1).
+    # more parallel workers (q_stream_stateful passes
+    # state_partitions=16, measured 2.26 s -> 1.63 s at sf0.1).
     stream_parts = os.environ.get(
         "SPARK_GRAFT_STREAM_SHUFFLE",
         str(state_partitions) if state_partitions else "2",
