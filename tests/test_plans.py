@@ -591,3 +591,56 @@ def test_skyline_window_runs_over_aggregate(spark):
     # parent-first printing: the Window must sit ABOVE (consume) the
     # per-x HashAggregate, i.e. print before it.
     assert plan.index("Window") < plan.index("HashAggregate"), plan
+
+
+# ---- pipeline7: TPC-H completion wave --------------------------------------
+
+
+def test_tpch_q2_min_is_partitioned_window(spark):
+    """Q2's correlated MIN decorrelates to a per-part window min: the
+    Window must carry a partition spec (bounded groups) and the EU
+    supplier dim must broadcast — never a re-scan of the ps bridge."""
+    plan = explain_str(q("q_tpch_q2", spark))
+    assert "Window" in plan
+    assert "p_partkey" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_tpch_q11_threshold_is_broadcast_back(spark):
+    """Q11's scalar subquery must come back as a broadcast join of the
+    1-row total, not a second aggregate over a re-scanned fact."""
+    assert "BroadcastHashJoin" in joins_used(q("q_tpch_q11", spark)) or (
+        "BroadcastNestedLoopJoin" in joins_used(q("q_tpch_q11", spark))
+    )
+
+
+def test_tpch_q16_not_in_is_anti_join(spark):
+    """Q16's NOT IN must compile to a LEFT ANTI join (keyed), never a
+    per-row subquery."""
+    plan = explain_str(q("q_tpch_q16", spark))
+    assert "LeftAnti" in plan
+
+
+def test_tpch_q21_semi_and_anti_are_keyed(spark):
+    """Q21's EXISTS/NOT EXISTS pair must both be keyed joins on
+    l_orderkey (semi + anti) with the suppkey/date conditions as
+    residuals — no nested-loop, no per-row subquery."""
+    plan = explain_str(q("q_tpch_q21", spark))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tpch_q9_part_filter_prunes_first(spark):
+    """Q9's p_name LIKE filter must be pushed to the part scan so the
+    5-way join starts from the pruned dimension."""
+    assert has_pushed_filters(q("q_tpch_q9", spark))
+
+
+def test_data_split_is_single_shuffle(spark):
+    """The hash split is a map + one grouped agg: exactly one KEYED
+    shuffle (the (split,lang) agg exchange); the only other exchange
+    allowed is the range partitioning for the 3x-n_langs-row sort."""
+    plan = explain_str(q("q_data_split", spark))
+    assert plan.count("hashpartitioning") == 1
+    assert "partial_count" in plan  # map-side combine before the shuffle
