@@ -216,6 +216,30 @@ AUDIT = {
         "scan's PartitionFilters — the dim join decides fact IO at "
         "runtime (asserted in tests/test_plans.py)."
     ),
+    "q_tpch_q2": (
+        "Q2 correlated-MIN decorrelation. Wanted: per-part Window min "
+        "over the candidate set computed ONCE (no second ps-bridge "
+        "scan); EU supplier dim as BroadcastHashJoin."
+    ),
+    "q_tpch_q11": (
+        "Q11 scalar-subquery threshold. Wanted: the 1-row total joins "
+        "BACK by broadcast; threshold compare in exact integer cents."
+    ),
+    "q_tpch_q16": (
+        "Q16 NOT-IN exclusion. Wanted: LEFT ANTI against the broadcast "
+        "excluded-supplier list; brand/type/size in PushedFilters; "
+        "two-phase distinct count."
+    ),
+    "q_tpch_q21": (
+        "Q21 EXISTS + NOT EXISTS pair. Wanted: LEFT SEMI and LEFT ANTI "
+        "both keyed on l_orderkey (residual suppkey/date conditions); "
+        "no BroadcastNestedLoopJoin anywhere."
+    ),
+    "q_data_split": (
+        "Deterministic hash split. Wanted: split expression codegen'd "
+        "into the scan's Project; partial_count before ONE keyed "
+        "Exchange."
+    ),
 }
 
 
