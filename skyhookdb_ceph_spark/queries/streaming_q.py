@@ -494,3 +494,97 @@ def q_stream_session_live(spark, sf_dir):
         return drain_to_memory(per_user, output_mode="complete")
     finally:
         spark.conf.set(conf_key, prev)
+
+
+_FOREACH_BATCH_ORACLE = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+@query(
+    "q_stream_foreach_batch",
+    oracle=_FOREACH_BATCH_ORACLE,
+    tags=("stream", "live-stream"),
+)
+def q_stream_foreach_batch(spark, sf_dir):
+    """foreachBatch merge sink — the canonical production pattern for
+    sinks Spark has no connector for (JDBC upserts, key-value stores,
+    lakehouse MERGE): each micro-batch runs an arbitrary BATCH write,
+    here an idempotent versioned merge into a parquet target.  Batch
+    N reads target version N-1, full-outer merges the batch's partial
+    aggregate (count + integer-cent sum — mergeable, so the final
+    table is identical whatever the batch cut), writes version N;
+    read-back of the last committed version proves the merge chain is
+    lossless.  Versioned write-then-swap (never overwrite-in-place
+    while reading) is the idempotence trick: a retried batch rewrites
+    the SAME version from the SAME inputs.  State lives in the target
+    table, not the state store — restarts resume from the last
+    version; at 100 TB the merge is a keyed join of two aggregates,
+    shuffling only group rows, and the stream stage is a pure
+    per-batch aggregate."""
+    from skyhookdb_ceph_spark.queries.scans import _scratch_dir
+
+    tmp = tempfile.mkdtemp(prefix="skyhook_feb_", dir=_scratch_dir())
+    versions: list[int] = []
+
+    def merge_batch(bdf, batch_id):
+        part = bdf.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100).cast("bigint")).alias(
+                "sum_cents"
+            ),
+        )
+        s = bdf.sparkSession
+        if versions:
+            prev = s.read.parquet(f"{tmp}/v{versions[-1]}")
+            merged = (
+                prev.withColumnsRenamed(
+                    {"n_events": "p_n", "sum_cents": "p_c"}
+                )
+                .join(
+                    part.withColumnsRenamed({"event_type": "b_type"}),
+                    F.col("event_type") == F.col("b_type"),
+                    "full_outer",
+                )
+                .select(
+                    F.coalesce("event_type", "b_type").alias("event_type"),
+                    (
+                        F.coalesce("p_n", F.lit(0))
+                        + F.coalesce("n_events", F.lit(0))
+                    ).alias("n_events"),
+                    (
+                        F.coalesce("p_c", F.lit(0))
+                        + F.coalesce("sum_cents", F.lit(0))
+                    ).alias("sum_cents"),
+                )
+            )
+        else:
+            merged = part
+        merged.write.mode("overwrite").parquet(f"{tmp}/v{batch_id}")
+        versions.append(batch_id)
+
+    try:
+        q = (
+            events_stream(spark, sf_dir)
+            .select("event_type", "value")
+            .writeStream.foreachBatch(merge_batch)
+            .option(
+                "checkpointLocation",
+                f"{tmp}/ckpt",
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        if not versions:
+            raise RuntimeError("foreachBatch drain produced no batches")
+        out = (
+            spark.read.parquet(f"{tmp}/v{versions[-1]}")
+            .orderBy("event_type")
+        )
+        # Materialize before the scratch dir is removed.
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
