@@ -172,3 +172,41 @@ def test_hexval8_spark_fast_path_matches_portable(spark):
             f"{_hexval8_spark('h', start)} AS b",
         ).filter("a <> b").count()
         assert n == 0, f"fast path diverges at window start={start}"
+
+
+def test_hash_split_is_growth_stable(spark):
+    """q_data_split's promise: a document's train/val/test assignment
+    never changes as the corpus grows (the property %-based random
+    sampling lacks).  The split is a pure function of doc_id, so the
+    assignment computed over the sf0.001 corpus must be a subset of
+    the one computed over the 10x sf0.01 corpus, row for row."""
+    from pyspark.sql import functions as F
+
+    from skyhookdb_ceph_spark.catalog import Catalog
+
+    def assign(sf):
+        d = Catalog(spark, sf).documents
+        bucket = (F.col("doc_id") * 2654435761) % 4294967296 % 100
+        return d.select(
+            "doc_id",
+            F.when(bucket < 80, "train")
+            .when(bucket < 90, "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+
+    small = assign("/root/testdata/sf0.001")
+    big = assign("/root/testdata/sf0.01").withColumnsRenamed(
+        {"doc_id": "b_id", "split": "b_split"}
+    )
+    joined = small.join(big, small.doc_id == F.col("b_id"), "inner")
+    n_small = small.count()
+    assert joined.count() == n_small  # every small doc exists in big
+    assert joined.filter("split <> b_split").count() == 0
+    # and the 80/10/10 shape holds on the big corpus within tolerance
+    shares = {
+        r["b_split"]: r["count"]
+        for r in big.groupBy("b_split").count().collect()
+    }
+    total = sum(shares.values())
+    assert 0.7 < shares["train"] / total < 0.9
