@@ -617,3 +617,75 @@ def q_data_split(spark, sf_dir):
         )
         .orderBy("split", "lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.17.9 exact median without a global sort (two-pass bucket refinement)
+# ---------------------------------------------------------------------------
+
+_MEDIAN_ORACLE = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       floor(median(l_extendedprice) * 1000000 + 0.5) / 1000000 AS med
+FROM lineitem
+"""
+
+
+@query("q_agg_median_exact", oracle=_MEDIAN_ORACLE, tags=("agg", "scale-design"))
+def q_agg_median_exact(spark, sf_dir):
+    """EXACT median with NO global sort — the two-pass order-statistic
+    pattern that scales where sort-everything cannot: pass 1 histograms
+    the column into 1024 equal-width buckets (one map-combined shuffle
+    of <=1024 rows); a prefix sum over the BUCKET TABLE (tiny — the
+    boundary-merge class, never corpus-sized) locates the bucket(s)
+    holding global ranks floor((N+1)/2) and N//2+1; pass 2 sorts ONLY
+    the candidate bucket's rows (~N/1024) inside a bucket-partitioned
+    window and averages the two middle values — exactly DuckDB's
+    interpolating median, proven by the oracle using median() itself.
+    Contrast q_agg_approx_quantile (sketch, error-bounded) and
+    q_agg_percentiles (Spark's exact percentile, which materializes
+    per-group value multisets): this path touches each row twice,
+    sorts 0.1% of them, and is exact.  At 100 TB: two scans, two
+    bounded shuffles, candidate set fits one executor by construction
+    (add a refinement level if a single bucket is still too large)."""
+    c = Catalog(spark, sf_dir)
+    x = c.lineitem.select(F.col("l_extendedprice").alias("x"))
+    stats = x.agg(
+        F.min("x").alias("mn"),
+        F.max("x").alias("mx"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    nbkt = 1024
+    b = x.join(F.broadcast(stats)).select(
+        "x",
+        "n",
+        F.least(
+            F.lit(nbkt - 1),
+            F.floor((F.col("x") - F.col("mn")) / ((F.col("mx") - F.col("mn")) / nbkt + 1e-300)),
+        )
+        .cast("bigint")
+        .alias("bkt"),
+    )
+    counts = b.groupBy("bkt", "n").agg(F.count(F.lit(1)).alias("c"))
+    wb = Window.orderBy("bkt")  # <=1024 rows: the tiny merge pass
+    cum = counts.select(
+        "bkt",
+        "n",
+        (F.sum("c").over(wb.rowsBetween(Window.unboundedPreceding, 0)) - F.col("c")).alias("cum_start"),
+        F.sum("c").over(wb.rowsBetween(Window.unboundedPreceding, 0)).alias("cum_end"),
+        (((F.col("n") + 1) / 2).cast("bigint")).alias("lo"),
+        ((F.col("n") / 2).cast("bigint") + 1).alias("hi"),
+    )
+    cand_b = cum.filter(
+        (F.col("cum_end") >= F.col("lo")) & (F.col("cum_start") < F.col("hi"))
+    ).select("bkt", "cum_start", "lo", "hi")
+    cand = b.join(
+        F.broadcast(cand_b.withColumnsRenamed({"bkt": "cb"})),
+        F.col("bkt") == F.col("cb"),
+    )
+    win = Window.partitionBy("bkt").orderBy("x")
+    mids = cand.withColumn(
+        "grank", F.col("cum_start") + F.row_number().over(win)
+    ).filter((F.col("grank") == F.col("lo")) | (F.col("grank") == F.col("hi")))
+    return mids.groupBy("n").agg(
+        quantize(F.avg("x"), 6).alias("med")
+    ).select(F.col("n").alias("n_rows"), "med")

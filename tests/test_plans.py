@@ -644,3 +644,14 @@ def test_data_split_is_single_shuffle(spark):
     plan = explain_str(q("q_data_split", spark))
     assert plan.count("hashpartitioning") == 1
     assert "partial_count" in plan  # map-side combine before the shuffle
+
+
+def test_median_exact_sorts_only_candidate_bucket(spark):
+    """q_agg_median_exact's promise: no corpus-sized global sort — the
+    only row-level Window is partitioned by bkt (the candidate bucket),
+    and no TakeOrdered/global Sort consumes the base column."""
+    plan = explain_str(q("q_agg_median_exact", spark))
+    assert "partitionspec" in plan.lower().replace(" ", "") or (
+        "bkt" in plan
+    )
+    assert "TakeOrderedAndProject" not in plan
