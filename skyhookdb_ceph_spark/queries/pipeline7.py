@@ -689,3 +689,109 @@ def q_agg_median_exact(spark, sf_dir):
     return mids.groupBy("n").agg(
         quantize(F.avg("x"), 6).alias("med")
     ).select(F.col("n").alias("n_rows"), "med")
+
+
+# ---------------------------------------------------------------------------
+# §2.17.10 ANN recall evaluation: IVF probe vs exact top-k ground truth
+# ---------------------------------------------------------------------------
+
+def _recall_oracle():
+    from skyhookdb_ceph_spark.operators import vectors
+
+    sim_e = vectors.cosine_duckdb("e.embedding", "qv")
+    sim_b = vectors.cosine_duckdb("b.embedding", "qv")
+    return f"""
+WITH {vectors.primary_cell_cte_duckdb()},
+qs AS (SELECT vec_id AS qid, embedding AS qv, bucket AS qbucket
+       FROM b WHERE vec_id % 50 = 0),
+exact AS (
+  SELECT qid, e.vec_id, row_number() OVER (PARTITION BY qid
+    ORDER BY floor(({sim_e}) * 1000000 + 0.5) / 1000000 DESC, e.vec_id)
+    AS rn
+  FROM embeddings e, qs),
+ivf AS (
+  SELECT qid, b.vec_id, row_number() OVER (PARTITION BY qid
+    ORDER BY floor(({sim_b}) * 1000000 + 0.5) / 1000000 DESC, b.vec_id)
+    AS rn
+  FROM b JOIN qs ON b.bucket = qs.qbucket),
+hit AS (
+  SELECT ex.qid, CAST(count(*) AS BIGINT) AS hits
+  FROM (SELECT qid, vec_id FROM exact WHERE rn <= 10) ex
+  JOIN (SELECT qid, vec_id FROM ivf WHERE rn <= 10) iv
+    ON ex.qid = iv.qid AND ex.vec_id = iv.vec_id
+  GROUP BY ex.qid),
+per AS (SELECT qs.qid, CAST(coalesce(hits, 0) AS BIGINT) AS hits
+        FROM qs LEFT JOIN hit ON qs.qid = hit.qid)
+SELECT CAST(count(*) AS BIGINT) AS n_queries,
+       CAST(sum(hits) AS BIGINT) AS total_hits,
+       sum(hits) / (10.0 * count(*)) AS avg_recall,
+       CAST(min(hits) AS BIGINT) AS min_hits
+FROM per
+"""
+
+
+@query(
+    "q_vec_recall_eval",
+    oracle=_recall_oracle(),
+    tags=("llm", "vectors", "eval"),
+)
+def q_vec_recall_eval(spark, sf_dir):
+    """ANN index QUALITY evaluation — recall@10 of the IVF coarse-cell
+    probe against exact brute-force ground truth, over a deterministic
+    query sample (every 50th vector).  This is the measurement loop a
+    real vector pipeline runs before trading recall for probe cost
+    (n_bits / multi-probe tuning): ground truth per query via the
+    broadcast-query-set brute-force scorer (q_sim_knn_batch shape, a
+    deliberate |Q|-per-row broadcast nested loop — the corpus never
+    shuffles); the IVF answer via the same quantized scorer restricted
+    to the query's cell (bucket equi-join).  Both rankings use
+    identical 1e-6-quantized sims + vec_id tie-breaks, so the
+    intersection is engine-exact; recall aggregates are EXACT INTEGER
+    hit counts with one final division (no FP accumulation anywhere).
+    At 100 TB you evaluate on a sampled query set exactly like this —
+    ground truth cost is |Q| x corpus, bounded by the sample, and the
+    IVF side is partition pruning."""
+    from skyhookdb_ceph_spark.operators import vectors
+
+    e = Catalog(spark, sf_dir).embeddings
+    b = vectors.bucketed_cells(e)
+    qs = b.filter(F.col("vec_id") % 50 == 0).selectExpr(
+        "vec_id AS qid", "embedding AS qv", "bucket AS qbucket"
+    )
+    sim = (
+        f"floor(({vectors.cosine_expr('embedding', 'qv')}) * 1000000"
+        " + 0.5) / 1000000"
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), "vec_id")
+    exact = (
+        e.crossJoin(F.broadcast(qs))
+        .selectExpr("qid", "vec_id", f"{sim} AS sim")
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn <= 10")
+        .select("qid", "vec_id")
+    )
+    ivf = (
+        b.join(F.broadcast(qs), F.col("bucket") == F.col("qbucket"))
+        .selectExpr("qid", "vec_id", f"{sim} AS sim")
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn <= 10")
+        .select(F.col("qid").alias("i_qid"), F.col("vec_id").alias("i_vid"))
+    )
+    hits = (
+        exact.join(
+            ivf,
+            (F.col("qid") == F.col("i_qid"))
+            & (F.col("vec_id") == F.col("i_vid")),
+        )
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("hits"))
+    )
+    per = qs.select("qid").join(F.broadcast(hits), "qid", "left").select(
+        "qid", F.coalesce("hits", F.lit(0)).cast("bigint").alias("hits")
+    )
+    return per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+        F.sum("hits").cast("bigint").alias("total_hits"),
+        (F.sum("hits") / (10.0 * F.count(F.lit(1)))).alias("avg_recall"),
+        F.min("hits").cast("bigint").alias("min_hits"),
+    )
