@@ -795,3 +795,96 @@ def q_vec_recall_eval(spark, sf_dir):
         (F.sum("hits") / (10.0 * F.count(F.lit(1)))).alias("avg_recall"),
         F.min("hits").cast("bigint").alias("min_hits"),
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.17.11 corrupt-record-tolerant JSON ingestion (PERMISSIVE mode)
+# ---------------------------------------------------------------------------
+
+_CORRUPT_ORACLE = """
+SELECT CAST(sum(CASE WHEN doc_id % 7 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_good,
+       CAST(sum(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_corrupt,
+       CAST(sum(CASE WHEN doc_id % 7 <> 0 THEN n_chars ELSE 0 END)
+            AS BIGINT) AS sum_chars_good
+FROM documents
+"""
+
+
+@query("q_scan_corrupt_json", oracle=_CORRUPT_ORACLE, tags=("scan", "robustness"))
+def q_scan_corrupt_json(spark, sf_dir):
+    """Malformed-input tolerance — the ingestion reality every 100 TB
+    crawl pipeline faces: JSON lines are synthesized from documents
+    with every 7th record TRUNCATED mid-object, then read back in
+    PERMISSIVE mode with an explicit schema + _corrupt_record column.
+    Good rows parse to typed columns; malformed lines land intact in
+    the corrupt column instead of failing the job (contrast FAILFAST)
+    — the oracle recomputes the expected partition of good/corrupt
+    from the source table, so the assertion is that PERMISSIVE
+    classifies EXACTLY the malformed set and loses no good record.
+    Both write and read are distributed (text sink/source, pure map);
+    the only shuffle is the final 1-row aggregate."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from skyhookdb_ceph_spark.queries.scans import _scratch_dir
+
+    c = Catalog(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="skyhook_corrupt_", dir=_scratch_dir())
+    try:
+        lines = c.documents.select(
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit('{"id": '),
+                    F.col("doc_id").cast("string"),
+                    F.lit(', "lang": "'),
+                ),
+            )
+            .otherwise(
+                F.to_json(
+                    F.struct(
+                        F.col("doc_id").alias("id"),
+                        F.col("lang"),
+                        F.col("n_chars").alias("n"),
+                    )
+                )
+            )
+            .alias("value")
+        )
+        lines.write.mode("overwrite").text(f"{tmp}/lines")
+        schema = T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField("lang", T.StringType()),
+                T.StructField("n", T.LongType()),
+                T.StructField("_corrupt_record", T.StringType()),
+            ]
+        )
+        parsed = spark.read.schema(schema).option("mode", "PERMISSIVE").json(
+            f"{tmp}/lines"
+        )
+        out = parsed.agg(
+            F.sum(
+                F.when(F.col("_corrupt_record").isNull(), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_good"),
+            F.sum(
+                F.when(F.col("_corrupt_record").isNotNull(), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_corrupt"),
+            F.sum(
+                F.when(F.col("_corrupt_record").isNull(), F.col("n")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("sum_chars_good"),
+        )
+        # Materialize before the scratch dir is removed.
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
