@@ -7,14 +7,16 @@ resize / frame-sample run as Arrow-batched `mapInPandas` stages so each
 task processes whole record batches (the 100 TB path: partition count =
 file-split count, Python touched once per batch, never per row).
 
-Codec status: WAV (RIFF/PCM) decode is REAL — `synth_wav` /
-`decode_wav` below build and parse actual WAV bytes (header walk +
-int16 PCM sample decode, numpy-vectorized) with no external codec
-library.  Image/video codecs remain STUBBED: `decode_stub=True`
-(default) derives deterministic fake features from the bytes so the
-Spark-side plumbing — schema, batch iteration, partitioning — is real
-and testable; `decode_stub=False` raises NotImplementedError where a
-real `PIL.Image.open` / `av.open` call belongs.
+Codec status: TWO real codecs, no external library.  WAV (RIFF/PCM)
+audio: `wav_bytes` / `parse_wav` / `decode_wav` (chunk walk + int16
+PCM sample decode, numpy-vectorized).  PPM (P6) image: `ppm_bytes` /
+`parse_ppm` / `decode_ppm` (comment-tolerant header tokenizer + uint8
+raster decode with exact length check).  Compressed codecs
+(JPEG/PNG/H.264) remain STUBBED: `decode_stub=True` (default) derives
+deterministic fake features from the bytes so the Spark-side plumbing
+— schema, batch iteration, partitioning — is real and testable;
+`decode_stub=False` raises NotImplementedError where a real
+`PIL.Image.open` / `av.open` call belongs.
 """
 
 from __future__ import annotations
@@ -287,3 +289,103 @@ def sliding_windows(
             )
 
     return media.select(id_col, bytes_col).mapInPandas(process, schema)
+
+
+# ---------------------------------------------------------------------------
+# REAL image codec: PPM (P6) — binary RGB raster
+# ---------------------------------------------------------------------------
+
+PPM_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("maxval", T.IntegerType()),
+        T.StructField("n_pixels", T.LongType()),
+        T.StructField("sum_r", T.LongType()),
+        T.StructField("sum_g", T.LongType()),
+        T.StructField("sum_b", T.LongType()),
+    ]
+)
+
+
+def ppm_bytes(pixels: np.ndarray, width: int, height: int) -> bytes:
+    """Serialize an (h*w*3,) uint8 RGB raster into a canonical binary
+    PPM (P6) file — ASCII header (with a comment line, which a
+    compliant parser must skip) + raw RGB bytes."""
+    hdr = f"P6\n# synthetic\n{width} {height}\n255\n".encode("ascii")
+    return hdr + pixels.astype(np.uint8).tobytes()
+
+
+def parse_ppm(data: bytes) -> dict:
+    """REAL P6 parse: magic check, whitespace/comment-tolerant header
+    tokenizer (PPM allows `#` comments anywhere in the header), then
+    numpy uint8 raster decode with an exact length check.  Raises
+    ValueError on malformed input — no silent fallback."""
+    if data[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    # Tokenize the header: 3 integers (w, h, maxval), skipping
+    # whitespace runs and '#'-to-newline comments, then EXACTLY ONE
+    # whitespace byte before the raster (per spec).
+    tokens: list[int] = []
+    i = 2
+    while len(tokens) < 3:
+        if i >= len(data):
+            raise ValueError("truncated PPM header")
+        c = data[i : i + 1]
+        if c == b"#":
+            nl = data.find(b"\n", i)
+            if nl < 0:
+                raise ValueError("unterminated PPM comment")
+            i = nl + 1
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while j < len(data) and not data[j : j + 1].isspace():
+                j += 1
+            tokens.append(int(data[i:j]))
+            i = j
+    i += 1  # the single whitespace separating header from raster
+    width, height, maxval = tokens
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    raster = np.frombuffer(data, dtype=np.uint8, offset=i)
+    if len(raster) != width * height * 3:
+        raise ValueError(
+            f"raster length {len(raster)} != {width}x{height}x3"
+        )
+    rgb = raster.reshape(-1, 3).astype(np.int64)
+    return {
+        "width": width,
+        "height": height,
+        "maxval": maxval,
+        "n_pixels": width * height,
+        "sum_r": int(rgb[:, 0].sum()),
+        "sum_g": int(rgb[:, 1].sum()),
+        "sum_b": int(rgb[:, 2].sum()),
+    }
+
+
+def decode_ppm(
+    media: DataFrame, id_col: str = "media_id", bytes_col: str = "payload"
+) -> DataFrame:
+    """Arrow-batched REAL image decode (the second de-stubbed codec
+    beside WAV): parse every P6 payload and emit typed metadata +
+    exact per-channel integer sums.  Pure map over Arrow batches —
+    decode parallelism = partition count, nothing shuffles."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[bytes_col]):
+                meta = parse_ppm(bytes(payload))
+                meta["media_id"] = int(mid)
+                rows.append(meta)
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in PPM_META_SCHEMA.fields]
+            )
+
+    return media.select(id_col, bytes_col).mapInPandas(
+        process, PPM_META_SCHEMA
+    )

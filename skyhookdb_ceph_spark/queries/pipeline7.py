@@ -888,3 +888,98 @@ def q_scan_corrupt_json(spark, sf_dir):
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# §2.17.12 REAL image decode: PPM (P6) synth -> header+raster parse
+# ---------------------------------------------------------------------------
+
+# Both engines derive the SAME image parameters from doc_id; Spark then
+# round-trips them through REAL P6 bytes (ASCII header with a comment
+# line + raw RGB raster) while DuckDB computes the channel sums
+# directly — so any header tokenizer bug, raster offset error, or
+# channel-interleave mistake surfaces as a value mismatch.  Flat byte
+# j of the raster is (media_id*7 + j*13) % 256.
+_PPM_DECODE_ORACLE = """
+WITH p AS (
+  SELECT doc_id AS media_id,
+    CAST(8 + (doc_id % 9) AS INT) AS width,
+    CAST(8 + (doc_id % 7) AS INT) AS height
+  FROM documents WHERE doc_id % 10 = 3)
+SELECT media_id, width, height, CAST(255 AS INT) AS maxval,
+  CAST(width * height AS BIGINT) AS n_pixels,
+  CAST(list_aggregate(list_transform(
+    generate_series(0, width * height - 1),
+    j -> (media_id * 7 + (j * 3 + 0) * 13) % 256), 'sum') AS BIGINT)
+    AS sum_r,
+  CAST(list_aggregate(list_transform(
+    generate_series(0, width * height - 1),
+    j -> (media_id * 7 + (j * 3 + 1) * 13) % 256), 'sum') AS BIGINT)
+    AS sum_g,
+  CAST(list_aggregate(list_transform(
+    generate_series(0, width * height - 1),
+    j -> (media_id * 7 + (j * 3 + 2) * 13) % 256), 'sum') AS BIGINT)
+    AS sum_b
+FROM p ORDER BY media_id
+"""
+
+
+@query(
+    "q_multimodal_image",
+    oracle=_PPM_DECODE_ORACLE,
+    tags=("pipeline", "multimodal"),
+)
+def q_multimodal_image(spark, sf_dir):
+    """Second REAL codec (image, beside q_multimodal_decode's audio):
+    synthesize a binary PPM (P6) file per selected document — ASCII
+    header including a comment line a compliant parser must skip, plus
+    the raw RGB raster — then decode it with the pure-Python parser
+    (operators/multimodal.parse_ppm: whitespace/comment-tolerant
+    header tokenizer, numpy uint8 raster decode with exact length
+    check) and emit dimensions + exact per-channel integer sums.
+    Both stages are Arrow-batched mapInPandas pure maps — decode
+    parallelism = partition count, zero shuffle; only tiny metadata
+    rows ever move."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from skyhookdb_ceph_spark.operators import ensure_parallelism
+    from skyhookdb_ceph_spark.operators.multimodal import (
+        decode_ppm,
+        ppm_bytes,
+    )
+
+    params = (
+        ensure_parallelism(Catalog(spark, sf_dir).documents)
+        .filter("doc_id % 10 = 3")
+        .selectExpr(
+            "doc_id AS media_id",
+            "CAST(8 + (doc_id % 9) AS INT) AS width",
+            "CAST(8 + (doc_id % 7) AS INT) AS height",
+        )
+    )
+    synth_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            rows = []
+            for mid, w, h in zip(pdf.media_id, pdf.width, pdf.height):
+                j = np.arange(int(w) * int(h) * 3, dtype=np.int64)
+                raster = (int(mid) * 7 + j * 13) % 256
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "payload": ppm_bytes(raster, int(w), int(h)),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = params.mapInPandas(synth, synth_schema)
+    return decode_ppm(media).orderBy("media_id")

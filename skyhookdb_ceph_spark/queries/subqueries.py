@@ -132,3 +132,26 @@ def q_sql_recursive(spark, sf_dir):
     scale path)."""
     Catalog(spark, sf_dir).register_views()
     return spark.sql(_RECURSIVE_SQL)
+
+
+_EXISTS_FLAG_SQL = (
+    "SELECT c_mktsegment, "
+    "CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM orders "
+    "  WHERE o_custkey = c_custkey AND o_totalprice > 50000) "
+    "  THEN 1 ELSE 0 END) AS BIGINT) AS n_big_spenders, "
+    "CAST(count(*) AS BIGINT) AS n_customers "
+    "FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"
+)
+
+
+@query("q_sql_exists_flag", oracle=_EXISTS_FLAG_SQL)
+def q_sql_exists_flag(spark, sf_dir):
+    """EXISTS used as a VALUE (inside CASE), not as a filter — the
+    'mark join' shape: the row survives either way and carries a
+    boolean.  Catalyst plans this as an ExistenceJoin (a keyed hash
+    join emitting the exists bit; asserted in tests/test_plans.py) —
+    never a per-row subquery — so at 100 TB it is one keyed join plus
+    the grouped aggregate, same cost class as a semi join.  IDENTICAL
+    SQL text runs on both engines."""
+    Catalog(spark, sf_dir).register_views()
+    return spark.sql(_EXISTS_FLAG_SQL)

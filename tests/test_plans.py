@@ -655,3 +655,12 @@ def test_median_exact_sorts_only_candidate_bucket(spark):
         "bkt" in plan
     )
     assert "TakeOrderedAndProject" not in plan
+
+
+def test_sql_exists_flag_is_existence_join(spark):
+    """The EXISTS-as-value shape must plan as an ExistenceJoin (keyed
+    hash join emitting the mark bit), never a per-row subquery or
+    nested loop."""
+    plan = explain_str(q("q_sql_exists_flag", spark))
+    assert "ExistenceJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
