@@ -155,3 +155,28 @@ def q_sql_exists_flag(spark, sf_dir):
     SQL text runs on both engines."""
     Catalog(spark, sf_dir).register_views()
     return spark.sql(_EXISTS_FLAG_SQL)
+
+
+_LATERAL_SQL = (
+    "SELECT c_custkey, o_orderkey, o_totalprice "
+    "FROM customer, LATERAL ("
+    "  SELECT o_orderkey, o_totalprice FROM orders "
+    "  WHERE o_custkey = c_custkey "
+    "  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t "
+    "WHERE c_custkey < 50 "
+    "ORDER BY c_custkey, o_orderkey"
+)
+
+
+@query("q_sql_lateral", oracle=_LATERAL_SQL)
+def q_sql_lateral(spark, sf_dir):
+    """LATERAL correlated derived table — top-2 orders PER customer
+    expressed as a per-row subquery with ORDER BY + LIMIT, the SQL
+    shape users reach for before learning window functions.  Catalyst
+    DECORRELATES it: the per-row subquery becomes a keyed join plus a
+    per-key rank filter, so at 100 TB this is one shuffle on the
+    correlation key — never an actual per-row execution.  IDENTICAL
+    SQL text runs on both engines (DuckDB executes LATERAL natively);
+    ties broken by o_orderkey so both engines elect the same rows."""
+    Catalog(spark, sf_dir).register_views()
+    return spark.sql(_LATERAL_SQL)
