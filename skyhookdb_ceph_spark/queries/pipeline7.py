@@ -983,3 +983,100 @@ def q_multimodal_image(spark, sf_dir):
 
     media = params.mapInPandas(synth, synth_schema)
     return decode_ppm(media).orderBy("media_id")
+
+
+# ---------------------------------------------------------------------------
+# §2.17.13 sweep-line peak concurrency (interval analytics, two-level)
+# ---------------------------------------------------------------------------
+
+_CONCURRENCY_ORACLE = """
+WITH pts AS (
+  SELECT event_type, ts AS t, 1 AS delta FROM events
+  UNION ALL
+  SELECT event_type, ts + INTERVAL '30 minutes' AS t, -1 AS delta
+  FROM events),
+cum AS (
+  SELECT event_type, t,
+    sum(delta) OVER (PARTITION BY event_type ORDER BY t, delta
+                     ROWS UNBOUNDED PRECEDING) AS conc
+  FROM pts),
+peak AS (
+  SELECT event_type, CAST(max(conc) AS BIGINT) AS peak_conc
+  FROM cum GROUP BY event_type)
+SELECT cum.event_type, peak_conc, min(t) AS first_peak_ts
+FROM cum JOIN peak ON cum.event_type = peak.event_type
+WHERE conc = peak_conc
+GROUP BY cum.event_type, peak_conc ORDER BY cum.event_type
+"""
+
+
+@query(
+    "q_win_peak_concurrency",
+    oracle=_CONCURRENCY_ORACLE,
+    tags=("window", "scale-design"),
+)
+def q_win_peak_concurrency(spark, sf_dir):
+    """Sweep-line interval analytics: peak number of concurrently-open
+    30-minute sessions per event type, and when the peak is first hit
+    — the max-concurrency question every capacity dashboard asks.
+    Each event contributes (+1 at ts, -1 at ts+30min); concurrency is
+    the running sum in (t, delta) order (delta ascending, so at equal
+    instants ends close before starts open — half-open interval
+    semantics, mirrored verbatim in the oracle).
+
+    Scale design: the running sum is TWO-LEVEL (the q_win_gaps /
+    boundary-merge family), because a per-type window alone still
+    means one task per type at 100 TB: points partition by
+    (event_type, day); the in-day running sum is a bounded-group
+    window; per-day net deltas — one row per (type, day) — get the
+    tiny cross-day prefix (carry), and in-day sum + carry is the
+    global concurrency.  Tie runs of identical (t, delta) yield an
+    order-invariant (t, conc) multiset, so peak and first-peak time
+    are engine-exact without any quantization."""
+    e = Catalog(spark, sf_dir).events
+    starts = e.select(
+        "event_type", F.col("ts").alias("t"), F.lit(1).alias("delta")
+    )
+    ends = e.select(
+        "event_type",
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("t"),
+        F.lit(-1).alias("delta"),
+    )
+    pts = starts.unionAll(ends).withColumn("blk", F.to_date("t"))
+    w_in = (
+        Window.partitionBy("event_type", "blk")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    with_rs = pts.withColumn("rs", F.sum("delta").over(w_in))
+    net = pts.groupBy("event_type", "blk").agg(F.sum("delta").alias("net"))
+    w_blk = (
+        Window.partitionBy("event_type")
+        .orderBy("blk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = net.select(
+        F.col("event_type").alias("c_type"),
+        F.col("blk").alias("c_blk"),
+        F.coalesce(F.sum("net").over(w_blk), F.lit(0)).alias("carry"),
+    )
+    cum = with_rs.join(
+        F.broadcast(carry),
+        (F.col("event_type") == F.col("c_type"))
+        & (F.col("blk") == F.col("c_blk")),
+    ).select(
+        "event_type", "t", (F.col("rs") + F.col("carry")).alias("conc")
+    )
+    peak = cum.groupBy("event_type").agg(
+        F.max("conc").cast("bigint").alias("peak_conc")
+    )
+    return (
+        cum.join(
+            F.broadcast(peak.withColumnsRenamed({"event_type": "p_type"})),
+            (F.col("event_type") == F.col("p_type"))
+            & (F.col("conc") == F.col("peak_conc")),
+        )
+        .groupBy("event_type", "peak_conc")
+        .agg(F.min("t").alias("first_peak_ts"))
+        .orderBy("event_type")
+    )

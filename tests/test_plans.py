@@ -664,3 +664,13 @@ def test_sql_exists_flag_is_existence_join(spark):
     plan = explain_str(q("q_sql_exists_flag", spark))
     assert "ExistenceJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_peak_concurrency_windows_stay_partitioned(spark):
+    """The sweep-line running sum must never plan a per-type
+    single-partition window over base points: every Window carries a
+    partition spec including the day block (in-day sum) or runs over
+    the tiny (type, day) carry table."""
+    plan = explain_str(q("q_win_peak_concurrency", spark))
+    assert "hashpartitioning(event_type" in plan
+    assert "blk" in plan
