@@ -240,6 +240,26 @@ AUDIT = {
         "into the scan's Project; partial_count before ONE keyed "
         "Exchange."
     ),
+    "q_agg_median_exact": (
+        "Two-pass exact median. Wanted: bucket HashAggregate "
+        "(map-combined) feeding a tiny-window prefix sum; the only "
+        "row-level Window partitioned by bkt; NO TakeOrdered/global "
+        "Sort over base rows."
+    ),
+    "q_sql_exists_flag": (
+        "EXISTS-as-value. Wanted: ExistenceJoin (keyed mark join); "
+        "no per-row subquery, no nested loop."
+    ),
+    "q_sql_lateral": (
+        "LATERAL + ORDER BY/LIMIT. Wanted: decorrelated to a keyed "
+        "join + per-key rank filter (Window/Filter), not per-row "
+        "subquery execution."
+    ),
+    "q_win_peak_concurrency": (
+        "Sweep-line concurrency. Wanted: in-day running-sum Window "
+        "partitioned by (event_type, blk); cross-day carry only over "
+        "the (type, day) summary; peak joined back by broadcast."
+    ),
 }
 
 
