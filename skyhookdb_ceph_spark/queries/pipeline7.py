@@ -748,23 +748,31 @@ def q_vec_recall_eval(spark, sf_dir):
     identical 1e-6-quantized sims + vec_id tie-breaks, so the
     intersection is engine-exact; recall aggregates are EXACT INTEGER
     hit counts with one final division (no FP accumulation anywhere).
-    At 100 TB you evaluate on a sampled query set exactly like this —
-    ground truth cost is |Q| x corpus, bounded by the sample, and the
-    IVF side is partition pruning."""
+    Norms are precomputed ONCE per vector (n + |Q| HOF folds) so each
+    pair evaluates only the dot-product fold — the full cosine per
+    pair cost 2.5x more in interpreted lambda time (the r4 HOF
+    finding) while sqrt(na)*sqrt(nb) association stays identical to
+    the oracle's formula, so values are bit-equal.  At 100 TB you
+    evaluate on a sampled query set exactly like this — ground truth
+    cost is |Q| x corpus, bounded by the sample, and the IVF side is
+    partition pruning."""
     from skyhookdb_ceph_spark.operators import vectors
 
     e = Catalog(spark, sf_dir).embeddings
-    b = vectors.bucketed_cells(e)
+    b = vectors.bucketed_cells(e).withColumn(
+        "nrm", F.expr(f"sqrt({vectors.norm_sq_expr('embedding')})")
+    )
     qs = b.filter(F.col("vec_id") % 50 == 0).selectExpr(
-        "vec_id AS qid", "embedding AS qv", "bucket AS qbucket"
+        "vec_id AS qid", "embedding AS qv", "bucket AS qbucket",
+        "nrm AS qnrm",
     )
     sim = (
-        f"floor(({vectors.cosine_expr('embedding', 'qv')}) * 1000000"
-        " + 0.5) / 1000000"
+        f"floor((({vectors.dot_expr('embedding', 'qv')}) / (nrm * qnrm))"
+        " * 1000000 + 0.5) / 1000000"
     )
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), "vec_id")
     exact = (
-        e.crossJoin(F.broadcast(qs))
+        b.crossJoin(F.broadcast(qs))
         .selectExpr("qid", "vec_id", f"{sim} AS sim")
         .withColumn("rn", F.row_number().over(w))
         .filter("rn <= 10")

@@ -210,3 +210,29 @@ def test_hash_split_is_growth_stable(spark):
     }
     total = sum(shares.values())
     assert 0.7 < shares["train"] / total < 0.9
+
+
+def test_results_invariant_to_shuffle_partition_count(spark):
+    """Engine soundness: results must not depend on the physical
+    partition count (no order-dependent accumulation leaks into
+    output).  Runs a shuffle-heavy aggregate, a window query, and the
+    two-level median under 3 vs 17 shuffle partitions and asserts
+    identical canonical results."""
+    from skyhookdb_ceph_spark.registry import load_all
+
+    specs = load_all()
+    sf = "/root/testdata/sf0.01"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        results = {}
+        for parts in ("3", "17"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            for name in ("q_agg_groupby", "q_win_rank", "q_agg_median_exact"):
+                rows = sorted(
+                    map(str, specs[name].fn(spark, sf).collect())
+                )
+                results.setdefault(name, []).append(rows)
+        for name, (a, b) in results.items():
+            assert a == b, f"{name} differs across partition counts"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
