@@ -1088,3 +1088,87 @@ def q_win_peak_concurrency(spark, sf_dir):
         .agg(F.min("t").alias("first_peak_ts"))
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.17.14 task-retry fault tolerance (lost-task recovery semantics)
+# ---------------------------------------------------------------------------
+
+_RETRY_ORACLE = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+@query("q_fault_task_retry", oracle=_RETRY_ORACLE, tags=("fault", "scale-design"))
+def q_fault_task_retry(spark, sf_dir):
+    """Lost-task recovery — the resilience dimension a 1000-executor
+    job lives on (spark.task.maxFailures): one partition's FIRST task
+    attempt deliberately raises mid-computation; Spark discards the
+    failed attempt's output and reschedules, and the final answer must
+    be byte-identical to a clean run — no loss, no double counting.
+    The per-partition work is an Arrow-batched partial aggregate (the
+    map-combine shape), so the retried unit is exactly the unit a
+    lost executor would forfeit at scale.  Injection triggers only
+    when the session allows >1 task attempt (engine sessions run
+    local[N,2]; under a retry-less harness session this degrades to a
+    clean run, same green result either way — tests/test_fault.py
+    asserts the retry path actually fires in the engine session)."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    retry_capable = "," in spark.sparkContext.master
+
+    out_schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType()),
+            T.StructField("cnt", T.LongType()),
+            T.StructField("cents", T.LongType()),
+        ]
+    )
+
+    def partial(batches):
+        from pyspark import TaskContext
+
+        import numpy as np
+
+        tc = TaskContext.get()
+        inject = (
+            retry_capable
+            and tc is not None
+            and tc.partitionId() == 0
+            and tc.attemptNumber() == 0
+        )
+        acc: dict = {}
+        for pdf in batches:
+            cents = np.floor(pdf["value"].to_numpy() * 100).astype("int64")
+            for et, c in zip(pdf["event_type"], cents):
+                n, s = acc.get(et, (0, 0))
+                acc[et] = (n + 1, s + int(c))
+            if inject:
+                # Fail AFTER partial work so a buggy retry that kept
+                # attempt-0 output would double-count and go red.
+                raise RuntimeError(
+                    "injected task failure (attempt 0, partition 0)"
+                )
+        yield pd.DataFrame(
+            [
+                {"event_type": k, "cnt": n, "cents": s}
+                for k, (n, s) in acc.items()
+            ],
+            columns=["event_type", "cnt", "cents"],
+        )
+
+    e = Catalog(spark, sf_dir).events.select("event_type", "value")
+    partials = e.repartition(8, "event_type").mapInPandas(partial, out_schema)
+    return (
+        partials.groupBy("event_type")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_events"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+        .orderBy("event_type")
+    )

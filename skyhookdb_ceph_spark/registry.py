@@ -103,7 +103,7 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q_tpch_q20", "q_tpch_q21", "q_data_mix", "q_data_split",
     "q_stream_foreach_batch", "q_agg_median_exact", "q_vec_recall_eval",
     "q_scan_corrupt_json", "q_sql_exists_flag", "q_multimodal_image",
-    "q_sql_lateral", "q_win_peak_concurrency",
+    "q_sql_lateral", "q_win_peak_concurrency", "q_fault_task_retry",
 )
 
 

@@ -34,7 +34,14 @@ def get_spark(
     startup cost is paid once and every query after that is
     tens-of-ms marginal cost (see BASELINE.md interpretation).
     """
-    master = master or f"local[{_DEF_CPUS}]"
+    # local[N,M]: M task attempts.  Production Spark survives lost
+    # executors by re-running failed tasks (spark.task.maxFailures,
+    # default 4 on clusters); local mode defaults to ONE attempt, which
+    # silently drops that whole resilience dimension from testing.
+    # 2 attempts restores retry semantics locally (q_fault_task_retry
+    # exercises the path) at zero cost when nothing fails.
+    attempts = os.environ.get("SPARK_GRAFT_TASK_ATTEMPTS", "2")
+    master = master or f"local[{_DEF_CPUS},{attempts}]"
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
     b = (
