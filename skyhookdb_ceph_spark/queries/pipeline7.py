@@ -16,10 +16,15 @@ join-back, exact-integer threshold compare, anti-join NOT IN,
 double-semi-join chains, self-join EXISTS/NOT-EXISTS) the first sixteen
 did not.
 
-Training-set ops: greedy sequence packing (token-budget binning — the
-standard LLM pre-training batching transform) and a deterministic
-multiplicative-hash train/val/test split — both pure integer
-arithmetic, identical in any engine, no RNG.
+Training-set management: temperature-scaled mixture reweighting and a
+deterministic multiplicative-hash train/val/test split (pure integer
+arithmetic, identical in any engine, no RNG).
+
+Round-5 wave 3 (same §2.17): exact median with no global sort, ANN
+recall evaluation (IVF probe vs brute-force ground truth),
+corrupt-record-tolerant JSON ingestion, a second real codec (PPM/P6
+image decode), sweep-line peak concurrency, and lost-task-recovery
+fault injection (q_fault_task_retry, with session.py's local[N,2]).
 
 House rules unchanged: money via quantize2 both sides, identical
 aliases, deterministic tie-breaks, no all-pairs joins, no global
