@@ -1177,3 +1177,184 @@ def q_fault_task_retry(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.17.15 seasonal decomposition: hour-of-day baseline + residuals
+# ---------------------------------------------------------------------------
+
+_SEASONAL_ORACLE = """
+WITH hourly AS (
+  SELECT event_type,
+    CAST(floor(epoch(ts) / 3600) AS BIGINT) AS bucket,
+    sum(value) AS v
+  FROM events GROUP BY 1, 2),
+hod AS (
+  SELECT event_type, CAST(bucket % 24 AS INT) AS hour_of_day, v
+  FROM hourly),
+season AS (
+  SELECT event_type, hour_of_day,
+    CAST(count(*) AS BIGINT) AS n_days, avg(v) AS s_mu
+  FROM hod GROUP BY event_type, hour_of_day)
+SELECT h.event_type, h.hour_of_day, n_days,
+  floor(s_mu * 1000000 + 0.5) / 1000000 AS seasonal_avg,
+  floor(max(h.v - s_mu) * 1000000 + 0.5) / 1000000 AS max_resid
+FROM hod h JOIN season s
+  ON h.event_type = s.event_type AND h.hour_of_day = s.hour_of_day
+GROUP BY h.event_type, h.hour_of_day, n_days, s_mu
+ORDER BY h.event_type, h.hour_of_day
+"""
+
+
+@query("q_ts_seasonal", oracle=_SEASONAL_ORACLE, tags=("timeseries",))
+def q_ts_seasonal(spark, sf_dir):
+    """Seasonal decomposition — the daily-cycle baseline every ops
+    dashboard subtracts before alerting: hourly volumes fold into a
+    24-point hour-of-day profile per event type (seasonal_avg over
+    ~30 days of fixture data), and the residual against that profile
+    exposes what the global z-score (q_ts_anomaly) cannot: a value
+    normal at 14:00 but anomalous at 03:00.  Plan: one (type, hour)
+    agg for the hourly series, one (type, hod) agg for the 120-row
+    profile, profile broadcast back for residuals — at 100 TB the
+    profile stays 24 x n_types rows no matter the history length, and
+    both aggs map-side combine."""
+    e = Catalog(spark, sf_dir).events
+    hourly = (
+        e.groupBy(
+            "event_type",
+            F.floor(F.unix_timestamp("ts") / 3600)
+            .cast("bigint")
+            .alias("bucket"),
+        )
+        .agg(F.sum("value").alias("v"))
+        .withColumn("hour_of_day", (F.col("bucket") % 24).cast("int"))
+    )
+    season = hourly.groupBy("event_type", "hour_of_day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.avg("v").alias("s_mu"),
+    )
+    return (
+        hourly.join(
+            F.broadcast(
+                season.withColumnsRenamed(
+                    {"event_type": "s_type", "hour_of_day": "s_hod"}
+                )
+            ),
+            (F.col("event_type") == F.col("s_type"))
+            & (F.col("hour_of_day") == F.col("s_hod")),
+        )
+        .groupBy("event_type", "hour_of_day", "n_days", "s_mu")
+        .agg(quantize(F.max(F.col("v") - F.col("s_mu")), 6).alias("max_resid"))
+        .select(
+            "event_type",
+            "hour_of_day",
+            "n_days",
+            quantize(F.col("s_mu"), 6).alias("seasonal_avg"),
+            "max_resid",
+        )
+        .orderBy("event_type", "hour_of_day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.17.16 matryoshka truncation eval: 16-dim vs full-dim ranking overlap
+# ---------------------------------------------------------------------------
+
+def _matryoshka_oracle():
+    from skyhookdb_ceph_spark.operators import vectors
+
+    dot64 = vectors.dot_duckdb("e.embedding", "qv", 64)
+    dot16 = vectors.dot_duckdb("e.embedding", "qv", 16)
+    return f"""
+WITH qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+            WHERE vec_id % 50 = 0),
+full_rank AS (
+  SELECT qid, e.vec_id, row_number() OVER (PARTITION BY qid
+    ORDER BY floor(({dot64}) * 1000000 + 0.5) / 1000000 DESC, e.vec_id)
+    AS rn
+  FROM embeddings e, qs),
+trunc_rank AS (
+  SELECT qid, e.vec_id, row_number() OVER (PARTITION BY qid
+    ORDER BY floor(({dot16}) * 1000000 + 0.5) / 1000000 DESC, e.vec_id)
+    AS rn
+  FROM embeddings e, qs),
+hit AS (
+  SELECT f.qid, CAST(count(*) AS BIGINT) AS hits
+  FROM (SELECT qid, vec_id FROM full_rank WHERE rn <= 10) f
+  JOIN (SELECT qid, vec_id FROM trunc_rank WHERE rn <= 10) t
+    ON f.qid = t.qid AND f.vec_id = t.vec_id
+  GROUP BY f.qid),
+per AS (SELECT qs.qid, CAST(coalesce(hits, 0) AS BIGINT) AS hits
+        FROM qs LEFT JOIN hit ON qs.qid = hit.qid)
+SELECT CAST(count(*) AS BIGINT) AS n_queries,
+       CAST(sum(hits) AS BIGINT) AS total_overlap,
+       sum(hits) / (10.0 * count(*)) AS avg_overlap,
+       CAST(min(hits) AS BIGINT) AS min_overlap
+FROM per
+"""
+
+
+@query(
+    "q_vec_matryoshka_eval",
+    oracle=_matryoshka_oracle(),
+    tags=("llm", "vectors", "eval"),
+)
+def q_vec_matryoshka_eval(spark, sf_dir):
+    """Dimension-truncation quality evaluation (the matryoshka /
+    MRL question): how much of the full-dimension top-10 ranking
+    survives when scoring with only the FIRST 16 of 64 dims — the
+    measurement behind serving embeddings at 1/4 the memory and 4x
+    the scan rate.  Same integer-exact evaluation skeleton as
+    q_vec_recall_eval: both rankings by 1e-6-quantized inner product
+    with vec_id tie-breaks, overlap counted as exact integers, one
+    final division.  The truncated scorer folds 16 elements instead
+    of 64 — at 100 TB that ratio IS the bandwidth saving being
+    evaluated; the corpus never shuffles (query set broadcasts)."""
+    from skyhookdb_ceph_spark.operators import vectors
+
+    e = Catalog(spark, sf_dir).embeddings
+    qs = e.filter(F.col("vec_id") % 50 == 0).selectExpr(
+        "vec_id AS qid", "embedding AS qv"
+    )
+    d64 = (
+        f"floor(({vectors.dot_expr('embedding', 'qv')}) * 1000000 + 0.5)"
+        " / 1000000"
+    )
+    d16 = (
+        "floor(("
+        + vectors.dot_expr("slice(embedding, 1, 16)", "slice(qv, 1, 16)")
+        + ") * 1000000 + 0.5) / 1000000"
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), "vec_id")
+    scored = e.crossJoin(F.broadcast(qs))
+
+    def topk(sim_expr, id_alias):
+        return (
+            scored.selectExpr("qid", "vec_id", f"{sim_expr} AS sim")
+            .withColumn("rn", F.row_number().over(w))
+            .filter("rn <= 10")
+            .select(
+                F.col("qid").alias(f"{id_alias}_qid"),
+                F.col("vec_id").alias(f"{id_alias}_vid"),
+            )
+        )
+
+    hits = (
+        topk(d64, "f")
+        .join(
+            topk(d16, "t"),
+            (F.col("f_qid") == F.col("t_qid"))
+            & (F.col("f_vid") == F.col("t_vid")),
+        )
+        .groupBy("f_qid")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("hits"))
+    )
+    per = qs.select("qid").join(
+        F.broadcast(hits), F.col("qid") == F.col("f_qid"), "left"
+    ).select("qid", F.coalesce("hits", F.lit(0)).cast("bigint").alias("hits"))
+    return per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+        F.sum("hits").cast("bigint").alias("total_overlap"),
+        (F.sum("hits") / (10.0 * F.count(F.lit(1)))).alias("avg_overlap"),
+        F.min("hits").cast("bigint").alias("min_overlap"),
+    )
