@@ -1358,3 +1358,140 @@ def q_vec_matryoshka_eval(spark, sf_dir):
         (F.sum("hits") / (10.0 * F.count(F.lit(1)))).alias("avg_overlap"),
         F.min("hits").cast("bigint").alias("min_overlap"),
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.17.17 n-gram novelty scoring (dataset-curation signal)
+# ---------------------------------------------------------------------------
+
+_NOVELTY_ORACLE = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+  WHERE len(string_split(text, ' ')) >= 3),
+g AS (
+  SELECT DISTINCT doc_id, gram
+  FROM w, unnest(list_transform(
+    generate_series(1, len(ws) - 2),
+    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS t(gram)),
+fo AS (SELECT gram, min(doc_id) AS first_owner FROM g GROUP BY gram)
+SELECT g.doc_id,
+  CAST(count(*) AS BIGINT) AS n_grams,
+  CAST(sum(CASE WHEN first_owner = g.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_novel,
+  floor((sum(CASE WHEN first_owner = g.doc_id THEN 1 ELSE 0 END) * 1.0
+         / count(*)) * 1000000 + 0.5) / 1000000 AS novelty
+FROM g JOIN fo ON g.gram = fo.gram
+GROUP BY g.doc_id ORDER BY g.doc_id
+"""
+
+
+@query("q_text_novelty", oracle=_NOVELTY_ORACLE, tags=("llm", "text"))
+def q_text_novelty(spark, sf_dir):
+    """N-gram novelty — the curation signal that ranks documents by
+    how much genuinely NEW text they contribute: a doc's novelty is
+    the fraction of its distinct word-trigrams whose FIRST owner (min
+    doc_id across the corpus) is the doc itself.  Boilerplate-heavy
+    docs score near 0, fresh content near 1 — the greedy-selection
+    criterion dataset builders apply before token budgets.  Plan: one
+    explode to distinct (doc, gram) pairs, one (gram) agg for first
+    owners, one keyed join back, one (doc) agg — every stage a
+    map-combined equi shuffle on gram or doc_id; nothing is ever
+    all-pairs and no gram list leaves its group."""
+    d = Catalog(spark, sf_dir).documents
+    w = d.select("doc_id", F.split("text", " ").alias("ws")).filter(
+        F.size("ws") >= 3
+    )
+    g = (
+        w.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ws) - 2), i -> "
+                    "concat_ws(' ', element_at(ws, i), "
+                    "element_at(ws, i + 1), element_at(ws, i + 2)))"
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    fo = g.groupBy("gram").agg(F.min("doc_id").alias("first_owner"))
+    return (
+        g.join(fo, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_owner") == F.col("doc_id"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            quantize(F.col("n_novel") * 1.0 / F.col("n_grams"), 6).alias(
+                "novelty"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.17.18 GDPR subject-access export (cross-table per-user extract)
+# ---------------------------------------------------------------------------
+
+_GDPR_EXPORT_ORACLE = """
+SELECT 'customer' AS src, CAST(c_custkey AS BIGINT) AS rec_id,
+       c_mktsegment AS info,
+       CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS amount_cents
+FROM customer WHERE c_custkey = 42
+UNION ALL
+SELECT 'orders', CAST(o_orderkey AS BIGINT), o_orderpriority,
+       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+FROM orders WHERE o_custkey = 42
+UNION ALL
+SELECT 'events', CAST(event_id AS BIGINT), event_type,
+       CAST(floor(value * 100) AS BIGINT)
+FROM events WHERE user_id = 42
+ORDER BY src, rec_id
+"""
+
+
+@query("q_gdpr_export", oracle=_GDPR_EXPORT_ORACLE, tags=("pipeline", "compliance"))
+def q_gdpr_export(spark, sf_dir):
+    """Subject-access request (GDPR Art. 15, the read twin of
+    q_gdpr_delete's Art. 17): every record a subject owns, unioned
+    across the three tables that reference them, in one uniform
+    (src, rec_id, info, amount_cents) schema — money normalized to
+    integer cents so the union never stringifies doubles (engine
+    double->string formatting differs; integer cents are exact).
+    Plan: three scans each with the subject-key filter PUSHED to
+    parquet (at scale: partition/row-group pruning on the key),
+    union, tiny sort — no join, no shuffle beyond the sort of one
+    subject's rows."""
+    c = Catalog(spark, sf_dir)
+    cust = c.customer.filter(F.col("c_custkey") == 42).select(
+        F.lit("customer").alias("src"),
+        F.col("c_custkey").cast("bigint").alias("rec_id"),
+        F.col("c_mktsegment").alias("info"),
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("amount_cents"),
+    )
+    orders = c.orders.filter(F.col("o_custkey") == 42).select(
+        F.lit("orders").alias("src"),
+        F.col("o_orderkey").cast("bigint").alias("rec_id"),
+        F.col("o_orderpriority").alias("info"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("amount_cents"),
+    )
+    events = c.events.filter(F.col("user_id") == 42).select(
+        F.lit("events").alias("src"),
+        F.col("event_id").cast("bigint").alias("rec_id"),
+        F.col("event_type").alias("info"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("amount_cents"),
+    )
+    return cust.unionAll(orders).unionAll(events).orderBy("src", "rec_id")
