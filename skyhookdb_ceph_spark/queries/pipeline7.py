@@ -1495,3 +1495,135 @@ def q_gdpr_export(spark, sf_dir):
         F.floor(F.col("value") * 100).cast("bigint").alias("amount_cents"),
     )
     return cust.unionAll(orders).unionAll(events).orderBy("src", "rec_id")
+
+
+# ---------------------------------------------------------------------------
+# §2.17.19 Gini concentration coefficient (exact-integer formulation)
+# ---------------------------------------------------------------------------
+
+_GINI_ORACLE = """
+WITH rev AS (
+  SELECT l_suppkey,
+    CAST(floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5)
+         AS BIGINT) AS cents
+  FROM lineitem GROUP BY l_suppkey),
+ranked AS (
+  SELECT cents,
+    CAST(row_number() OVER (ORDER BY cents, l_suppkey) AS BIGINT) AS i,
+    CAST(count(*) OVER () AS BIGINT) AS n
+  FROM rev)
+SELECT n AS n_suppliers,
+  CAST(sum(cents) AS BIGINT) AS total_cents,
+  floor((sum((2 * i - n - 1) * cents) * 1.0 / (n * sum(cents)))
+        * 1000000 + 0.5) / 1000000 AS gini
+FROM ranked GROUP BY n
+"""
+
+
+@query("q_agg_gini", oracle=_GINI_ORACLE, tags=("agg",))
+def q_agg_gini(spark, sf_dir):
+    """Gini concentration of supplier revenue — the inequality metric
+    behind 'is our supply chain concentrated?' dashboards.  Uses the
+    rank formulation G = sum((2i - n - 1) x_i) / (n sum(x)) over
+    ascending-ranked values, computed ENTIRELY in exact integer cents
+    (rank, n, and all products are BIGINT; one final division) so no
+    accumulation order can move the result.  The rank window runs
+    over the per-supplier AGGREGATE — bounded by the supplier table,
+    never the fact table, at any scale (same bounded-aggregate-window
+    class as q_tpch_q15); the fact scan itself is one map-combined
+    (suppkey) shuffle."""
+    c = Catalog(spark, sf_dir)
+    rev = (
+        c.lineitem.groupBy("l_suppkey")
+        .agg(
+            F.floor(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                * 100
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    w = Window.orderBy("cents", "l_suppkey")  # supplier-bounded aggregate
+    ranked = rev.select(
+        "cents",
+        F.row_number().over(w).cast("bigint").alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("bigint").alias("n"),
+    )
+    return (
+        ranked.groupBy("n")
+        .agg(
+            F.sum("cents").cast("bigint").alias("total_cents"),
+            quantize(
+                F.sum((2 * F.col("i") - F.col("n") - 1) * F.col("cents"))
+                * 1.0
+                / (F.col("n") * F.sum("cents")),
+                6,
+            ).alias("gini"),
+        )
+        .select(
+            F.col("n").alias("n_suppliers"), "total_cents", "gini"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.17.20 binaryFile source: whole-file multimodal ingestion
+# ---------------------------------------------------------------------------
+
+_BINARYFILE_ORACLE = """
+WITH k AS (SELECT unnest(generate_series(0, 19)) AS k)
+SELECT k AS file_k,
+  CAST(length('payload-' || k || '-' || repeat('x', k * 7)) AS BIGINT)
+    AS n_bytes,
+  md5('payload-' || k || '-' || repeat('x', k * 7)) AS digest
+FROM k ORDER BY file_k
+"""
+
+
+@query(
+    "q_scan_binary_file",
+    oracle=_BINARYFILE_ORACLE,
+    tags=("scan", "multimodal"),
+)
+def q_scan_binary_file(spark, sf_dir):
+    """Whole-file ingestion via Spark's `binaryFile` source — how raw
+    media objects (images, audio, model checkpoints) actually enter a
+    pipeline before any codec runs: each file becomes one row of
+    (path, modificationTime, length, content).  Twenty deterministic
+    payload files are materialized to scratch, read back through the
+    source, and verified by length + md5 against an oracle that
+    rebuilds the same payloads from the file index parsed out of the
+    path.  At 100 TB the source lists files into splits like any
+    other (maxPartitionBytes governs grouping of small files) and
+    content bytes stay executor-side — only the tiny digest rows
+    move.  Deliberately driver-written fixtures: 20 files is a
+    metadata-scale setup, not a data write."""
+    import os
+    import shutil
+    import tempfile
+
+    from skyhookdb_ceph_spark.queries.scans import _scratch_dir
+
+    tmp = tempfile.mkdtemp(prefix="skyhook_binfile_", dir=_scratch_dir())
+    try:
+        for k in range(20):
+            payload = f"payload-{k}-" + "x" * (k * 7)
+            with open(os.path.join(tmp, f"blob_{k:04d}.bin"), "wb") as fh:
+                fh.write(payload.encode("ascii"))
+        files = spark.read.format("binaryFile").load(tmp)
+        out = (
+            files.select(
+                F.regexp_extract(F.col("path"), r"blob_(\d+)\.bin$", 1)
+                .cast("bigint")
+                .alias("file_k"),
+                F.col("length").cast("bigint").alias("n_bytes"),
+                F.md5(F.col("content").cast("string")).alias("digest"),
+            )
+            .orderBy("file_k")
+        )
+        # Materialize before the scratch dir is removed.
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
