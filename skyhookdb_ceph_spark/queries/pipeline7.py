@@ -1627,3 +1627,88 @@ def q_scan_binary_file(spark, sf_dir):
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# §2.17.21 checkpoint resume: incremental file discovery across restarts
+# ---------------------------------------------------------------------------
+
+_RESUME_ORACLE = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM (SELECT * FROM events UNION ALL SELECT * FROM events)
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+@query(
+    "q_stream_resume",
+    oracle=_RESUME_ORACLE,
+    tags=("stream", "live-stream"),
+)
+def q_stream_resume(spark, sf_dir):
+    """Checkpoint RESUME — the operational property production
+    streaming lives on: a stopped query restarted against the SAME
+    checkpoint must process exactly the files that arrived while it
+    was down, never reprocessing committed input.  Run 1 drains file
+    A to a transactional parquet sink; file B then lands in the
+    source directory; run 2 starts from the same checkpoint and may
+    process ONLY B.  The oracle expects exactly 2x the fixture
+    (A + B are both copies of events) — a resume bug that replays A
+    yields 3x and goes red, a resume bug that skips B yields 1x and
+    goes red.  Both runs are AvailableNow drains through the
+    _spark_metadata-committed file sink, so the read-back sees only
+    committed batches; at 100 TB this restart loop IS the daily
+    operations of every incremental ingest pipeline."""
+    import shutil
+    import tempfile
+
+    from skyhookdb_ceph_spark.queries.scans import _scratch_dir
+    from skyhookdb_ceph_spark.streaming.replay import events_stream
+
+    tmp = tempfile.mkdtemp(prefix="skyhook_resume_", dir=_scratch_dir())
+    src, out, ckpt = f"{tmp}/src", f"{tmp}/out", f"{tmp}/ckpt"
+    import os
+
+    os.makedirs(src, exist_ok=True)
+
+    def drain_once():
+        stream = events_stream(spark, src, glob="*.parquet").select(
+            "event_type", "value"
+        )
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "2")
+        try:
+            q = (
+                stream.writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    try:
+        shutil.copy(f"{sf_dir}/events.parquet", f"{src}/a.parquet")
+        drain_once()  # run 1: processes A, commits offsets to ckpt
+        shutil.copy(f"{sf_dir}/events.parquet", f"{src}/b.parquet")
+        drain_once()  # run 2: SAME checkpoint -> must process only B
+        committed = spark.read.parquet(out)
+        agg = (
+            committed.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                F.sum(F.floor(F.col("value") * 100).cast("bigint"))
+                .cast("bigint")
+                .alias("sum_cents"),
+            )
+            .orderBy("event_type")
+        )
+        # Materialize before the scratch dir is removed.
+        return spark.createDataFrame(agg.collect(), agg.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
