@@ -61,3 +61,43 @@ def q_set_except(spark, sf_dir):
     return c.customer.select(F.col("c_nationkey").alias("nationkey")).subtract(
         c.supplier.select(F.col("s_nationkey").alias("nationkey"))
     )
+
+
+@query(
+    "q_set_intersect_all",
+    oracle=(
+        "SELECT event_type AS et FROM events WHERE value > 50 "
+        "INTERSECT ALL "
+        "SELECT event_type AS et FROM events WHERE value > 80"
+    ),
+)
+def q_set_intersect_all(spark, sf_dir):
+    """Multiset INTERSECT ALL — each value appears min(count_a,
+    count_b) times, the bag semantics INTERSECT's distinct collapses.
+    Catalyst rewrites it as a per-row-count min via aggregate +
+    generate (no row ever compared pairwise); shuffle is on the full
+    projected row, so project FIRST at scale (done: 1 column)."""
+    e = Catalog(spark, sf_dir).events
+    a = e.filter(F.col("value") > 50).select(F.col("event_type").alias("et"))
+    b = e.filter(F.col("value") > 80).select(F.col("event_type").alias("et"))
+    return a.intersectAll(b)
+
+
+@query(
+    "q_set_except_all",
+    oracle=(
+        "SELECT event_type AS et FROM events WHERE value > 50 "
+        "EXCEPT ALL "
+        "SELECT event_type AS et FROM events WHERE value > 80"
+    ),
+)
+def q_set_except_all(spark, sf_dir):
+    """Multiset EXCEPT ALL — each value appears count_a - count_b
+    times (floored at 0): the 'what remains after removing one
+    occurrence per match' semantics dedup ledgers need, which
+    set-EXCEPT destroys.  Same aggregate+generate rewrite class as
+    INTERSECT ALL; 1-column projection before the shuffle."""
+    e = Catalog(spark, sf_dir).events
+    a = e.filter(F.col("value") > 50).select(F.col("event_type").alias("et"))
+    b = e.filter(F.col("value") > 80).select(F.col("event_type").alias("et"))
+    return a.exceptAll(b)

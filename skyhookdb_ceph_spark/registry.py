@@ -106,7 +106,7 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q_sql_lateral", "q_win_peak_concurrency", "q_fault_task_retry",
     "q_ts_seasonal", "q_vec_matryoshka_eval", "q_text_novelty",
     "q_gdpr_export", "q_agg_gini", "q_scan_binary_file",
-    "q_stream_resume",
+    "q_stream_resume", "q_set_intersect_all", "q_set_except_all",
 )
 
 
