@@ -1712,3 +1712,94 @@ def q_stream_resume(spark, sf_dir):
         return spark.createDataFrame(agg.collect(), agg.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# §2.17.22 GROUPING() markers: subtotal-NULL vs data-NULL disambiguation
+# ---------------------------------------------------------------------------
+
+_GROUPING_ID_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+  CAST(grouping(l_returnflag) AS INT) AS g_flag,
+  CAST(grouping(l_linestatus) AS INT) AS g_status,
+  CAST(count(*) AS BIGINT) AS cnt
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY g_flag, g_status, l_returnflag, l_linestatus
+"""
+
+
+@query("q_agg_grouping_id", oracle=_GROUPING_ID_ORACLE, tags=("agg",))
+def q_agg_grouping_id(spark, sf_dir):
+    """GROUPING() markers on a ROLLUP — the disambiguation every
+    report over nullable group columns needs: a NULL in a subtotal
+    row (grouping()=1) is not a NULL data value (grouping()=0), and
+    without the marker the two are indistinguishable downstream.
+    Same Expand + two-phase aggregate plan as q_agg_rollup; the
+    marker column is free metadata carried through the expand."""
+    li = Catalog(spark, sf_dir).lineitem
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        )
+        .select(
+            "l_returnflag", "l_linestatus", "g_flag", "g_status", "cnt"
+        )
+        .orderBy("g_flag", "g_status", "l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.17.23 null-key skew bypass: nullable-key join without the NULL reducer
+# ---------------------------------------------------------------------------
+
+_NULL_SKEW_ORACLE = """
+WITH ev AS (
+  SELECT CASE WHEN value < 20 THEN NULL ELSE user_id END AS k, value
+  FROM events)
+SELECT c_mktsegment,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM ev LEFT JOIN customer ON k = c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment NULLS FIRST
+"""
+
+
+@query("q_join_null_skew", oracle=_NULL_SKEW_ORACLE, tags=("join", "skew"))
+def q_join_null_skew(spark, sf_dir):
+    """Nullable-key outer join WITHOUT the NULL-reducer hotspot: NULL
+    keys can never match, yet a naive shuffle hash-partitions every
+    NULL row to ONE reducer — at 100 TB a 20%-null key column makes
+    that reducer the job.  The rewrite splits the stream: non-null
+    rows take the keyed join, NULL rows bypass it entirely (their
+    join columns are NULL by definition) and rejoin via UNION before
+    the aggregate — semantics identical to the plain LEFT JOIN the
+    oracle runs, which is the point: the oracle proves the bypass
+    changes the plan, not the answer."""
+    c = Catalog(spark, sf_dir)
+    ev = c.events.select(
+        F.when(F.col("value") < 20, None)
+        .otherwise(F.col("user_id"))
+        .alias("k"),
+        "value",
+    )
+    cust = c.customer.select("c_custkey", "c_mktsegment")
+    matched = ev.filter(F.col("k").isNotNull()).join(
+        cust, F.col("k") == F.col("c_custkey"), "left"
+    ).select("c_mktsegment", "value")
+    bypass = ev.filter(F.col("k").isNull()).select(
+        F.lit(None).cast("string").alias("c_mktsegment"), "value"
+    )
+    return (
+        matched.unionByName(bypass)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("sum_cents"),
+        )
+        .orderBy(F.col("c_mktsegment").asc_nulls_first())
+    )

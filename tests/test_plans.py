@@ -674,3 +674,12 @@ def test_peak_concurrency_windows_stay_partitioned(spark):
     plan = explain_str(q("q_win_peak_concurrency", spark))
     assert "hashpartitioning(event_type" in plan
     assert "blk" in plan
+
+
+def test_null_skew_bypass_filters_before_exchange(spark):
+    """The null-key bypass must be visible in the plan: an isnotnull
+    filter on the join branch (so NULL rows never enter the keyed
+    exchange) and a Union merging the bypass back."""
+    plan = explain_str(q("q_join_null_skew", spark))
+    assert "isnotnull(k" in plan
+    assert "Union" in plan
