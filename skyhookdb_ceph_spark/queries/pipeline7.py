@@ -1803,3 +1803,113 @@ def q_join_null_skew(spark, sf_dir):
         )
         .orderBy(F.col("c_mktsegment").asc_nulls_first())
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.17.24 null-safe equi-join (NULL <=> NULL matches)
+# ---------------------------------------------------------------------------
+
+_NULL_SAFE_JOIN_ORACLE = """
+WITH ev AS (
+  SELECT CASE WHEN value < 20 THEN NULL ELSE user_id % 50 END AS k
+  FROM events),
+dim AS (
+  SELECT CAST(NULL AS BIGINT) AS dk, 'missing' AS label
+  UNION ALL
+  SELECT DISTINCT c_custkey % 50 AS dk,
+         'bucket-' || CAST(c_custkey % 50 AS VARCHAR) AS label
+  FROM customer)
+SELECT label, CAST(count(*) AS BIGINT) AS n_events
+FROM ev JOIN dim ON k IS NOT DISTINCT FROM dk
+GROUP BY label ORDER BY label
+"""
+
+
+@query("q_join_null_safe", oracle=_NULL_SAFE_JOIN_ORACLE, tags=("join",))
+def q_join_null_safe(spark, sf_dir):
+    """Null-safe equi-join: <=> (IS NOT DISTINCT FROM) treats NULL as
+    a joinable value, so the 'missing' dimension row captures every
+    null-key event — the lookup-with-default pattern that a plain
+    equi-join silently drops rows from.  Catalyst keeps <=> a KEYED
+    hash join (NULL hashes as a value; no fallback to nested loop),
+    so the plan class is identical to a normal equi-join at any
+    scale — contrast q_join_null_skew, where NULLs can never match
+    and the win is routing them around the shuffle."""
+    c = Catalog(spark, sf_dir)
+    ev = c.events.select(
+        F.when(F.col("value") < 20, None)
+        .otherwise(F.col("user_id") % 50)
+        .alias("k")
+    )
+    buckets = (
+        c.customer.select((F.col("c_custkey") % 50).alias("dk"))
+        .distinct()
+        .select(
+            "dk", F.concat(F.lit("bucket-"), F.col("dk")).alias("label")
+        )
+    )
+    null_row = spark.range(1).select(
+        F.lit(None).cast("bigint").alias("dk"),
+        F.lit("missing").alias("label"),
+    )
+    dim = null_row.unionByName(buckets)
+    return (
+        ev.join(F.broadcast(dim), F.col("k").eqNullSafe(F.col("dk")))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+        .orderBy("label")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.17.25 trailing-time range frame (per-key rolling hour)
+# ---------------------------------------------------------------------------
+
+_TRAILING_ORACLE = """
+WITH s AS (
+  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS sec, value
+  FROM events WHERE user_id < 50)
+SELECT event_type, sec,
+  CAST(count(*) OVER w AS BIGINT) AS n_last_hour,
+  CAST(sum(CAST(floor(value * 100) AS BIGINT)) OVER w AS BIGINT)
+    AS cents_last_hour
+FROM s
+WINDOW w AS (PARTITION BY event_type ORDER BY sec
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+ORDER BY event_type, sec, n_last_hour, cents_last_hour
+"""
+
+
+@query("q_win_trailing_hour", oracle=_TRAILING_ORACLE, tags=("window", "timeseries"))
+def q_win_trailing_hour(spark, sf_dir):
+    """Trailing-hour rolling aggregate via a RANGE frame — the
+    rate-limit / rolling-count primitive: for each event, how many
+    events (and cents) the same type saw in the preceding 3600
+    seconds INCLUDING all same-second peers (RANGE semantics — a ROWS
+    frame would split ties arbitrarily and diverge between engines).
+    Ordering is on epoch SECONDS in both engines so frame boundaries
+    are integer-exact.  The window partitions by event_type with a
+    value-bounded frame — at scale this composes with the day-block
+    boundary-merge pattern (q_win_peak_concurrency) when a single key
+    outgrows one task; the per-second RANGE peers make the output
+    deterministic without quantization."""
+    e = Catalog(spark, sf_dir).events.filter(F.col("user_id") < 50)
+    s = e.select(
+        "event_type",
+        F.floor(F.unix_timestamp("ts")).cast("bigint").alias("sec"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("sec")
+        .rangeBetween(-3600, 0)
+    )
+    return (
+        s.select(
+            "event_type",
+            "sec",
+            F.count(F.lit(1)).over(w).cast("bigint").alias("n_last_hour"),
+            F.sum("cents").over(w).cast("bigint").alias("cents_last_hour"),
+        )
+        .orderBy("event_type", "sec", "n_last_hour", "cents_last_hour")
+    )

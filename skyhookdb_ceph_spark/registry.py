@@ -107,7 +107,8 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q_ts_seasonal", "q_vec_matryoshka_eval", "q_text_novelty",
     "q_gdpr_export", "q_agg_gini", "q_scan_binary_file",
     "q_stream_resume", "q_set_intersect_all", "q_set_except_all",
-    "q_agg_grouping_id", "q_join_null_skew",
+    "q_agg_grouping_id", "q_join_null_skew", "q_join_null_safe",
+    "q_win_trailing_hour",
 )
 
 
