@@ -1913,3 +1913,72 @@ def q_win_trailing_hour(spark, sf_dir):
         )
         .orderBy("event_type", "sec", "n_last_hour", "cents_last_hour")
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.17.26 end-to-end curation pipeline in ONE plan
+# ---------------------------------------------------------------------------
+
+_E2E_ORACLE = """
+WITH dedup AS (
+  SELECT min(doc_id) AS doc_id
+  FROM documents GROUP BY md5(text)),
+kept AS (
+  SELECT d.doc_id, d.lang, d.n_chars, d.text
+  FROM documents d JOIN dedup USING (doc_id)
+  WHERE d.n_chars BETWEEN 50 AND 5000),
+split AS (
+  SELECT doc_id, lang, n_chars,
+    CAST(length(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
+    CASE WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 80
+         THEN 'train'
+         WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 90
+         THEN 'val' ELSE 'test' END AS part
+  FROM kept)
+SELECT part,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+  CAST(min(doc_id) AS BIGINT) AS min_doc
+FROM split GROUP BY part ORDER BY part
+"""
+
+
+@query("q_pipeline_e2e", oracle=_E2E_ORACLE, tags=("llm", "pipeline"))
+def q_pipeline_e2e(spark, sf_dir):
+    """The whole curation pipeline as ONE Catalyst plan — exact dedup
+    (keep min doc_id per text digest), quality gate (length bounds),
+    deterministic 80/10/10 hash split, per-split token accounting —
+    composed the way a user actually runs it, not as four separate
+    jobs.  The point of expressing it declaratively: Catalyst sees
+    the WHOLE pipeline, so the length filter pushes below the dedup
+    join, the digest agg and the final split agg are each one
+    map-combined shuffle, and no intermediate ever materializes.  At
+    100 TB this one plan replaces a 4-stage workflow with 2 keyed
+    shuffles + 1 broadcast semi join + 1 final agg — the difference
+    between an overnight DAG and one job."""
+    d = Catalog(spark, sf_dir).documents
+    dedup = d.groupBy(F.md5("text")).agg(F.min("doc_id").alias("doc_id"))
+    kept = d.join(
+        F.broadcast(dedup.select("doc_id")), "doc_id", "leftsemi"
+    ).filter(F.col("n_chars").between(50, 5000))
+    bucket = (F.col("doc_id") * 2654435761) % 4294967296 % 100
+    split = kept.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.trim("text"), " ")).cast("bigint").alias("n_tokens"),
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+        .alias("part"),
+    )
+    return (
+        split.groupBy("part")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("lang").cast("bigint").alias("n_langs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.min("doc_id").cast("bigint").alias("min_doc"),
+        )
+        .orderBy("part")
+    )
