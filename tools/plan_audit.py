@@ -260,6 +260,16 @@ AUDIT = {
         "partitioned by (event_type, blk); cross-day carry only over "
         "the (type, day) summary; peak joined back by broadcast."
     ),
+    "q_pipeline_e2e": (
+        "Whole curation pipeline in ONE plan. Wanted: length filter "
+        "below the dedup semi join; digest agg + final split agg each "
+        "a partial/final HashAggregate pair; no materialized "
+        "intermediate anywhere."
+    ),
+    "q_join_null_skew": (
+        "Null-key bypass. Wanted: simplified not-null condition "
+        "before the join exchange; Union merging the bypass branch."
+    ),
 }
 
 
