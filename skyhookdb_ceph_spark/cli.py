@@ -145,6 +145,21 @@ def main(argv: list[str] | None = None) -> int:
     )
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     ap.add_argument("--query", help="preset: a | b | d | f | fastpath")
+    ap.add_argument(
+        "--query-id",
+        help="run any registered SURVEY.md §2 QueryID (q_*); "
+        "--list-queries prints them",
+    )
+    ap.add_argument(
+        "--list-queries",
+        action="store_true",
+        help="list every registered QueryID and exit",
+    )
+    ap.add_argument(
+        "--explain",
+        action="store_true",
+        help="print the formatted physical plan instead of executing",
+    )
     ap.add_argument("--table", help="table name for generic queries")
     ap.add_argument(
         "--select-preds", default="", help='e.g. "l_extendedprice,gt,91400;l_quantity,lt,24"'
@@ -165,9 +180,42 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--cols", default="", help="for --runstats")
     args = ap.parse_args(argv)
 
+    if args.list_queries:
+        from skyhookdb_ceph_spark.registry import load_all
+
+        for name, spec in sorted(load_all().items()):
+            print(f"{name}\t{','.join(spec.tags) or '-'}")
+        return 0
+
     from skyhookdb_ceph_spark.session import get_spark
 
     spark = get_spark(app_name="skyhook_cli")
+    if args.query_id:
+        # The full registry as a user surface: every SURVEY.md §2
+        # operator runnable from the shell, same (spark, sf_dir)
+        # contract the driver uses.
+        from skyhookdb_ceph_spark.registry import load_all
+
+        specs = load_all()
+        if args.query_id not in specs:
+            raise SystemExit(
+                f"unknown QueryID {args.query_id!r}; "
+                "use --list-queries to enumerate"
+            )
+        df = specs[args.query_id].fn(spark, args.sf_dir)
+        if args.explain:
+            from skyhookdb_ceph_spark.plans.explain import explain_str
+
+            print(explain_str(df))
+        elif args.output == "show":
+            df.show(args.num_rows, truncate=False)
+        elif args.output == "count":
+            print(df.count())
+        elif args.output.startswith("parquet:"):
+            df.write.mode("overwrite").parquet(args.output.split(":", 1)[1])
+        else:
+            raise ValueError(f"unknown --output {args.output!r}")
+        return 0
     if args.build_index or args.transform_db or args.runstats:
         result = run_maintenance(spark, args)
         if result is not None:

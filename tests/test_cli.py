@@ -75,3 +75,31 @@ def test_maintenance_build_index(spark, tmp_path):
     idx = spark.read.parquet(out)
     assert {"token", "doc_id", "tf", "tok0"} <= set(idx.columns)
     assert idx.filter("token = 'join'").count() > 0
+
+
+def test_cli_query_id_runs_registered_query(spark, capsys):
+    """--query-id exposes the full registry from the shell: any
+    SURVEY.md §2 operator runnable by name, with --output count."""
+    from skyhookdb_ceph_spark.cli import main
+
+    assert main(["--sf-dir", SF, "--query-id", "q_limit", "--output", "count"]) == 0
+    assert capsys.readouterr().out.strip().isdigit()
+
+
+def test_cli_query_id_explain_prints_plan(spark, capsys):
+    from skyhookdb_ceph_spark.cli import main
+
+    assert main(["--sf-dir", SF, "--query-id", "q_topk", "--explain"]) == 0
+    assert "TakeOrderedAndProject" in capsys.readouterr().out
+
+
+def test_cli_list_queries_covers_registry(spark, capsys):
+    from skyhookdb_ceph_spark.cli import main
+    from skyhookdb_ceph_spark.registry import load_all
+
+    assert main(["--list-queries"]) == 0
+    listed = {
+        line.split("\t")[0]
+        for line in capsys.readouterr().out.strip().splitlines()
+    }
+    assert listed == set(load_all())
