@@ -1982,3 +1982,50 @@ def q_pipeline_e2e(spark, sf_dir):
         )
         .orderBy("part")
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.17.27 dense_rank vs rank on tie-heavy bands
+# ---------------------------------------------------------------------------
+
+_DENSE_RANK_ORACLE = """
+WITH b AS (
+  SELECT o_orderpriority,
+    CAST(floor(o_totalprice / 50000) AS BIGINT) AS band,
+    o_orderkey
+  FROM orders WHERE o_custkey < 200)
+SELECT o_orderpriority, band, o_orderkey,
+  CAST(rank() OVER w AS BIGINT) AS rnk,
+  CAST(dense_rank() OVER w AS BIGINT) AS drnk
+FROM b
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY band)
+ORDER BY o_orderpriority, band, o_orderkey
+"""
+
+
+@query("q_win_dense_rank", oracle=_DENSE_RANK_ORACLE, tags=("window",))
+def q_win_dense_rank(spark, sf_dir):
+    """rank() vs dense_rank() on a tie-heavy ordering (price bands):
+    rank leaves gaps after tie groups, dense_rank does not — the
+    distinction every leaderboard with ties hits, exercised on bands
+    where ties are the COMMON case.  Ranking by the integer band (not
+    the raw price) makes tie membership engine-exact; row identity
+    carries o_orderkey so output order is fully deterministic.
+    Partitioned window, bounded groups, no global order."""
+    o = Catalog(spark, sf_dir).orders.filter(F.col("o_custkey") < 200)
+    b = o.select(
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") / 50000).cast("bigint").alias("band"),
+        "o_orderkey",
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("band")
+    return (
+        b.select(
+            "o_orderpriority",
+            "band",
+            "o_orderkey",
+            F.rank().over(w).cast("bigint").alias("rnk"),
+            F.dense_rank().over(w).cast("bigint").alias("drnk"),
+        )
+        .orderBy("o_orderpriority", "band", "o_orderkey")
+    )
