@@ -2029,3 +2029,54 @@ def q_win_dense_rank(spark, sf_dir):
         )
         .orderBy("o_orderpriority", "band", "o_orderkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.17.28 aggregate pushdown INTO the scan (footer-stats answering)
+# ---------------------------------------------------------------------------
+
+_AGG_PUSHDOWN_ORACLE = """
+SELECT CAST(count(*) AS BIGINT) AS cnt,
+       min(l_shipdate) AS min_ship,
+       max(l_extendedprice) AS max_price
+FROM lineitem
+"""
+
+
+@query(
+    "q_scan_agg_pushdown",
+    oracle=_AGG_PUSHDOWN_ORACLE,
+    tags=("scan", "pushdown"),
+)
+def q_scan_agg_pushdown(spark, sf_dir):
+    """Aggregate pushdown INTO the storage layer — the closest Spark
+    gets to the reference's literal architecture (COUNT/MIN/MAX
+    evaluated where the data lives instead of scanning it out): with
+    parquet v2 + aggregatePushdown, the scan answers count(*)/min/max
+    from ROW-GROUP FOOTER STATISTICS and reads zero data pages — the
+    plan carries `PushedAggregation: [COUNT(*), MIN(..), MAX(..)]`
+    (asserted in tests/test_plans.py).  At 100 TB this turns a
+    full-table statistics query into a footer-metadata sweep, exactly
+    the --use-cls win the reference measured.  The two confs are
+    scoped to this query (v2 source switching is session-global, so
+    the result materializes under the confs and both are restored
+    before returning)."""
+    prev_push = spark.conf.get("spark.sql.parquet.aggregatePushdown", "false")
+    prev_v1 = spark.conf.get(
+        "spark.sql.sources.useV1SourceList",
+        "avro,csv,json,kafka,orc,parquet,text",
+    )
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    spark.conf.set("spark.sql.sources.useV1SourceList", "")
+    try:
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        out = li.selectExpr(
+            "CAST(count(*) AS BIGINT) AS cnt",
+            "min(l_shipdate) AS min_ship",
+            "max(l_extendedprice) AS max_price",
+        )
+        # Materialize UNDER the pushdown confs (1 row), then restore.
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", prev_push)
+        spark.conf.set("spark.sql.sources.useV1SourceList", prev_v1)

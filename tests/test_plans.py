@@ -685,3 +685,28 @@ def test_null_skew_bypass_filters_before_exchange(spark):
     plan = explain_str(q("q_join_null_skew", spark))
     assert "isnotnull(user_id" in plan
     assert "Union" in plan
+
+
+def test_agg_pushdown_reaches_the_scan(spark):
+    """The storage-side aggregate: with parquet v2 + aggregatePushdown
+    the plan must carry PushedAggregation (COUNT/MIN/MAX answered from
+    row-group footer stats — the reference's --use-cls win)."""
+    prev_push = spark.conf.get("spark.sql.parquet.aggregatePushdown", "false")
+    prev_v1 = spark.conf.get(
+        "spark.sql.sources.useV1SourceList",
+        "avro,csv,json,kafka,orc,parquet,text",
+    )
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    spark.conf.set("spark.sql.sources.useV1SourceList", "")
+    try:
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        agg = li.selectExpr(
+            "count(*) AS cnt", "min(l_shipdate) AS m", "max(l_extendedprice) AS x"
+        )
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        # the scan line truncates in toString(); the marker's presence
+        # is the contract (full text visible via explain("formatted"))
+        assert "PushedAggregation" in plan
+    finally:
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", prev_push)
+        spark.conf.set("spark.sql.sources.useV1SourceList", prev_v1)
