@@ -2080,3 +2080,52 @@ def q_scan_agg_pushdown(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.parquet.aggregatePushdown", prev_push)
         spark.conf.set("spark.sql.sources.useV1SourceList", prev_v1)
+
+
+# ---------------------------------------------------------------------------
+# §2.17.29 error-safe arithmetic (try_* functions)
+# ---------------------------------------------------------------------------
+
+_TRY_ARITH_ORACLE = """
+WITH t AS (
+  SELECT o_orderkey,
+    CASE WHEN o_orderkey % 7 = 0 THEN 0.0 ELSE CAST(o_orderkey % 5 AS DOUBLE) END
+      AS denom,
+    o_totalprice
+  FROM orders WHERE o_custkey < 100)
+SELECT
+  CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(sum(CASE WHEN denom = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_null_div,
+  floor(sum(CASE WHEN denom = 0 THEN NULL
+            ELSE o_totalprice / denom END) * 100 + 0.5) / 100
+    AS sum_safe_ratio
+FROM t
+"""
+
+
+@query("q_fn_try_arith", oracle=_TRY_ARITH_ORACLE, tags=("functions",))
+def q_fn_try_arith(spark, sf_dir):
+    """Error-safe arithmetic — try_divide yields NULL on a zero
+    divisor instead of Infinity (non-ANSI float semantics) or a job
+    abort (ANSI mode): the difference between one bad row poisoning a
+    100 TB aggregate and that row degrading to NULL.  The oracle
+    expresses the identical semantics as an explicit CASE guard, so
+    the try_* fast path is proven equivalent to the defensive SQL
+    users write by hand.  Pure codegen map + one scalar aggregate."""
+    o = Catalog(spark, sf_dir).orders.filter(F.col("o_custkey") < 100)
+    t = o.select(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(0.0))
+        .otherwise((F.col("o_orderkey") % 5).cast("double"))
+        .alias("denom"),
+    )
+    safe = t.withColumn(
+        "ratio", F.expr("try_divide(o_totalprice, nullif(denom, 0.0))")
+    )
+    return safe.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.when(F.col("denom") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_null_div"),
+        quantize2(F.sum("ratio")).alias("sum_safe_ratio"),
+    )
