@@ -180,3 +180,23 @@ def q_sql_lateral(spark, sf_dir):
     ties broken by o_orderkey so both engines elect the same rows."""
     Catalog(spark, sf_dir).register_views()
     return spark.sql(_LATERAL_SQL)
+
+
+_GROUP_BY_ALL_SQL = (
+    "SELECT event_type, CAST(count(*) AS BIGINT) AS cnt, "
+    "floor(sum(value) * 100 + 0.5) / 100 AS sv "
+    "FROM events GROUP BY ALL ORDER BY ALL"
+)
+
+
+@query("q_sql_group_by_all", oracle=_GROUP_BY_ALL_SQL)
+def q_sql_group_by_all(spark, sf_dir):
+    """GROUP BY ALL / ORDER BY ALL — the modern analytic-SQL
+    convenience (every non-aggregate select item becomes a group key;
+    the whole select list becomes the sort key) that both engines
+    resolve to the identical explicit query.  IDENTICAL SQL text runs
+    on both; the plan is the ordinary partial/final aggregate — the
+    sugar is purely front-end, which is exactly what the differential
+    check proves."""
+    Catalog(spark, sf_dir).register_views()
+    return spark.sql(_GROUP_BY_ALL_SQL)

@@ -109,7 +109,7 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q_stream_resume", "q_set_intersect_all", "q_set_except_all",
     "q_agg_grouping_id", "q_join_null_skew", "q_join_null_safe",
     "q_win_trailing_hour", "q_pipeline_e2e", "q_win_dense_rank",
-    "q_scan_agg_pushdown", "q_fn_try_arith",
+    "q_scan_agg_pushdown", "q_fn_try_arith", "q_sql_group_by_all",
 )
 
 
