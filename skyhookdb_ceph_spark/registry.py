@@ -61,44 +61,27 @@ _LOADED = False
 # list pins the front of the registry each round; anything not listed
 # keeps module-import order after it.
 #
-# Round-5 rotation: cumulative driver-green after r4 = 164/220; the
-# r4-green entries are deleted from the front so the 56 never-verified
-# queries advance.  Window = first 50, so exactly 50 of the 56 lead
-# (pipeline4's 9 late-wave + all 38 of pipeline5 + 3 SQL-door); the
-# deferred 6 (q_sql_recursive + 5 streaming replays) head round 6's
-# window, followed by round-5's new queries.  Everything outside the
-# window stays covered by tests/test_correctness.py's local oracle
-# diff regardless.
+# Round-6 rotation: cumulative driver-green after r5 = 214/262, zero
+# failures ever.  Exactly 48 queries have never received a driver
+# verdict: the 6 deliberately deferred from r5 (q_sql_recursive + 5
+# true-readStream streaming replays — the highest-value evidence since
+# they exercise real state-store/watermark machinery) and the 42
+# round-5 additions (pipeline6 + pipeline7 + SQL-door/setops tails).
+# All 48 lead this window; 48 <= 50, so round 6 closes driver
+# verification of the entire pre-r6 surface.  Slots 49-50 go to the
+# first round-6 additions (anything past #50 rolls into round 7's
+# window).  Everything outside the window stays covered by
+# tests/test_correctness.py's local oracle diff regardless.
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # -- never driver-verified: round-4 wave 2 (pipeline4, 9)
-    "q_text_zipf", "q_tpch_q4", "q_tpch_q15", "q_tpch_q17",
-    "q_tpch_q18", "q_tpch_q22", "q_agg_funnel", "q_ts_ewma",
-    "q_dedup_prefix",
-    # -- never driver-verified: round-4 wave 3 (pipeline5, 38)
-    "q_fn_unpivot", "q_stats_profile", "q_agg_retention_bitmap",
-    "q_win_retention_cohort", "q_text_proximity", "q_dedup_casefold",
-    "q_tpch_q7", "q_tpch_q8", "q_tpch_q13", "q_tpch_q19",
-    "q_sim_knn_multiprobe", "q_feat_hashing", "q_fn_try_cast",
-    "q_ts_anomaly", "q_agg_histogram_eqdepth", "q_win_islands",
-    "q_gdpr_delete", "q_join_spatial_grid", "q_join_bucketed",
-    "q_scan_partition_prune", "q_agg_skyline", "q_vec_ivf_build",
-    "q_text_bpe_merge", "q_dedup_tombstone", "q_join_scd2",
-    "q_stats_constraints", "q_agg_benford", "q_text_html_strip",
-    "q_win_nth_value", "q_agg_regression", "q_join_dpp",
-    "q_multimodal_audio_windows", "q_text_bigram_lm",
-    "q_ts_rollup_two_level", "q_agg_bool", "q_fn_string_adv",
-    "q_agg_argmax", "q_sort_pagination",
-    # -- never driver-verified: SQL door (3 of 4 fit in the window)
-    "q_sql_cte", "q_sql_values", "q_sql_named_window",
-    # ---- window boundary (~#50) ----
-    # -- deferred to round 6's window: 4th SQL-door + streaming replays
+    # -- deferred from round 5: 4th SQL-door + true streaming replays
     "q_sql_recursive",
     "q_stream_topk", "q_stream_cdc_apply", "q_stream_watermark_append",
     "q_stream_update_mode", "q_stream_session_live",
-    # -- NEW in round 5 (roll into round 6's window after the deferred)
-    "q_multimodal_decode", "q_join_stats_driven", "q_join_range_bucket", "q_win_gaps", "q_sample_length_biased",
+    # -- round-5 wave 1 (pipeline6, 7)
+    "q_multimodal_decode", "q_join_stats_driven", "q_join_range_bucket",
+    "q_win_gaps", "q_sample_length_biased",
     "q_agg_weighted_avg", "q_vec_pq_code",
-    # -- NEW in round 5, wave 2 (pipeline7: TPC-H completion + splits)
+    # -- round-5 wave 2 (pipeline7: TPC-H completion + splits, 29)
     "q_tpch_q2", "q_tpch_q9", "q_tpch_q11", "q_tpch_q16",
     "q_tpch_q20", "q_tpch_q21", "q_data_mix", "q_data_split",
     "q_stream_foreach_batch", "q_agg_median_exact", "q_vec_recall_eval",
@@ -106,10 +89,14 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q_sql_lateral", "q_win_peak_concurrency", "q_fault_task_retry",
     "q_ts_seasonal", "q_vec_matryoshka_eval", "q_text_novelty",
     "q_gdpr_export", "q_agg_gini", "q_scan_binary_file",
-    "q_stream_resume", "q_set_intersect_all", "q_set_except_all",
-    "q_agg_grouping_id", "q_join_null_skew", "q_join_null_safe",
-    "q_win_trailing_hour", "q_pipeline_e2e", "q_win_dense_rank",
-    "q_scan_agg_pushdown", "q_fn_try_arith", "q_sql_group_by_all",
+    "q_stream_resume", "q_agg_grouping_id", "q_join_null_skew",
+    "q_join_null_safe", "q_win_trailing_hour", "q_pipeline_e2e",
+    "q_win_dense_rank", "q_scan_agg_pushdown", "q_fn_try_arith",
+    # -- round-5 SQL-door / setops tails (q_sql_exists_flag and
+    #    q_sql_lateral are listed inside the pipeline7 block above)
+    "q_sql_group_by_all", "q_set_intersect_all", "q_set_except_all",
+    # ---- window boundary (~#50): slots 49-50 = first round-6 queries
+    # -- NEW in round 6 (anything past #50 rolls into round 7's window)
 )
 
 
