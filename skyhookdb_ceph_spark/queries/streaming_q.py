@@ -537,8 +537,13 @@ def q_stream_foreach_batch(spark, sf_dir):
             ),
         )
         s = bdf.sparkSession
-        if versions:
-            prev = s.read.parquet(f"{tmp}/v{versions[-1]}")
+        # Idempotence under retry: a re-invoked batch N must merge on
+        # top of the latest version STRICTLY BELOW N — keying off
+        # versions[-1] would self-merge (double count) or read the
+        # directory it is about to overwrite.
+        prior = [v for v in versions if v < batch_id]
+        if prior:
+            prev = s.read.parquet(f"{tmp}/v{max(prior)}")
             merged = (
                 prev.withColumnsRenamed(
                     {"n_events": "p_n", "sum_cents": "p_c"}
@@ -563,7 +568,8 @@ def q_stream_foreach_batch(spark, sf_dir):
         else:
             merged = part
         merged.write.mode("overwrite").parquet(f"{tmp}/v{batch_id}")
-        versions.append(batch_id)
+        if batch_id not in versions:
+            versions.append(batch_id)
 
     try:
         q = (
@@ -581,7 +587,7 @@ def q_stream_foreach_batch(spark, sf_dir):
         if not versions:
             raise RuntimeError("foreachBatch drain produced no batches")
         out = (
-            spark.read.parquet(f"{tmp}/v{versions[-1]}")
+            spark.read.parquet(f"{tmp}/v{max(versions)}")
             .orderBy("event_type")
         )
         # Materialize before the scratch dir is removed.
