@@ -709,29 +709,55 @@ def _recall_oracle():
 WITH {vectors.primary_cell_cte_duckdb()},
 qs AS (SELECT vec_id AS qid, embedding AS qv, bucket AS qbucket
        FROM b WHERE vec_id % 50 = 0),
+mprobes AS (
+  SELECT qid, qbucket AS pb FROM qs
+  UNION
+  SELECT qid, substr(qs.qbucket, 1, t.i - 1)
+         || (CASE WHEN substr(qs.qbucket, t.i, 1) = '1' THEN '0' ELSE '1' END)
+         || substr(qs.qbucket, t.i + 1, nb.nb) AS pb
+  FROM qs, nb, unnest(generate_series(1, nb.nb)) t(i)),
+probes AS (
+  SELECT qid, 1 AS pw, qbucket AS pb FROM qs
+  UNION ALL
+  SELECT qid, (SELECT nb + 1 FROM nb) AS pw, pb FROM mprobes),
 exact AS (
   SELECT qid, e.vec_id, row_number() OVER (PARTITION BY qid
     ORDER BY floor(({sim_e}) * 1000000 + 0.5) / 1000000 DESC, e.vec_id)
     AS rn
   FROM embeddings e, qs),
+cand AS (
+  SELECT p.pw, p.qid, b.vec_id,
+    floor(({sim_b}) * 1000000 + 0.5) / 1000000 AS sim
+  FROM b JOIN probes p ON b.bucket = p.pb
+  JOIN qs ON qs.qid = p.qid),
+scored AS (
+  SELECT pw, CAST(count(*) AS BIGINT) AS n_scored FROM cand GROUP BY pw),
 ivf AS (
-  SELECT qid, b.vec_id, row_number() OVER (PARTITION BY qid
-    ORDER BY floor(({sim_b}) * 1000000 + 0.5) / 1000000 DESC, b.vec_id)
-    AS rn
-  FROM b JOIN qs ON b.bucket = qs.qbucket),
+  SELECT pw, qid, vec_id, row_number() OVER (PARTITION BY pw, qid
+    ORDER BY sim DESC, vec_id) AS rn
+  FROM cand),
 hit AS (
-  SELECT ex.qid, CAST(count(*) AS BIGINT) AS hits
+  SELECT iv.pw, ex.qid, CAST(count(*) AS BIGINT) AS hits
   FROM (SELECT qid, vec_id FROM exact WHERE rn <= 10) ex
-  JOIN (SELECT qid, vec_id FROM ivf WHERE rn <= 10) iv
+  JOIN (SELECT pw, qid, vec_id FROM ivf WHERE rn <= 10) iv
     ON ex.qid = iv.qid AND ex.vec_id = iv.vec_id
-  GROUP BY ex.qid),
-per AS (SELECT qs.qid, CAST(coalesce(hits, 0) AS BIGINT) AS hits
-        FROM qs LEFT JOIN hit ON qs.qid = hit.qid)
-SELECT CAST(count(*) AS BIGINT) AS n_queries,
+  GROUP BY iv.pw, ex.qid),
+pwdim AS (SELECT DISTINCT pw FROM probes),
+per AS (
+  SELECT pwdim.pw, qs.qid, CAST(coalesce(hits, 0) AS BIGINT) AS hits
+  FROM pwdim CROSS JOIN qs
+  LEFT JOIN hit ON hit.pw = pwdim.pw AND hit.qid = qs.qid),
+n AS (SELECT CAST(count(*) AS BIGINT) AS corpus_n FROM embeddings)
+SELECT CAST(per.pw AS INT) AS probe_width,
+       CAST(count(*) AS BIGINT) AS n_queries,
        CAST(sum(hits) AS BIGINT) AS total_hits,
        sum(hits) / (10.0 * count(*)) AS avg_recall,
-       CAST(min(hits) AS BIGINT) AS min_hits
-FROM per
+       CAST(min(hits) AS BIGINT) AS min_hits,
+       floor((CAST(n_scored AS DOUBLE) / (count(*) * corpus_n))
+             * 1000000 + 0.5) / 1000000 AS frac_scored
+FROM per JOIN scored ON scored.pw = per.pw, n
+GROUP BY per.pw, n_scored, corpus_n
+ORDER BY probe_width
 """
 
 
@@ -741,26 +767,27 @@ FROM per
     tags=("llm", "vectors", "eval"),
 )
 def q_vec_recall_eval(spark, sf_dir):
-    """ANN index QUALITY evaluation — recall@10 of the IVF coarse-cell
-    probe against exact brute-force ground truth, over a deterministic
-    query sample (every 50th vector).  This is the measurement loop a
-    real vector pipeline runs before trading recall for probe cost
-    (n_bits / multi-probe tuning): ground truth per query via the
-    broadcast-query-set brute-force scorer (q_sim_knn_batch shape, a
-    deliberate |Q|-per-row broadcast nested loop — the corpus never
-    shuffles); the IVF answer via the same quantized scorer restricted
-    to the query's cell (bucket equi-join).  Both rankings use
-    identical 1e-6-quantized sims + vec_id tie-breaks, so the
-    intersection is engine-exact; recall aggregates are EXACT INTEGER
-    hit counts with one final division (no FP accumulation anywhere).
-    Norms are precomputed ONCE per vector (n + |Q| HOF folds) so each
-    pair evaluates only the dot-product fold — the full cosine per
-    pair cost 2.5x more in interpreted lambda time (the r4 HOF
-    finding) while sqrt(na)*sqrt(nb) association stays identical to
-    the oracle's formula, so values are bit-equal.  At 100 TB you
-    evaluate on a sampled query set exactly like this — ground truth
-    cost is |Q| x corpus, bounded by the sample, and the IVF side is
-    partition pruning."""
+    """ANN index QUALITY evaluation — the (probe_width, recall@10,
+    frac_corpus_scored) tuning CURVE for the IVF coarse quantizer,
+    against exact brute-force ground truth over a deterministic query
+    sample (every 50th vector).  Two probe widths per run: 1 (the
+    query's own cell) and nb+1 (own cell + all Hamming-1 neighbor
+    cells, the q_sim_knn_multiprobe probe set) — the curve a real
+    vector pipeline reads before trading recall for probe cost, with
+    the cost axis measured (frac_scored = candidates scored / (|Q| ×
+    corpus)), not assumed.  Ground truth per query via the
+    broadcast-query-set brute-force scorer (q_sim_knn_batch shape —
+    the corpus never shuffles); each IVF answer via the same quantized
+    scorer restricted to the probe cells (bucket equi-join).  Both
+    rankings use identical 1e-6-quantized sims + vec_id tie-breaks,
+    so the intersection is engine-exact; recall and cost aggregates
+    are EXACT INTEGER counts with one final division each (no FP
+    accumulation anywhere).  Norms are precomputed ONCE per vector so
+    each pair evaluates only the dot-product fold (the r4 HOF
+    finding).  At 100 TB the ground-truth cost is |Q| × corpus,
+    bounded by the sample, and each IVF side is partition pruning —
+    probe_width × frac_scored is exactly the fraction of partitions a
+    multiprobe read touches."""
     from skyhookdb_ceph_spark.operators import vectors
 
     e = Catalog(spark, sf_dir).embeddings
@@ -783,12 +810,39 @@ def q_vec_recall_eval(spark, sf_dir):
         .filter("rn <= 10")
         .select("qid", "vec_id")
     )
+    # probe sets: width 1 = own cell; width nb+1 = own + Hamming-1
+    # flips (array_union dedups, mirroring the oracle's UNION)
+    single = qs.select(
+        "qid", "qv", "qnrm", F.lit(1).alias("pw"),
+        F.col("qbucket").alias("pb"),
+    )
+    multi = (
+        qs.crossJoin(F.broadcast(vectors.corpus_bits(e)))
+        .selectExpr(
+            "qid", "qv", "qnrm", "cast(nb + 1 AS int) AS pw",
+            "explode(array_union(array(qbucket), "
+            "transform(sequence(1, nb), i -> concat(substr(qbucket, 1, i - 1), "
+            "CASE WHEN substr(qbucket, i, 1) = '1' THEN '0' ELSE '1' END, "
+            "substr(qbucket, i + 1, nb))))) AS pb",
+        )
+    )
+    probes = single.unionByName(multi)
+    cand = (
+        b.join(F.broadcast(probes), F.col("bucket") == F.col("pb"))
+        .selectExpr("pw", "qid", "vec_id", f"{sim} AS sim")
+    )
+    scored = cand.groupBy("pw").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_scored")
+    )
+    wp = Window.partitionBy("pw", "qid").orderBy(F.desc("sim"), "vec_id")
     ivf = (
-        b.join(F.broadcast(qs), F.col("bucket") == F.col("qbucket"))
-        .selectExpr("qid", "vec_id", f"{sim} AS sim")
-        .withColumn("rn", F.row_number().over(w))
+        cand.withColumn("rn", F.row_number().over(wp))
         .filter("rn <= 10")
-        .select(F.col("qid").alias("i_qid"), F.col("vec_id").alias("i_vid"))
+        .select(
+            F.col("pw").alias("i_pw"),
+            F.col("qid").alias("i_qid"),
+            F.col("vec_id").alias("i_vid"),
+        )
     )
     hits = (
         exact.join(
@@ -796,17 +850,53 @@ def q_vec_recall_eval(spark, sf_dir):
             (F.col("qid") == F.col("i_qid"))
             & (F.col("vec_id") == F.col("i_vid")),
         )
-        .groupBy("qid")
+        .groupBy("i_pw", "qid")
         .agg(F.count(F.lit(1)).cast("bigint").alias("hits"))
+        .withColumnRenamed("qid", "h_qid")
     )
-    per = qs.select("qid").join(F.broadcast(hits), "qid", "left").select(
-        "qid", F.coalesce("hits", F.lit(0)).cast("bigint").alias("hits")
+    per = (
+        probes.select("pw").distinct()
+        .crossJoin(qs.select("qid"))
+        .join(
+            F.broadcast(hits),
+            (F.col("pw") == F.col("i_pw")) & (F.col("qid") == F.col("h_qid")),
+            "left",
+        )
+        .select(
+            "pw", "qid",
+            F.coalesce("hits", F.lit(0)).cast("bigint").alias("hits"),
+        )
     )
-    return per.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_queries"),
-        F.sum("hits").cast("bigint").alias("total_hits"),
-        (F.sum("hits") / (10.0 * F.count(F.lit(1)))).alias("avg_recall"),
-        F.min("hits").cast("bigint").alias("min_hits"),
+    corpus_n = e.agg(F.count(F.lit(1)).cast("bigint").alias("corpus_n"))
+    return (
+        per.groupBy("pw")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+            F.sum("hits").cast("bigint").alias("total_hits"),
+            (F.sum("hits") / (10.0 * F.count(F.lit(1)))).alias("avg_recall"),
+            F.min("hits").cast("bigint").alias("min_hits"),
+        )
+        .join(F.broadcast(scored), "pw")
+        .crossJoin(F.broadcast(corpus_n))
+        .select(
+            F.col("pw").cast("int").alias("probe_width"),
+            "n_queries",
+            "total_hits",
+            "avg_recall",
+            "min_hits",
+            (
+                F.floor(
+                    (
+                        F.col("n_scored").cast("double")
+                        / (F.col("n_queries") * F.col("corpus_n"))
+                    )
+                    * 1000000
+                    + F.lit(0.5)
+                )
+                / 1000000
+            ).alias("frac_scored"),
+        )
+        .orderBy("probe_width")
     )
 
 
@@ -1888,29 +1978,50 @@ def q_win_trailing_hour(spark, sf_dir):
     seconds INCLUDING all same-second peers (RANGE semantics — a ROWS
     frame would split ties arbitrarily and diverge between engines).
     Ordering is on epoch SECONDS in both engines so frame boundaries
-    are integer-exact.  The window partitions by event_type with a
-    value-bounded frame — at scale this composes with the day-block
-    boundary-merge pattern (q_win_peak_concurrency) when a single key
-    outgrows one task; the per-second RANGE peers make the output
-    deterministic without quantization."""
+    are integer-exact.
+
+    Scale design (the day-block boundary merge, q_win_peak_concurrency
+    / q_win_gaps family): a window partitioned by event_type alone is
+    ONE task per type at 100 TB.  Because the trailing frame is
+    value-BOUNDED (3600 s) and strictly narrower than a day block
+    (86 400 s), a row's frame reaches at most ONE block back — so rows
+    from the LAST HOUR of each block are duplicated into the next
+    block as contributor-only ghosts (emit=0, ≤4.2 % row inflation),
+    and the RANGE window runs per (event_type, day-block): every
+    frame is fully local to its block, results are exactly the
+    per-type global window's, and parallelism scales with type×days
+    instead of types.  Ghost and real rows can never tie on sec
+    (ghost sec < block start ≤ real sec), so RANGE peer semantics are
+    unchanged; ghosts are dropped after the window (the emit filter
+    cannot push below it — emit is not a partition key)."""
     e = Catalog(spark, sf_dir).events.filter(F.col("user_id") < 50)
     s = e.select(
         "event_type",
         F.floor(F.unix_timestamp("ts")).cast("bigint").alias("sec"),
         F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+    ).withColumn("blk", F.floor(F.col("sec") / 86400))
+    real = s.withColumn("emit", F.lit(1))
+    ghost = (
+        s.filter(F.col("sec") % 86400 >= 86400 - 3600)
+        .withColumn("blk", F.col("blk") + 1)
+        .withColumn("emit", F.lit(0))
     )
     w = (
-        Window.partitionBy("event_type")
+        Window.partitionBy("event_type", "blk")
         .orderBy("sec")
         .rangeBetween(-3600, 0)
     )
     return (
-        s.select(
+        real.unionByName(ghost)
+        .select(
             "event_type",
             "sec",
+            "emit",
             F.count(F.lit(1)).over(w).cast("bigint").alias("n_last_hour"),
             F.sum("cents").over(w).cast("bigint").alias("cents_last_hour"),
         )
+        .filter(F.col("emit") == 1)
+        .drop("emit")
         .orderBy("event_type", "sec", "n_last_hour", "cents_last_hour")
     )
 

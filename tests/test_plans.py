@@ -710,3 +710,21 @@ def test_agg_pushdown_reaches_the_scan(spark):
     finally:
         spark.conf.set("spark.sql.parquet.aggregatePushdown", prev_push)
         spark.conf.set("spark.sql.sources.useV1SourceList", prev_v1)
+
+
+def test_trailing_hour_window_is_day_blocked(spark):
+    """The trailing-hour RANGE window must partition by (event_type,
+    day-block), never by event_type alone — a per-type window is one
+    task per type at 100 TB.  The ghost-row union makes every frame
+    block-local (r6 verdict item 1)."""
+    plan = explain_str(q("q_win_trailing_hour", spark))
+    assert "Union" in plan  # real + boundary-ghost contributor rows
+    w_detail = plan.rsplit("Window", 1)[1]
+    head = w_detail[:500]
+    assert "event_type" in head and "blk" in head
+    # the window's own exchange keys on BOTH columns
+    assert "hashpartitioning(event_type" in plan
+    import re
+
+    m = re.search(r"hashpartitioning\(event_type#\d+, blk#\d+", plan)
+    assert m, "window exchange must key on (event_type, blk)"
