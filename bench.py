@@ -56,22 +56,49 @@ def _materialize(df) -> int:
 # the floor (sub-40 ms: the floor itself exceeds the entire DuckDB
 # runtime) can never meet a raw 2x at any plan quality and are
 # reported as floor-dominated with their net overhead visible.
-HEADLINE_BASELINE_MS = {
-    "q_scan_full": 775.0,
-    "q_filter_gt": 174.0,
-    "q_filter_range_conj": 0.9,
-    "q_agg_scalar": 12.6,
-    "q_agg_groupby": 31.1,
-    "q_join_inner_hash": 32.3,
-    "q_join_multiway": 8.0,
-    "q_win_rank": 33.3,
-    "q_topk": 63.0,
-    "q_fn_map_json": 12.3,
-    "q_stream_tumbling": 8.1,
-    "q_dedup_exact": 4.0,
-    "q_sim_knn": 5.7,
-}
+def load_headline_baselines() -> dict[str, float]:
+    """Parse the measured DuckDB table out of BASELINE.md §A — the
+    single source of truth for the gate comparison (r6 ADVICE #2:
+    inline literals in this file could silently drift from the
+    documented baseline; now they cannot).  tests/test_bench_gate.py
+    asserts the parse yields exactly the documented headline set."""
+    import re
+
+    text = (Path(_REPO) / "BASELINE.md").read_text()
+    sect = text.split("## A.", 1)[1].split("\n## ", 1)[0]
+    return {
+        m.group(1): float(m.group(2))
+        for m in re.finditer(r"^\| (q_\w+)[^|]*\| ([0-9.]+) ms ", sect, re.M)
+    }
+
+
+HEADLINE_BASELINE_MS = load_headline_baselines()
 HEADLINE = set(HEADLINE_BASELINE_MS)
+
+# Queries AUDITED to contain an intentional global (unpartitioned)
+# window over a bounded input — a per-bucket sort of ~0.1% of rows
+# (median_exact), a supplier-count aggregate (gini/skyline), a
+# cross-block carry of one row per day (win_gaps), a dimension-bounded
+# rank (ntile/islands/histogram/bm25/zipf/vocab_pairs).  Every run
+# counts windowspecdefinition specs with an empty partition clause in
+# each query's optimized plan (plans/explain.py); any query OUTSIDE
+# this list with a global window lands in the record's
+# "unpartitioned_windows" object so a NEW single-task sort is visible
+# instead of buried in the WARN log tail (r5 verdict item 5).
+# tests/test_bench_gate.py re-audits the full registry against this
+# list.
+WINDOW_ALLOWLIST = {
+    "q_agg_gini",
+    "q_agg_median_exact",
+    "q_agg_skyline",
+    "q_fn_histogram",
+    "q_text_bm25",
+    "q_text_zipf",
+    "q_vocab_pairs",
+    "q_win_gaps",
+    "q_win_islands",
+    "q_win_ntile_pct",
+}
 
 
 def main() -> int:
@@ -98,6 +125,12 @@ def main() -> int:
     # can't improve any plan, but its stats plumbing adds measurable
     # per-statement planning time.  session.py keeps it on — with real
     # catalog stats at cluster scale it's a win.
+    # Retry-less bench session (local[N,1]): a silent second task
+    # attempt would hide first-attempt failures inside a timing number
+    # (r6 verdict item 7).  The engine default stays local[N,2]
+    # (session.py); the fault queries degrade to clean runs here by
+    # design.
+    os.environ.setdefault("SPARK_GRAFT_TASK_ATTEMPTS", "1")
     spark = get_spark(
         app_name="skyhook_bench",
         shuffle_partitions=int(os.environ.get("SPARK_GRAFT_BENCH_SHUFFLE", "8")),
@@ -122,9 +155,12 @@ def main() -> int:
         _materialize(spark.range(1))
         floor = min(floor, time.perf_counter() - t)
 
+    from skyhookdb_ceph_spark.plans.explain import count_unpartitioned_windows
+
     specs = load_all()
     times: dict[str, float] = {}
     errors: dict[str, str] = {}
+    win_global: dict[str, int] = {}
     for name, spec in sorted(specs.items()):
         # Single timed run for true streams (each drain re-runs the
         # full micro-pipeline) and for iterative fixpoints (graph
@@ -139,7 +175,18 @@ def main() -> int:
             # init (state store registry, streaming listener, first
             # checkpoint) — without it the first stream query measured
             # ~3 s of session-global setup as its own cost.
-            _materialize(spec.fn(spark, sf_dir))
+            warm_df = spec.fn(spark, sf_dir)
+            _materialize(warm_df)
+            if not live:
+                # plan already analyzed by the warm run — string scan
+                # only, no job (live streams build fresh pipelines per
+                # call; their plan inspection is skipped by design)
+                try:
+                    n_gw = count_unpartitioned_windows(warm_df)
+                    if n_gw:
+                        win_global[name] = n_gw
+                except Exception:  # noqa: BLE001 — diagnostics only
+                    pass
             # Best-of-2 for every batch query: single timed runs showed
             # up to 4x GC/scheduling noise on mid-weight queries, which
             # the per-round BENCH comparison would misread as
@@ -167,6 +214,7 @@ def main() -> int:
         "floor_sec": round(floor, 4),
         "n_queries": len(times),
         "aqe_off": True,  # bench profile; correctness gate runs AQE-on
+        "global_windows_all": win_global,  # incl. allowlisted (audit)
     }
     if errors:
         full_record["errors"] = errors
@@ -193,14 +241,21 @@ def main() -> int:
         "headline_floor_net_sec": round(
             sum(max(v - floor, 0.0) for v in headline_times.values()), 4
         ),
-        # Per-query gate evaluation vs the DuckDB baseline (see
-        # HEADLINE_BASELINE_MS comment): net_ratio = (t - floor) /
-        # baseline.  "data" queries (baseline > floor) are the ones a
-        # plan can win or lose; "floor" queries' entire baseline is
-        # smaller than one Spark job dispatch.
+        # Per-query gate evaluation vs the DuckDB baseline (parsed
+        # from BASELINE.md §A): raw_ratio = t / baseline is the
+        # unadjusted number; net_ratio = (t - floor) / baseline
+        # subtracts the SELF-MEASURED local-mode dispatch floor (see
+        # floor_sec — re-measured every run, swings 1.3-2.5x with
+        # machine state, so net ratios are comparable only through the
+        # floor_sec they carry).  "data" queries (baseline > floor)
+        # are the ones a plan can win or lose; "floor" queries' entire
+        # baseline is smaller than one Spark job dispatch.
         "gate": {
             name: {
                 "baseline_ms": HEADLINE_BASELINE_MS[name],
+                "raw_ratio": round(
+                    t / (HEADLINE_BASELINE_MS[name] / 1e3), 2
+                ),
                 "net_ratio": round(
                     max(t - floor, 0.0) / (HEADLINE_BASELINE_MS[name] / 1e3),
                     2,
@@ -213,11 +268,18 @@ def main() -> int:
             }
             for name, t in headline_times.items()
         },
+        "gate_floor_self_measured": True,
         "sf": sf,
         "startup_sec": round(startup, 2),
         "floor_sec": round(floor, 4),
         "n_queries": len(times),
         "n_errors": len(errors),
+        # UNEXPECTED single-task global windows only (audited bounded
+        # ones live in WINDOW_ALLOWLIST; full counts in full_record) —
+        # normally {}: any entry here is a new scale-killer to fix.
+        "unpartitioned_windows": {
+            k: v for k, v in win_global.items() if k not in WINDOW_ALLOWLIST
+        },
         "full_record": str(side),
     }
     print(json.dumps(record))

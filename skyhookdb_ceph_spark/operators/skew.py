@@ -74,3 +74,27 @@ def salted_sum_count(
         F.sum("__psum").alias(f"sum_{value_col}"),
         F.sum("__pcnt").alias("cnt"),
     )
+
+
+# One shuffle-partition's fair share of the rows: a key holding more
+# than this funnels > 1 task's worth of work into one reduce task, so
+# the two-phase salted plan wins despite its second (tiny) shuffle.
+SKEW_SHARE_THRESHOLD = 1.0 / 32
+
+
+def max_key_share(df: DataFrame, key: str) -> float:
+    """1-row skew probe: the hot key's share of all rows.
+
+    A keyed count is map-side combined, so the probe shuffles at most
+    (distinct keys × partitions) partial rows and reduces to ONE row —
+    the same measured-statistics move as q_join_stats_driven, applied
+    to aggregation planning: static file stats can't see post-filter
+    key skew, a 1-row probe can.  Returns 0.0 on an empty frame."""
+    row = (
+        df.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .agg((F.max("__n") / F.sum("__n")).alias("share"))
+        .first()
+    )
+    share = row["share"] if row is not None else None
+    return float(share) if share is not None else 0.0

@@ -48,3 +48,54 @@ def joins_used(df: DataFrame) -> set[str]:
 
 def has_operator(df: DataFrame, name: str) -> bool:
     return name in explain_str(df, "simple")
+
+
+def count_unpartitioned_windows(df: DataFrame) -> int:
+    """Number of window specs with an EMPTY partition clause in the
+    optimized logical plan — each one is a single-task global sort at
+    execution (Spark's "No Partition Defined for Window operation!"
+    WARN, promoted here to a countable plan property so a NEW global
+    window is visible instead of buried in a log tail).
+
+    Parses `windowspecdefinition(partition..., order..., frame)` with
+    balanced-paren scanning: arguments before the frame that carry no
+    ASC/DESC sort marker are partition expressions; zero of them means
+    the window is global.  Plan-string based, so it costs nothing on a
+    DataFrame whose plan is already analyzed (no job is run)."""
+    plan = df._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
+    n = 0
+    key = "windowspecdefinition("
+    i = 0
+    while True:
+        i = plan.find(key, i)
+        if i < 0:
+            break
+        j = i + len(key)
+        depth = 1
+        args, buf = [], []
+        while j < len(plan) and depth > 0:
+            ch = plan[j]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            if ch == "," and depth == 1:
+                args.append("".join(buf))
+                buf = []
+            else:
+                buf.append(ch)
+            j += 1
+        if buf:
+            args.append("".join(buf))
+        body = [
+            a
+            for a in (s.strip() for s in args)
+            if not a.startswith("specifiedwindowframe")
+        ]
+        parts = [a for a in body if " ASC" not in a and " DESC" not in a]
+        if not parts:
+            n += 1
+        i = j
+    return n

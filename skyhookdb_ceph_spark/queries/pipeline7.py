@@ -1211,11 +1211,23 @@ def q_fault_task_retry(spark, sf_dir):
     local[N,2]; under a retry-less harness session this degrades to a
     clean run, same green result either way — tests/test_fault.py
     asserts the retry path actually fires in the engine session)."""
+    import os
+
     import pandas as pd
 
     from pyspark.sql import types as T
 
-    retry_capable = "," in spark.sparkContext.master
+    from skyhookdb_ceph_spark.session import task_retries_available
+
+    retry_capable = task_retries_available(spark)
+    # Firing evidence (tests/test_fault.py): accumulator updates from
+    # FAILED task attempts are discarded by Spark's scheduler, so the
+    # injection signals through a marker file instead — written only
+    # when the test sets SPARK_GRAFT_FAULT_MARKER (driver/bench runs
+    # have no side effects).  Every attempt of partition 0 drops a
+    # `.{partition}.{attempt}` marker, so the test can assert BOTH the
+    # injected attempt-0 failure and the successful attempt-1 retry.
+    marker = os.environ.get("SPARK_GRAFT_FAULT_MARKER")
 
     out_schema = T.StructType(
         [
@@ -1237,6 +1249,9 @@ def q_fault_task_retry(spark, sf_dir):
             and tc.partitionId() == 0
             and tc.attemptNumber() == 0
         )
+        if marker and tc is not None and tc.partitionId() == 0:
+            with open(f"{marker}.reduce.{tc.attemptNumber()}", "w") as fh:
+                fh.write("attempt ran")
         acc: dict = {}
         for pdf in batches:
             cents = np.floor(pdf["value"].to_numpy() * 100).astype("int64")

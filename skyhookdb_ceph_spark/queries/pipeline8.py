@@ -1,0 +1,230 @@
+"""Round-7 wave (SURVEY.md §2.18): fault-mode completion + the
+stats-driven optimizer story's aggregation leg.
+
+Two queries:
+- q_fault_shuffle_retry — the SECOND fault mode (the r6 verdict's
+  item 4): the round-5 q_fault_task_retry injects a post-shuffle
+  (reduce-side) attempt failure; this one kills a MAP-side task after
+  it has already produced shuffle-bound rows, so the stage whose
+  output feeds the exchange is retried and its partially-produced
+  shuffle output must be discarded — the "lost map output" recovery a
+  1000-executor job exercises constantly.  (A true JVM-level
+  FetchFailedException cannot be thrown from a Python worker — the
+  scheduler classifies Python exceptions as task failures — so this is
+  the closest Python-reachable twin: the failed attempt's
+  shuffle-bound rows exist and must not be double-counted.)
+- q_agg_skew_adaptive — extends q_join_stats_driven's
+  measured-cardinality pattern from joins to AGGREGATION: a 1-row
+  skew probe (operators/skew.py max_key_share) measures the hot key's
+  row share and picks the two-phase salted aggregate when one key
+  exceeds a shuffle-partition's fair share, the plain partial/final
+  aggregate otherwise.  Both branches are algebraically identical
+  (sum of sums / sum of counts), so the oracle is branch-invariant;
+  tests/test_plans.py asserts each branch's plan shape.
+
+House rules unchanged: money/ratios quantized identically on both
+sides, identical aliases, deterministic everything, no all-pairs, no
+global windows, no corpus-sized collect().
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from skyhookdb_ceph_spark.operators.skew import (
+    SKEW_SHARE_THRESHOLD,
+    max_key_share,
+)
+from skyhookdb_ceph_spark.queries._util import Catalog, ratio
+from skyhookdb_ceph_spark.registry import query
+
+# ---------------------------------------------------------------------------
+# §2.18.1 map-side task loss: shuffle-bound output discarded on retry
+# ---------------------------------------------------------------------------
+
+_SHUFFLE_RETRY_ORACLE = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(min(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS min_cents,
+       CAST(max(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS max_cents,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+@query(
+    "q_fault_shuffle_retry",
+    oracle=_SHUFFLE_RETRY_ORACLE,
+    tags=("fault", "scale-design"),
+)
+def q_fault_shuffle_retry(spark, sf_dir):
+    """Map-side task loss BEFORE the exchange: the per-partition
+    Arrow map task yields its first batch of shuffle-bound partial
+    rows and THEN raises on attempt 0 — exactly a map task dying
+    mid-shuffle-write.  Spark must discard the failed attempt's
+    partial shuffle output and serve the downstream keyed aggregate
+    only the retry's rows; a shuffle layer that committed
+    partially-written map output would double-count the first batch
+    and go red against the oracle.  Complements q_fault_task_retry
+    (which fails AFTER the exchange — a reduce-side retry re-reading
+    committed map output); together the two cover both halves of the
+    shuffle fault surface reachable from a Python worker.  Injection
+    only fires under a retry-capable session (local[N,2+]; see
+    session.py) and degrades to a clean run otherwise — same green
+    result either way.  Firing evidence goes through marker files
+    (SPARK_GRAFT_FAULT_MARKER, test-only): accumulator updates from
+    failed attempts are discarded by the scheduler, files are not."""
+    import os
+
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from skyhookdb_ceph_spark.session import task_retries_available
+
+    retry_capable = task_retries_available(spark)
+    marker = os.environ.get("SPARK_GRAFT_FAULT_MARKER")
+
+    out_schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType()),
+            T.StructField("cnt", T.LongType()),
+            T.StructField("mn", T.LongType()),
+            T.StructField("mx", T.LongType()),
+            T.StructField("cents", T.LongType()),
+        ]
+    )
+
+    def partial(batches):
+        from pyspark import TaskContext
+
+        import numpy as np
+
+        tc = TaskContext.get()
+        inject = (
+            retry_capable
+            and tc is not None
+            and tc.partitionId() == 0
+            and tc.attemptNumber() == 0
+        )
+        if marker and tc is not None and tc.partitionId() == 0:
+            with open(f"{marker}.map.{tc.attemptNumber()}", "w") as fh:
+                fh.write("attempt ran")
+        first = True
+        for pdf in batches:
+            cents = np.floor(pdf["value"].to_numpy() * 100).astype("int64")
+            acc: dict = {}
+            for et, c in zip(pdf["event_type"], cents):
+                n, mn, mx, s = acc.get(et, (0, None, None, 0))
+                c = int(c)
+                acc[et] = (
+                    n + 1,
+                    c if mn is None else min(mn, c),
+                    c if mx is None else max(mx, c),
+                    s + c,
+                )
+            # Shuffle-bound rows leave the worker BEFORE the failure:
+            # a buggy shuffle that kept them would double-count.
+            yield pd.DataFrame(
+                [
+                    {"event_type": k, "cnt": n, "mn": mn, "mx": mx, "cents": s}
+                    for k, (n, mn, mx, s) in acc.items()
+                ],
+                columns=["event_type", "cnt", "mn", "mx", "cents"],
+            )
+            if inject and first:
+                raise RuntimeError(
+                    "injected map-side failure after shuffle rows were produced"
+                )
+            first = False
+
+    e = Catalog(spark, sf_dir).events.select("event_type", "value")
+    # NO repartition before the map: the injected stage is the scan+map
+    # stage that FEEDS the groupBy exchange (contrast q_fault_task_retry,
+    # where the injection sits after a repartition, i.e. reduce-side).
+    partials = e.mapInPandas(partial, out_schema)
+    return (
+        partials.groupBy("event_type")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_events"),
+            F.min("mn").cast("bigint").alias("min_cents"),
+            F.max("mx").cast("bigint").alias("max_cents"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.18.2 skew-probe-driven aggregation strategy (salted vs plain)
+# ---------------------------------------------------------------------------
+
+_SKEW_ADAPTIVE_ORACLE = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+       floor((sum(value) / count(*)) * 1000000 + 0.5) / 1000000 AS avg_value
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def adaptive_sum_by_key(df, key, n_salts=16, threshold=SKEW_SHARE_THRESHOLD):
+    """groupBy(key).agg(count, sum cents, avg value) with the PHYSICAL
+    strategy chosen from a measured 1-row skew probe: if the hottest
+    key holds more than one shuffle-partition's fair share of rows,
+    aggregate per (key, salt) first and re-aggregate per key (both
+    phases map-side combinable — the hot key's work spreads over
+    n_salts tasks and the second shuffle carries only n_salts rows per
+    key); otherwise the plain partial/final aggregate, which is
+    strictly cheaper when no key dominates.  The salt is a
+    deterministic hash of the value column scaled to cents — never
+    RNG — so either branch returns identical, oracle-checkable rows.
+    Exposed as a helper so tests can drive BOTH branches."""
+    cents = F.floor(F.col("value") * 100).cast("bigint")
+    base = df.select(key, cents.alias("cents"), "value")
+    if max_key_share(df.select(key), key) > threshold:
+        salted = base.withColumn(
+            "__salt", F.pmod(F.hash("cents"), F.lit(n_salts))
+        )
+        part = salted.groupBy(key, "__salt").agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.sum("cents").alias("ps"),
+            F.sum("value").alias("pv"),
+        )
+        agg = part.groupBy(key).agg(
+            F.sum("pn").cast("bigint").alias("n_events"),
+            F.sum("ps").cast("bigint").alias("sum_cents"),
+            ratio(F.sum("pv") / F.sum("pn")).alias("avg_value"),
+        )
+    else:
+        agg = base.groupBy(key).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+            ratio(F.sum("value") / F.count(F.lit(1))).alias("avg_value"),
+        )
+    return agg.orderBy(key)
+
+
+@query(
+    "q_agg_skew_adaptive",
+    oracle=_SKEW_ADAPTIVE_ORACLE,
+    tags=("agg", "stats", "scale-design"),
+)
+def q_agg_skew_adaptive(spark, sf_dir):
+    """Stats-driven AGGREGATION strategy — the runstats→optimizer
+    story (q_runstats, q_join_stats_driven) closed for aggregates: a
+    1-row skew probe measures the hot key's row share
+    (operators/skew.py max_key_share — map-combined keyed count, one
+    tiny shuffle, one driver row), and the plan salts the aggregate
+    only when one key exceeds a shuffle-partition's fair share.
+    events.event_type has ~5 values (hot share ≈ 0.2 ≫ 1/32), so this
+    query always takes the salted branch — the plain branch is
+    plan-asserted separately via the helper on a high-cardinality key
+    (tests/test_plans.py).  avg is re-derived as sum/count from the
+    salted partials (plain avg-of-avgs would be wrong); both branches
+    are algebraically identical, so the oracle never needs to know
+    which one ran — exactly the property a real optimizer hides
+    behind.  At 100 TB the probe costs one columnar scan of the key
+    column; a mis-planned hot-key aggregate costs a straggler task
+    holding the whole stage."""
+    e = Catalog(spark, sf_dir).events
+    return adaptive_sum_by_key(e, "event_type")

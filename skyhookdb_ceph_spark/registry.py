@@ -61,42 +61,46 @@ _LOADED = False
 # list pins the front of the registry each round; anything not listed
 # keeps module-import order after it.
 #
-# Round-6 rotation: cumulative driver-green after r5 = 214/262, zero
-# failures ever.  Exactly 48 queries have never received a driver
-# verdict: the 6 deliberately deferred from r5 (q_sql_recursive + 5
-# true-readStream streaming replays — the highest-value evidence since
-# they exercise real state-store/watermark machinery) and the 42
-# round-5 additions (pipeline6 + pipeline7 + SQL-door/setops tails).
-# All 48 lead this window; 48 <= 50, so round 6 closes driver
-# verification of the entire pre-r6 surface.  Slots 49-50 go to the
-# first round-6 additions (anything past #50 rolls into round 7's
-# window).  Everything outside the window stays covered by
+# Round-7 rotation: cumulative driver-green after r6 = 262/262 — every
+# registered query has at least one driver stamp, zero failures ever
+# (the r6 window's 48 entries were the complete never-verified set,
+# incl. q_stream_foreach_batch from streaming_q.py and the pipeline6/7
+# waves).  With no verification debt left, this window is REGRESSION
+# INSURANCE (r6 verdict item 3): lead with the 6 queries whose code
+# changed or is new in round 7 (they need fresh stamps), then re-stamp
+# the OLDEST greens — all 14 surviving r1-era stamps and 30 of the 48
+# r2-era stamps (joins core, aggregates core, early TPC-H, first
+# filters — the families whose shared helpers saw the most refactoring
+# since).  The 18 remaining r2-era stamps (filters tail,
+# q_project_compute, the q_fn_* family) lead round 8's window.
+# Everything outside the window stays covered by
 # tests/test_correctness.py's local oracle diff regardless.
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # -- deferred from round 5: 4th SQL-door + true streaming replays
-    "q_sql_recursive",
-    "q_stream_topk", "q_stream_cdc_apply", "q_stream_watermark_append",
-    "q_stream_update_mode", "q_stream_session_live",
-    # -- round-5 wave 1 (pipeline6, 7)
-    "q_multimodal_decode", "q_join_stats_driven", "q_join_range_bucket",
-    "q_win_gaps", "q_sample_length_biased",
-    "q_agg_weighted_avg", "q_vec_pq_code",
-    # -- round-5 wave 2 (pipeline7: TPC-H completion + splits, 29)
-    "q_tpch_q2", "q_tpch_q9", "q_tpch_q11", "q_tpch_q16",
-    "q_tpch_q20", "q_tpch_q21", "q_data_mix", "q_data_split",
-    "q_stream_foreach_batch", "q_agg_median_exact", "q_vec_recall_eval",
-    "q_scan_corrupt_json", "q_sql_exists_flag", "q_multimodal_image",
-    "q_sql_lateral", "q_win_peak_concurrency", "q_fault_task_retry",
-    "q_ts_seasonal", "q_vec_matryoshka_eval", "q_text_novelty",
-    "q_gdpr_export", "q_agg_gini", "q_scan_binary_file",
-    "q_stream_resume", "q_agg_grouping_id", "q_join_null_skew",
-    "q_join_null_safe", "q_win_trailing_hour", "q_pipeline_e2e",
-    "q_win_dense_rank", "q_scan_agg_pushdown", "q_fn_try_arith",
-    # -- round-5 SQL-door / setops tails (q_sql_exists_flag and
-    #    q_sql_lateral are listed inside the pipeline7 block above)
-    "q_sql_group_by_all", "q_set_intersect_all", "q_set_except_all",
-    # ---- window boundary (~#50): slots 49-50 = first round-6 queries
-    # -- NEW in round 6 (anything past #50 rolls into round 7's window)
+    # -- new / changed in round 7 (pipeline8 + reworked queries)
+    "q_fault_shuffle_retry", "q_agg_skew_adaptive",
+    "q_win_trailing_hour", "q_vec_recall_eval", "q_fault_task_retry",
+    "q_fn_map_json", "q_graph_components",
+    # -- r1-era stamps, last driver-checked 6 rounds of refactors ago
+    "q_scan_full", "q_scan_project", "q_transform_format",
+    "q_join_multiway", "q_set_union", "q_set_intersect", "q_set_except",
+    "q_sort_orderby", "q_limit", "q_topk",
+    "q_win_rank", "q_win_running", "q_win_ntile_pct", "q_win_range_frame",
+    # -- r2-era stamps: joins core
+    "q_join_inner_hash", "q_join_broadcast", "q_join_sortmerge",
+    "q_join_left", "q_join_right", "q_join_full",
+    "q_join_semi", "q_join_anti", "q_join_theta", "q_join_cross",
+    # -- r2-era stamps: aggregates core
+    "q_agg_having", "q_agg_distinct", "q_agg_approx_distinct",
+    "q_agg_rollup", "q_agg_cube", "q_agg_percentiles",
+    "q_agg_grouping_sets", "q_agg_pivot", "q_agg_listagg",
+    "q_agg_avg_stddev", "q_agg_filtered",
+    # -- r2-era stamps: early TPC-H shapes + first filters
+    "q_tpch_q3", "q_tpch_q5", "q_tpch_q10",
+    "q_filter_gt", "q_filter_eq_point", "q_filter_range_conj",
+    "q_filter_like", "q_filter_regex",
+    # ---- window boundary (50) — round 8 leads with the r2 remainder:
+    # q_filter_in/between/or_not/null/null_safe_eq, q_project_compute,
+    # and the 13-entry q_fn_* family.
 )
 
 
@@ -119,6 +123,7 @@ def load_all() -> dict[str, QuerySpec]:
             pipeline5,
             pipeline6,
             pipeline7,
+            pipeline8,
             scans,
             setops,
             sorts,

@@ -80,3 +80,21 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()
+
+
+def task_retries_available(spark: SparkSession) -> bool:
+    """True iff a failed task attempt will be rescheduled.
+
+    local[N,M] masters encode maxTaskFailures as M (1 = no retry —
+    note "local[32,1]" CONTAINS a comma, so a substring test is
+    wrong); a bare local[N] is single-attempt; any non-local master
+    has cluster maxFailures semantics (default 4).  Fault-injection
+    queries consult this before raising, so they degrade to clean
+    runs under retry-less sessions instead of failing the job."""
+    import re
+
+    master = spark.sparkContext.master
+    if not master.startswith("local"):
+        return True
+    m = re.match(r"local\[(?:\d+|\*),\s*(\d+)\]", master)
+    return bool(m and int(m.group(1)) > 1)

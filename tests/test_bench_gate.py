@@ -1,0 +1,66 @@
+"""Bench-gate transparency (r6 verdict items 6 and 8): the gate's
+baseline constants come from BASELINE.md §A (no inline-literal drift),
+and the global-window allowlist matches the actually-audited set."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+if str(REPO) not in sys.path:
+    sys.path.insert(0, str(REPO))
+
+import bench  # noqa: E402
+
+EXPECTED_HEADLINE = {
+    "q_scan_full": 775.0,
+    "q_filter_gt": 174.0,
+    "q_filter_range_conj": 0.9,
+    "q_agg_scalar": 12.6,
+    "q_agg_groupby": 31.1,
+    "q_join_inner_hash": 32.3,
+    "q_join_multiway": 8.0,
+    "q_win_rank": 33.3,
+    "q_topk": 63.0,
+    "q_fn_map_json": 12.3,
+    "q_stream_tumbling": 8.1,
+    "q_dedup_exact": 4.0,
+    "q_sim_knn": 5.7,
+}
+
+
+def test_headline_baselines_parse_from_baseline_md():
+    """The §A markdown table is the single source of truth; the bench
+    must read exactly the 13 documented (QueryID, ms) pairs from it.
+    If BASELINE.md §A is re-measured, THIS table is updated in the
+    same commit — the test pins parse agreement, not history."""
+    parsed = bench.load_headline_baselines()
+    assert parsed == EXPECTED_HEADLINE
+
+
+def test_gate_population_is_the_headline_set():
+    assert bench.HEADLINE == set(EXPECTED_HEADLINE)
+
+
+def test_window_allowlist_matches_audited_registry(spark):
+    """Re-audit: every registered batch query's optimized plan is
+    scanned for empty-partition window specs; the set with at least
+    one must equal bench.WINDOW_ALLOWLIST exactly.  A new global
+    window outside the list fails here AND surfaces in the bench
+    record's "unpartitioned_windows"; an allowlist entry whose global
+    window was fixed fails here too (stale allowlist)."""
+    from skyhookdb_ceph_spark.plans.explain import count_unpartitioned_windows
+    from skyhookdb_ceph_spark.registry import load_all
+
+    SF = "/root/testdata/sf0.001"
+    found = set()
+    for name, spec in load_all().items():
+        if "live-stream" in spec.tags:
+            continue  # fresh stream pipelines per build; audited via tags
+        if count_unpartitioned_windows(spec.fn(spark, SF)):
+            found.add(name)
+    assert found == bench.WINDOW_ALLOWLIST, (
+        sorted(found - bench.WINDOW_ALLOWLIST),
+        sorted(bench.WINDOW_ALLOWLIST - found),
+    )

@@ -728,3 +728,27 @@ def test_trailing_hour_window_is_day_blocked(spark):
 
     m = re.search(r"hashpartitioning\(event_type#\d+, blk#\d+", plan)
     assert m, "window exchange must key on (event_type, blk)"
+
+
+def test_skew_adaptive_agg_salts_the_hot_key(spark):
+    """events.event_type has ~5 values — the measured skew probe must
+    route the aggregate through the two-phase salted plan: a keyed
+    exchange on (event_type, __salt) followed by one on event_type."""
+    plan = explain_str(q("q_agg_skew_adaptive", spark))
+    import re
+
+    assert re.search(r"hashpartitioning\(event_type#\d+, __salt#\d+", plan), plan[
+        :2000
+    ]
+
+
+def test_skew_adaptive_agg_plain_branch_on_uniform_key(spark):
+    """A uniform high-cardinality key (every key's share « 1/32) must
+    take the plain partial/final aggregate — no salt column anywhere
+    in the plan (the second shuffle would be pure overhead)."""
+    from skyhookdb_ceph_spark.plans.explain import explain_str as es
+    from skyhookdb_ceph_spark.queries.pipeline8 import adaptive_sum_by_key
+
+    df = spark.range(1000).selectExpr("id AS k", "id * 0.5 AS value")
+    plan = es(adaptive_sum_by_key(df, "k"))
+    assert "__salt" not in plan

@@ -270,6 +270,21 @@ AUDIT = {
         "Null-key bypass. Wanted: simplified not-null condition "
         "before the join exchange; Union merging the bypass branch."
     ),
+    "q_win_trailing_hour": (
+        "Day-blocked trailing RANGE window (r7). Wanted: Union of "
+        "real + boundary-ghost rows; the window Exchange keyed on "
+        "(event_type, blk) — never event_type alone (one task per "
+        "type at 100 TB); emit filter ABOVE the Window (ghosts "
+        "contribute to frames, then drop)."
+    ),
+    "q_agg_skew_adaptive": (
+        "Skew-probe-driven aggregation (r7). Wanted on the skewed "
+        "fixture key: TWO HashAggregate pairs with the first "
+        "Exchange keyed on (event_type, __salt) and the second on "
+        "event_type — the measured probe routed the hot key across "
+        "salt tasks (plain branch asserted separately in "
+        "tests/test_plans.py)."
+    ),
 }
 
 
