@@ -66,3 +66,27 @@ def test_persisted_probe_matches_inline_ivf(ivf_index):
         )
     )
     assert persisted == inline
+
+
+def test_multiprobe_recall_beats_single_cell(spark):
+    """The tuning curve q_vec_recall_eval emits must actually curve:
+    the Hamming-1 multiprobe row recovers strictly more ground-truth
+    neighbors than the single-cell probe, at strictly higher (but
+    sub-linear-in-width) scan cost — the property that makes widening
+    the probe worth paying for (r6 verdict item 2)."""
+    from skyhookdb_ceph_spark.registry import load_all
+
+    rows = {
+        r["probe_width"]: r
+        for r in load_all()["q_vec_recall_eval"]
+        .fn(spark, "/root/testdata/sf0.01")
+        .collect()
+    }
+    assert len(rows) == 2
+    (w1, wm) = sorted(rows)
+    assert w1 == 1 and wm > 1
+    single, multi = rows[w1], rows[wm]
+    assert multi["avg_recall"] > single["avg_recall"]
+    assert multi["frac_scored"] > single["frac_scored"]
+    # probing nb+1 of 2^nb cells must stay far below a full scan
+    assert multi["frac_scored"] < 0.75

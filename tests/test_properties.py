@@ -236,3 +236,57 @@ def test_results_invariant_to_shuffle_partition_count(spark):
             assert a == b, f"{name} differs across partition counts"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4 * 86400),  # sec
+            st.integers(min_value=-500, max_value=500),  # cents
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_day_block_ghost_window_model(events):
+    """Pure-Python model of q_win_trailing_hour's day-block ghost
+    decomposition vs the naive per-key trailing window: for ANY event
+    multiset (including same-second ties and block-boundary seconds),
+    the block-local RANGE frame over real+ghost rows must equal the
+    global trailing-3600s frame — the decomposition's correctness
+    claim, independent of Spark."""
+    # naive: for each event, count/sum of all events in [t-3600, t]
+    naive = [
+        (
+            t,
+            sum(1 for u, _ in events if t - 3600 <= u <= t),
+            sum(c for u, c in events if t - 3600 <= u <= t),
+        )
+        for t, _ in events
+    ]
+    # blocked: ghosts from each block's last hour duplicated forward
+    rows = [(t, c, t // 86400, 1) for t, c in events]
+    rows += [
+        (t, c, t // 86400 + 1, 0)
+        for t, c in events
+        if t % 86400 >= 86400 - 3600
+    ]
+    blocked = [
+        (
+            t,
+            sum(
+                1
+                for u, _, ub, _ in rows
+                if ub == b and t - 3600 <= u <= t
+            ),
+            sum(
+                cc
+                for u, cc, ub, _ in rows
+                if ub == b and t - 3600 <= u <= t
+            ),
+        )
+        for t, c, b, emit in rows
+        if emit == 1
+    ]
+    assert sorted(naive) == sorted(blocked)
