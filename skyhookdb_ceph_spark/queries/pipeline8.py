@@ -1,7 +1,8 @@
-"""Round-7 wave (SURVEY.md §2.18): fault-mode completion + the
-stats-driven optimizer story's aggregation leg.
+"""Round-7 wave (SURVEY.md §2.18): fault-mode completion, the
+stats-driven optimizer story's aggregation leg, and the XML leg of
+format plurality (q_transform_xml, Spark 4 built-in XML source).
 
-Two queries:
+Queries:
 - q_fault_shuffle_retry — the SECOND fault mode (the r6 verdict's
   item 4): the round-5 q_fault_task_retry injects a post-shuffle
   (reduce-side) attempt failure; this one kills a MAP-side task after
@@ -228,3 +229,73 @@ def q_agg_skew_adaptive(spark, sf_dir):
     holding the whole stage."""
     e = Catalog(spark, sf_dir).events
     return adaptive_sum_by_key(e, "event_type")
+
+
+# ---------------------------------------------------------------------------
+# §2.18.3 XML round-trip (format plurality: the document-markup path)
+# ---------------------------------------------------------------------------
+
+_XML_ORACLE = """
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS cnt,
+       floor(sum(c_acctbal) * 100 + 0.5) / 100 AS sum_acctbal
+FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+@query("q_transform_xml", oracle=_XML_ORACLE, tags=("scan", "format"))
+def q_transform_xml(spark, sf_dir):
+    """XML round-trip via Spark 4's built-in XML source — extends the
+    format-plurality set (CSV/JSON/ORC/parquet/binaryFile, the SFT_*
+    dispatch analog) with the document-markup path enterprise feeds
+    still speak.  XML-specific semantics are exercised, not just
+    tunneled: c_custkey rides as an ATTRIBUTE (the `_`-prefixed field
+    maps to `key="..."` on write and back on read), the other columns
+    as child elements, and the read uses an explicit schema + rowTag
+    (schema inference over XML is a full extra pass at 100 TB).
+    Doubles survive because the writer emits Java shortest-round-trip
+    decimal strings.  Write and read are both distributed maps; the
+    only shuffle is the final aggregate; matching the oracle on the
+    SOURCE table proves the round-trip lossless."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from skyhookdb_ceph_spark.queries.scans import _scratch_dir
+
+    tmp = tempfile.mkdtemp(prefix="skyhook_transform_xml_", dir=_scratch_dir())
+    try:
+        src = Catalog(spark, sf_dir).customer.selectExpr(
+            "c_custkey AS _key", "c_mktsegment", "c_acctbal"
+        )
+        (
+            src.write.mode("overwrite")
+            .format("xml")
+            .option("rootTag", "customers")
+            .option("rowTag", "customer")
+            .save(f"{tmp}/xml")
+        )
+        schema = T.StructType(
+            [
+                T.StructField("_key", T.LongType()),
+                T.StructField("c_mktsegment", T.StringType()),
+                T.StructField("c_acctbal", T.DoubleType()),
+            ]
+        )
+        out = (
+            spark.read.format("xml")
+            .option("rowTag", "customer")
+            .schema(schema)
+            .load(f"{tmp}/xml")
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("cnt"),
+                (F.floor(F.sum("c_acctbal") * 100 + F.lit(0.5)) / 100).alias(
+                    "sum_acctbal"
+                ),
+            )
+            .orderBy("c_mktsegment")
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
