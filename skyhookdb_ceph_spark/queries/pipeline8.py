@@ -299,3 +299,112 @@ def q_transform_xml(spark, sf_dir):
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# §2.18.4 mergeable HLL sketch state (pre-aggregate once, merge forever)
+# ---------------------------------------------------------------------------
+
+_HLL_ORACLE = """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       CAST(1 AS BOOLEAN) AS est_ok,
+       CAST(1 AS BOOLEAN) AS merge_consistent
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+@query("q_agg_hll_merge", oracle=_HLL_ORACLE, tags=("agg", "sketch", "scale-design"))
+def q_agg_hll_merge(spark, sf_dir):
+    """MERGEABLE sketch state — the algebraic property every 100 TB
+    rollup pipeline is built on: per-(type, day) HLL sketches are
+    built in ONE pass (the daily incremental job), then
+    hll_union_agg collapses each type's day-sketches into the same
+    state a direct whole-history sketch holds — so yesterday's
+    pre-aggregated bytes answer today's distinct-count question
+    without rescanning history.  Two claims are proven against the
+    oracle as banded/exact verdict columns (the registry's
+    non-SQL-op pattern): est_ok — the sketch estimate is within 5 %
+    of the EXACT distinct count (computed in the same Spark agg and
+    matched exactly against DuckDB's count(DISTINCT)); and
+    merge_consistent — the union-of-day-sketches estimate EQUALS the
+    direct-sketch estimate (Datasketches HLL union at equal lgK is a
+    lossless state merge, so any inequality means real breakage, not
+    tolerance).  Contrast q_agg_countmin (hand-rolled frequency
+    sketch): here the sketch bytes are engine-native binary state, so
+    a user can persist the per-day column and keep merging forever.
+    Plan: two map-combined keyed aggs + a 5-row broadcast join; the
+    sketch column shuffles as fixed-size binary regardless of row
+    count."""
+    e = Catalog(spark, sf_dir).events.select(
+        "event_type", "user_id", F.to_date("ts").alias("day")
+    )
+    direct = e.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("bigint").alias("exact_users"),
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est_direct"),
+    )
+    daily = (
+        e.groupBy("event_type", "day")
+        .agg(F.hll_sketch_agg("user_id").alias("sk_day"))
+        .groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk_day")).alias("est_union")
+        )
+        .withColumnRenamed("event_type", "u_type")
+    )
+    return (
+        direct.join(
+            F.broadcast(daily), F.col("event_type") == F.col("u_type")
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("est_direct") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("est_ok"),
+            (F.col("est_direct") == F.col("est_union")).alias(
+                "merge_consistent"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.18.5 built-in heavy hitters (approx_top_k)
+# ---------------------------------------------------------------------------
+
+_TOPK_SKETCH_ORACLE = """
+SELECT o_orderpriority AS item, CAST(count(*) AS BIGINT) AS cnt
+FROM orders GROUP BY o_orderpriority
+ORDER BY cnt DESC, item LIMIT 3
+"""
+
+
+@query("q_agg_approx_topk", oracle=_TOPK_SKETCH_ORACLE, tags=("agg", "sketch"))
+def q_agg_approx_topk(spark, sf_dir):
+    """Heavy hitters via the engine-native approx_top_k sketch — the
+    one-pass, bounded-memory answer to "what dominates this column"
+    that replaces a full groupBy+sort when only the head matters.
+    With the tracked-item budget (10 000) above the column's
+    cardinality the sketch counts are EXACT, so the result is
+    oracle-checkable without tolerance; the sketch's own tie order is
+    arbitrary, so the entries are exploded and re-ranked with a
+    deterministic (count DESC, item) key — the same
+    determinism-over-convenience rule as q_agg_mode.  At scale the
+    sketch state is a fixed-size map per partition, merged
+    map-side — one shuffle of sketch bytes, never of rows (contrast
+    q_agg_countmin, the hand-rolled CM construction for when the
+    budget must be sub-cardinality)."""
+    o = Catalog(spark, sf_dir).orders
+    sk = o.agg(F.expr("approx_top_k(o_orderpriority, 5)").alias("tk"))
+    return (
+        sk.select(F.explode("tk").alias("e"))
+        .select(
+            F.col("e.item").alias("item"),
+            F.col("e.count").cast("bigint").alias("cnt"),
+        )
+        .orderBy(F.desc("cnt"), "item")
+        .limit(3)
+    )
