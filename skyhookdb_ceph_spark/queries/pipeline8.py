@@ -408,3 +408,88 @@ def q_agg_approx_topk(spark, sf_dir):
         .orderBy(F.desc("cnt"), "item")
         .limit(3)
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.18.6 bounded-batch ingestion (maxFilesPerTrigger admission control)
+# ---------------------------------------------------------------------------
+
+_BACKPRESSURE_ORACLE = """
+SELECT event_type,
+       CAST(4 * count(*) AS BIGINT) AS n_events,
+       CAST(4 * sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+         AS sum_cents,
+       CAST(1 AS BOOLEAN) AS bounded_ingest
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+@query(
+    "q_stream_backpressure",
+    oracle=_BACKPRESSURE_ORACLE,
+    tags=("streaming", "live-stream", "scale-design"),
+)
+def q_stream_backpressure(spark, sf_dir):
+    """Ingestion ADMISSION CONTROL — the flow-control knob that keeps
+    a backlogged 100 TB file stream from planning one giant
+    catch-up micro-batch (which sizes state, shuffle, and sink
+    commits to the backlog instead of the steady state):
+    maxFilesPerTrigger=1 over a 4-file backlog forces the
+    AvailableNow drain to process the backlog as (at least) 4
+    bounded micro-batches through the SAME transactional file sink.
+    Evidence is structural, not assumed: the checkpoint's commits log
+    must hold >= 4 committed batches (a drain that ignored the bound
+    commits once), surfaced as the bounded_ingest verdict column; the
+    aggregate over the committed output must equal exactly 4x the
+    fixture — bounding the batches may never drop or duplicate a
+    file.  Complements q_stream_resume (restart exactly-once) with
+    the other half of file-source operations: in-run batch sizing."""
+    import os
+    import shutil
+    import tempfile
+
+    from skyhookdb_ceph_spark.queries.scans import _scratch_dir
+    from skyhookdb_ceph_spark.streaming.replay import events_stream
+
+    tmp = tempfile.mkdtemp(prefix="skyhook_backpressure_", dir=_scratch_dir())
+    src, out, ckpt = f"{tmp}/src", f"{tmp}/out", f"{tmp}/ckpt"
+    os.makedirs(src, exist_ok=True)
+    try:
+        for name in ("a", "b", "c", "d"):
+            shutil.copy(f"{sf_dir}/events.parquet", f"{src}/{name}.parquet")
+        stream = events_stream(
+            spark, src, glob="*.parquet",
+            options={"maxFilesPerTrigger": "1"},
+        ).select("event_type", "value")
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "2")
+        try:
+            q = (
+                stream.writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        n_commits = len(
+            [f for f in os.listdir(f"{ckpt}/commits") if not f.startswith(".")]
+        )
+        committed = spark.read.parquet(out)
+        agg = (
+            committed.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                F.sum(F.floor(F.col("value") * 100).cast("bigint"))
+                .cast("bigint")
+                .alias("sum_cents"),
+            )
+            .withColumn("bounded_ingest", F.lit(n_commits >= 4))
+            .orderBy("event_type")
+        )
+        return spark.createDataFrame(agg.collect(), agg.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -48,13 +48,18 @@ def _events_ts_is_nanos(sf_dir: str, glob: str) -> bool:
 
 
 def events_stream(
-    spark: SparkSession, sf_dir: str, glob: str = "events.parquet"
+    spark: SparkSession,
+    sf_dir: str,
+    glob: str = "events.parquet",
+    options: dict[str, str] | None = None,
 ) -> DataFrame:
     """readStream over the events fixture with the same microsecond
     timestamp rebuild the batch Catalog applies.  `glob` selects which
     parquet files in the directory feed the stream (a directory of
     file-level COPIES of the fixture is the zero-cost way to replay
-    the same events N times — no Spark rewrite job needed)."""
+    the same events N times — no Spark rewrite job needed).
+    `options` passes source options through (e.g. maxFilesPerTrigger
+    for bounded-batch admission control, q_stream_backpressure)."""
     # The raw-long read of a NANOS timestamp needs the same conf the
     # batch Catalog guarantees; the driver's session may lack it.
     from skyhookdb_ceph_spark.catalog import Catalog
@@ -77,11 +82,10 @@ def events_stream(
             T.StructField("props", T.StringType()),
         ]
     )
-    raw = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", glob)
-        .parquet(sf_dir)
-    )
+    reader = spark.readStream.schema(schema).option("pathGlobFilter", glob)
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    raw = reader.parquet(sf_dir)
     if nanos:
         raw = raw.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000"))
