@@ -90,3 +90,42 @@ def test_multiprobe_recall_beats_single_cell(spark):
     assert multi["frac_scored"] > single["frac_scored"]
     # probing nb+1 of 2^nb cells must stay far below a full scan
     assert multi["frac_scored"] < 0.75
+
+
+def test_multiprobe_prunes_to_probe_set_only(ivf_index):
+    """Multiprobe against the PERSISTED layout is still partition
+    pruning, not a scan: an IN-filter over the nb+1 probe cells must
+    plan as PartitionFilters and actually read only the probe-set
+    partitions (scanned distinct buckets == probe set, a strict
+    subset of the 2^nb cells)."""
+    spark, sf, path = ivf_index
+    qcell = (
+        vectors.bucketed_cells(Catalog(spark, sf).embeddings, n_bits=4)
+        .filter(F.col("vec_id") == 0)
+        .select("bucket")
+        .collect()[0][0]
+    )
+    probes = sorted(
+        {qcell}
+        | {
+            qcell[:i] + ("0" if qcell[i] == "1" else "1") + qcell[i + 1:]
+            for i in range(4)
+        }
+    )
+    assert len(probes) == 5
+    pruned = spark.read.parquet(path).filter(F.col("bucket").isin(probes))
+    plan = explain_str(pruned)
+    assert "PartitionFilters" in plan
+    assert "bucket" in plan.split("PartitionFilters", 1)[1].splitlines()[0]
+    # partition-dir values type-infer to INT ("0001" -> 1); normalize
+    # back to the 4-bit string form for the set comparison
+    scanned = {
+        str(r["bucket"]).zfill(4)
+        for r in pruned.select("bucket").distinct().collect()
+    }
+    all_cells = {
+        str(r["bucket"]).zfill(4)
+        for r in spark.read.parquet(path).select("bucket").distinct().collect()
+    }
+    assert scanned <= set(probes)
+    assert len(all_cells) > len(probes)  # pruning was non-trivial
