@@ -493,3 +493,107 @@ def q_stream_backpressure(spark, sf_dir):
         return spark.createDataFrame(agg.collect(), agg.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# §2.18.7 SQL pipe syntax (the Spark 4 front-end door)
+# ---------------------------------------------------------------------------
+
+# The ORACLE is the plain-SQL equivalent (DuckDB has no pipe parser);
+# proving the pipe form returns identical rows shows it is pure
+# front-end sugar over the same logical plan.
+_PIPE_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+_PIPE_SQL = """
+FROM lineitem
+|> WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+|> AGGREGATE CAST(count(*) AS BIGINT) AS n_items,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+   GROUP BY l_returnflag, l_linestatus
+|> SELECT l_returnflag, l_linestatus, n_items, sum_qty
+|> ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@query("q_sql_pipe", oracle=_PIPE_ORACLE, tags=("sql",))
+def q_sql_pipe(spark, sf_dir):
+    """SQL PIPE syntax (`|>`) — Spark 4's linear query form (the
+    SQL-pipe proposal adopted from GoogleSQL): FROM → WHERE →
+    AGGREGATE → SELECT → ORDER BY as sequential stages instead of
+    inside-out clauses.  The fifth SQL door (after CTE / VALUES /
+    named-window / recursive): the pipe text parses to EXACTLY the
+    plan the clause form plans — same pushed filter, same
+    partial/final aggregate — which the differential check proves by
+    running the clause form on DuckDB (which has no pipe parser) and
+    demanding identical rows.  Front-end plurality matters at an
+    organization level: pipeline authors write linear SQL, the engine
+    optimizes it identically."""
+    Catalog(spark, sf_dir).register_views()
+    return spark.sql(_PIPE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# §2.18.8 zero-extra-pass observed metrics (Dataset.observe)
+# ---------------------------------------------------------------------------
+
+_OBSERVE_ORACLE = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_cents,
+       CAST(min(l_quantity) AS DOUBLE) AS min_qty,
+       CAST(max(l_quantity) AS DOUBLE) AS max_qty
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+"""
+
+
+@query("q_observe_metrics", oracle=_OBSERVE_ORACLE, tags=("scan", "observability"))
+def q_observe_metrics(spark, sf_dir):
+    """Pipeline OBSERVABILITY without a second scan: Dataset.observe
+    attaches a CollectMetrics node that accumulates count/sum/min/max
+    WHILE another job consumes the same pass — the way a production
+    write gets its QC numbers for free instead of re-reading 100 TB
+    to validate what it just wrote.  Here the observed frame is
+    driven by a 1-row downstream action, the metrics come back
+    through the observation handle, and the oracle recomputes them
+    directly — proving observed metrics are exact aggregates of the
+    rows that flowed, not samples.  All four metrics are
+    engine-exact: integer count/cents, min/max need no FP
+    accumulation order."""
+    from pyspark.sql import Observation
+
+    li = Catalog(spark, sf_dir).lineitem.filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    obs = Observation("qc")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.floor(F.col("l_extendedprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("sum_cents"),
+        F.min("l_quantity").cast("double").alias("min_qty"),
+        F.max("l_quantity").cast("double").alias("max_qty"),
+    )
+    # Drive ONE pass over the observed frame (the "real" job a
+    # pipeline would run anyway); metrics piggyback on it.
+    observed.agg(F.count(F.lit(1))).collect()
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                int(m["n_rows"]),
+                int(m["sum_cents"]),
+                float(m["min_qty"]),
+                float(m["max_qty"]),
+            )
+        ],
+        "n_rows bigint, sum_cents bigint, min_qty double, max_qty double",
+    )
