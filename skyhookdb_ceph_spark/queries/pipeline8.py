@@ -437,13 +437,17 @@ def q_stream_backpressure(spark, sf_dir):
     maxFilesPerTrigger=1 over a 4-file backlog forces the
     AvailableNow drain to process the backlog as (at least) 4
     bounded micro-batches through the SAME transactional file sink.
-    Evidence is structural, not assumed: the checkpoint's commits log
-    must hold >= 4 committed batches (a drain that ignored the bound
-    commits once), surfaced as the bounded_ingest verdict column; the
-    aggregate over the committed output must equal exactly 4x the
-    fixture — bounding the batches may never drop or duplicate a
-    file.  Complements q_stream_resume (restart exactly-once) with
-    the other half of file-source operations: in-run batch sizing."""
+    Evidence is structural, not assumed: the drain's own progress
+    history must show >= 4 executed batch ids (a drain that ignored
+    the bound runs one), surfaced as the bounded_ingest verdict
+    column — read from query progress, NOT the checkpoint commits
+    directory, whose retention (minBatchesToRetain) may legitimately
+    prune old batch files (the r7 sweep caught exactly that via a
+    then-leaking retention conf); the aggregate over the committed
+    output must equal exactly 4x the fixture — bounding the batches
+    may never drop or duplicate a file.  Complements q_stream_resume
+    (restart exactly-once) with the other half of file-source
+    operations: in-run batch sizing."""
     import os
     import shutil
     import tempfile
@@ -473,11 +477,11 @@ def q_stream_backpressure(spark, sf_dir):
                 .start()
             )
             q.awaitTermination()
+            n_batches = max(
+                (p["batchId"] for p in q.recentProgress), default=-1
+            ) + 1
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
-        n_commits = len(
-            [f for f in os.listdir(f"{ckpt}/commits") if not f.startswith(".")]
-        )
         committed = spark.read.parquet(out)
         agg = (
             committed.groupBy("event_type")
@@ -487,7 +491,7 @@ def q_stream_backpressure(spark, sf_dir):
                 .cast("bigint")
                 .alias("sum_cents"),
             )
-            .withColumn("bounded_ingest", F.lit(n_commits >= 4))
+            .withColumn("bounded_ingest", F.lit(n_batches >= 4))
             .orderBy("event_type")
         )
         return spark.createDataFrame(agg.collect(), agg.schema)

@@ -132,7 +132,14 @@ def drain_to_memory(
     # A finite AvailableNow drain never restarts from an old offset, so
     # retaining the default 100 checkpoint batches is pure commit IO;
     # 1 is the measured (small) win.  Real deployments that resume
-    # from checkpoints should keep the default.
+    # from checkpoints should keep the default — and so must the REST
+    # of this session: this conf used to leak (no restore), which made
+    # every later checkpoint in the session retain a single batch file
+    # and broke q_stream_backpressure's commits-log evidence under the
+    # full test sweep (r7).
+    prev_retain = spark.conf.get(
+        "spark.sql.streaming.minBatchesToRetain", "100"
+    )
     spark.conf.set("spark.sql.streaming.minBatchesToRetain", "1")
     # After the data batch, Spark schedules one extra NO-DATA micro-batch
     # purely to advance the watermark and evict state (measured 0.5-1.2 s
@@ -167,6 +174,7 @@ def drain_to_memory(
         spark.conf.set(
             "spark.sql.streaming.noDataMicroBatches.enabled", prev_nodata
         )
+        spark.conf.set("spark.sql.streaming.minBatchesToRetain", prev_retain)
         if ckpt:
             import shutil
 
@@ -210,6 +218,9 @@ def drain_to_files(
     )
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", stream_parts)
+    prev_retain = spark.conf.get(
+        "spark.sql.streaming.minBatchesToRetain", "100"
+    )
     spark.conf.set("spark.sql.streaming.minBatchesToRetain", "1")
     prev_nodata = spark.conf.get(
         "spark.sql.streaming.noDataMicroBatches.enabled", "true"
@@ -233,6 +244,7 @@ def drain_to_files(
         spark.conf.set(
             "spark.sql.streaming.noDataMicroBatches.enabled", prev_nodata
         )
+        spark.conf.set("spark.sql.streaming.minBatchesToRetain", prev_retain)
         _shutil.rmtree(ckpt, ignore_errors=True)
     # Batch read honors _spark_metadata: only committed files are seen.
     return spark.read.parquet(out_dir)
