@@ -601,3 +601,124 @@ def q_observe_metrics(spark, sf_dir):
         ],
         "n_rows bigint, sum_cents bigint, min_qty double, max_qty double",
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.18.9 small-file compaction (the OPTIMIZE maintenance op)
+# ---------------------------------------------------------------------------
+
+_COMPACT_ORACLE = """
+SELECT CAST(64 AS INT) AS files_before, CAST(4 AS INT) AS files_after,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events
+"""
+
+
+@query("q_maint_compact", oracle=_COMPACT_ORACLE, tags=("maintenance", "scale-design"))
+def q_maint_compact(spark, sf_dir):
+    """Small-file COMPACTION — the table-maintenance op (Delta/Iceberg
+    OPTIMIZE, Hive concatenate) every streaming-ingested 100 TB table
+    needs: micro-batch sinks leave thousands of KB-sized files whose
+    per-file open/footer/task overhead eventually dominates scans.  A
+    64-file ingest layout is rewritten into 4 right-sized files (a
+    pure distributed read→repartition→write, no driver data path) and
+    BOTH invariants are proven against the oracle: the physical file
+    counts before/after (the thing compaction exists to change) and
+    the exact row count + cents sum (the thing compaction must never
+    change).  At scale the same plan runs per partition-directory
+    with target file size = maxPartitionBytes so post-compaction
+    scans get one task per file."""
+    import os
+    import shutil
+    import tempfile
+
+    from skyhookdb_ceph_spark.queries.scans import _scratch_dir
+
+    tmp = tempfile.mkdtemp(prefix="skyhook_compact_", dir=_scratch_dir())
+    small, big = f"{tmp}/small", f"{tmp}/big"
+
+    def data_files(d):
+        return [
+            f
+            for f in os.listdir(d)
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        ]
+
+    try:
+        src = Catalog(spark, sf_dir).events.select("event_type", "value")
+        src.repartition(64).write.mode("overwrite").parquet(small)
+        files_before = len(data_files(small))
+        spark.read.parquet(small).repartition(4).write.mode(
+            "overwrite"
+        ).parquet(big)
+        files_after = len(data_files(big))
+        agg = (
+            spark.read.parquet(big)
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum(F.floor(F.col("value") * 100).cast("bigint"))
+                .cast("bigint")
+                .alias("sum_cents"),
+            )
+            .select(
+                F.lit(files_before).cast("int").alias("files_before"),
+                F.lit(files_after).cast("int").alias("files_after"),
+                "n_rows",
+                "sum_cents",
+            )
+        )
+        return spark.createDataFrame(agg.collect(), agg.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# §2.18.10 schema drift tolerance (mergeSchema over mixed-vintage files)
+# ---------------------------------------------------------------------------
+
+_DRIFT_ORACLE = """
+SELECT CAST(2 * count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_with_chars,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+"""
+
+
+@query("q_scan_schema_drift", oracle=_DRIFT_ORACLE, tags=("scan", "robustness"))
+def q_scan_schema_drift(spark, sf_dir):
+    """Schema EVOLUTION at the scan — the ingestion reality of any
+    long-lived table: files written before a column existed must read
+    alongside files written after.  Two vintages of the documents
+    table land in one directory (old: doc_id+lang; new: +n_chars);
+    mergeSchema=true unions the schemas and fills the missing column
+    with NULL for old files — no rewrite of history, no failed scan.
+    The oracle pins the exact semantics: every row surfaces (2x), the
+    new column is non-null for EXACTLY the new vintage, and its sum
+    equals the source (nothing fabricated).  At 100 TB this is why
+    schema-on-read beats backfilling petabytes for every added
+    column; the per-file footer carries its own schema and the merge
+    happens at plan time."""
+    import shutil
+    import tempfile
+
+    from skyhookdb_ceph_spark.queries.scans import _scratch_dir
+
+    tmp = tempfile.mkdtemp(prefix="skyhook_drift_", dir=_scratch_dir())
+    try:
+        d = Catalog(spark, sf_dir).documents
+        d.select("doc_id", "lang").write.mode("overwrite").parquet(
+            f"{tmp}/t/vintage=old"
+        )
+        d.select("doc_id", "lang", "n_chars").write.mode("overwrite").parquet(
+            f"{tmp}/t/vintage=new"
+        )
+        merged = spark.read.option("mergeSchema", "true").parquet(f"{tmp}/t")
+        agg = merged.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.count("n_chars").cast("bigint").alias("n_with_chars"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+        return spark.createDataFrame(agg.collect(), agg.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

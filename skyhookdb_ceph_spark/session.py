@@ -33,7 +33,20 @@ def get_spark(
     A single shared session is the intended usage pattern — the JVM
     startup cost is paid once and every query after that is
     tens-of-ms marginal cost (see BASELINE.md interpretation).
+
+    If a session already exists it is returned AS-IS: getOrCreate
+    would silently apply this call's runtime SQL confs onto it (Spark
+    only warns), so a late get_spark(shuffle_partitions=32) from e.g.
+    the CLI would rewrite the running session's partitioning out from
+    under its owner — the conf-leak class the r7 test guard caught.
+    Config changes require a fresh process (documented in the verify
+    recipe); the FIRST get_spark in a process wins.
     """
+    existing = SparkSession.getActiveSession()
+    if existing is None:
+        existing = getattr(SparkSession, "_instantiatedSession", None)
+    if existing is not None:
+        return existing
     # local[N,M]: M task attempts.  Production Spark survives lost
     # executors by re-running failed tasks (spark.task.maxFailures,
     # default 4 on clusters); local mode defaults to ONE attempt, which
