@@ -722,3 +722,110 @@ def q_scan_schema_drift(spark, sf_dir):
         return spark.createDataFrame(agg.collect(), agg.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# §2.18.11 streaming Python DataSource (storage-side replay source)
+# ---------------------------------------------------------------------------
+
+_PYSOURCE_ORACLE = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+       CAST(1 AS BOOLEAN) AS bounded_batches
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+@query(
+    "q_stream_python_source",
+    oracle=_PYSOURCE_ORACLE,
+    tags=("streaming", "live-stream", "source", "scale-design"),
+)
+def q_stream_python_source(spark, sf_dir):
+    """The STREAMING face of the custom storage-side source
+    (sources/skyhook_source.py SkyhookStreamReader): a full
+    DataSourceStreamReader whose offsets are object chunks, whose
+    partition planning maps offset ranges to row slices, whose
+    read() runs on EXECUTORS via Arrow (driver never touches data —
+    the SimpleDataSourceStreamReader convenience API prefetches
+    through the driver and single-batches under AvailableNow; both
+    were measured and rejected), and whose latestOffset applies
+    SOURCE-side admission control: one chunk of new data per
+    micro-batch, the maxFilesPerTrigger idea pushed into the storage
+    tier itself — the streaming analog of the reference's
+    storage-side scan.  The drain polls the query's own progress
+    until the source's final offset has a committed no-new-data
+    batch behind it, so termination is offset-exact, not timed.
+    Verdicts: per-type totals must equal the batch fixture exactly
+    (chunking may never drop/duplicate a row) and >= 4 data batches
+    must have executed (bounded_batches)."""
+    import ast
+    import shutil
+    import tempfile
+    import time
+    import uuid
+
+    from skyhookdb_ceph_spark.queries.scans import _scratch_dir
+    from skyhookdb_ceph_spark.sources.skyhook_source import register
+
+    register(spark)
+    n_chunks = 4
+    stream = (
+        spark.readStream.format("skyhook")
+        .option("path", f"{sf_dir}/events.parquet")
+        .option("columns", "event_type,value")
+        .option("chunks", str(n_chunks))
+        .load()
+    )
+    name = f"pysrc_{uuid.uuid4().hex[:12]}"
+    tmp = tempfile.mkdtemp(prefix="skyhook_pysrc_", dir=_scratch_dir())
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", f"{tmp}/ck")
+            .outputMode("append")
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        deadline = time.time() + 300
+        drained = False
+        while time.time() < deadline:
+            exc = q.exception()
+            if exc is not None:
+                raise exc
+            p = q.lastProgress
+            if p and p["sources"] and p["sources"][0]["endOffset"]:
+                end = ast.literal_eval(p["sources"][0]["endOffset"])
+                if end.get("chunk") == n_chunks and p["numInputRows"] == 0:
+                    drained = True
+                    break
+            time.sleep(0.2)
+        data_batches = sum(
+            1 for p in q.recentProgress if p["numInputRows"] > 0
+        )
+        q.stop()
+        q.awaitTermination(60)
+        if not drained:
+            raise RuntimeError(
+                "q_stream_python_source: source did not reach its final "
+                "offset within the deadline"
+            )
+        agg = (
+            spark.table(name)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                F.sum(F.floor(F.col("value") * 100).cast("bigint"))
+                .cast("bigint")
+                .alias("sum_cents"),
+            )
+            .withColumn("bounded_batches", F.lit(data_batches >= n_chunks))
+            .orderBy("event_type")
+        )
+        return spark.createDataFrame(agg.collect(), agg.schema)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        shutil.rmtree(tmp, ignore_errors=True)
