@@ -754,8 +754,11 @@ def q_stream_python_source(spark, sf_dir):
     micro-batch, the maxFilesPerTrigger idea pushed into the storage
     tier itself — the streaming analog of the reference's
     storage-side scan.  The drain polls the query's own progress
-    until the source's final offset has a committed no-new-data
-    batch behind it, so termination is offset-exact, not timed.
+    until a progress event carries the source's FINAL offset —
+    progress is reported after a batch commits, so that event proves
+    the last data batch is in the sink; termination is offset-exact,
+    not timed.  (Waiting for a no-data batch instead would idle ~10 s
+    on spark.sql.streaming.noDataProgressEventInterval — measured.)
     Verdicts: per-type totals must equal the batch fixture exactly
     (chunking may never drop/duplicate a row) and >= 4 data batches
     must have executed (bounded_batches)."""
@@ -799,10 +802,10 @@ def q_stream_python_source(spark, sf_dir):
             p = q.lastProgress
             if p and p["sources"] and p["sources"][0]["endOffset"]:
                 end = ast.literal_eval(p["sources"][0]["endOffset"])
-                if end.get("chunk") == n_chunks and p["numInputRows"] == 0:
+                if end.get("chunk") == n_chunks:
                     drained = True
                     break
-            time.sleep(0.2)
+            time.sleep(0.1)
         data_batches = sum(
             1 for p in q.recentProgress if p["numInputRows"] > 0
         )
