@@ -752,3 +752,15 @@ def test_skew_adaptive_agg_plain_branch_on_uniform_key(spark):
     df = spark.range(1000).selectExpr("id AS k", "id * 0.5 AS value")
     plan = es(adaptive_sum_by_key(df, "k"))
     assert "__salt" not in plan
+
+
+def test_hll_merge_sketches_stay_aggregated(spark):
+    """The mergeable-sketch plan: sketch state must flow through
+    partial/final HashAggregates (hll_sketch_agg and hll_union_agg
+    are both map-side combinable — fixed-size binary state shuffles,
+    never rows) and the day-sketch side joins back as a broadcast."""
+    plan = explain_str(q("q_agg_hll_merge", spark))
+    assert "hll_sketch_agg" in plan
+    assert "hll_union_agg" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

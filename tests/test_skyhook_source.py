@@ -151,3 +151,46 @@ def test_plan_stats_file_written(tmp_path, monkeypatch):
     r.partitions()
     stats = json.loads(f.read_text())
     assert stats["total"] == stats["planned"] + stats["pruned"] > 0
+
+
+def test_stream_reader_offsets_and_slices(spark):
+    """Direct contract test of SkyhookStreamReader: latestOffset
+    admits exactly one chunk per call and clamps at the end; the
+    partition plan for an offset range covers the row space exactly
+    once (no gap, no overlap); read() yields precisely the planned
+    slice."""
+    from skyhookdb_ceph_spark.sources.skyhook_source import (
+        SkyhookStreamReader,
+    )
+
+    path = "/root/testdata/sf0.001/events.parquet"
+    r = SkyhookStreamReader(path, n_chunks=4, columns=["event_type", "value"])
+    assert r.initialOffset() == {"chunk": 0}
+    offs = [r.latestOffset() for _ in range(6)]
+    assert offs == [{"chunk": i} for i in (1, 2, 3, 4, 4, 4)]  # clamped
+
+    parts = r.partitions({"chunk": 0}, {"chunk": 4})
+    assert len(parts) == 4
+    assert parts[0].lo == 0 and parts[-1].hi == r.total
+    for a, b in zip(parts, parts[1:]):
+        assert a.hi == b.lo  # contiguous, disjoint
+
+    n_rows = sum(
+        sum(batch.num_rows for batch in r.read(p)) for p in parts
+    )
+    assert n_rows == r.total
+    # a middle partition yields exactly its slice
+    mid = parts[1]
+    got = sum(batch.num_rows for batch in r.read(mid))
+    assert got == mid.hi - mid.lo
+
+
+def test_stream_reader_empty_range_plans_nothing(spark):
+    from skyhookdb_ceph_spark.sources.skyhook_source import (
+        SkyhookStreamReader,
+    )
+
+    r = SkyhookStreamReader(
+        "/root/testdata/sf0.001/events.parquet", n_chunks=4, columns=None
+    )
+    assert r.partitions({"chunk": 2}, {"chunk": 2}) == []
