@@ -1,27 +1,35 @@
-"""Round-7 wave (SURVEY.md §2.18): fault-mode completion, the
-stats-driven optimizer story's aggregation leg, and the XML leg of
-format plurality (q_transform_xml, Spark 4 built-in XML source).
+"""Round-7 wave (SURVEY.md §2.18), eleven queries in five themes:
 
-Queries:
-- q_fault_shuffle_retry — the SECOND fault mode (the r6 verdict's
-  item 4): the round-5 q_fault_task_retry injects a post-shuffle
-  (reduce-side) attempt failure; this one kills a MAP-side task after
-  it has already produced shuffle-bound rows, so the stage whose
-  output feeds the exchange is retried and its partially-produced
-  shuffle output must be discarded — the "lost map output" recovery a
-  1000-executor job exercises constantly.  (A true JVM-level
-  FetchFailedException cannot be thrown from a Python worker — the
-  scheduler classifies Python exceptions as task failures — so this is
-  the closest Python-reachable twin: the failed attempt's
-  shuffle-bound rows exist and must not be double-counted.)
-- q_agg_skew_adaptive — extends q_join_stats_driven's
-  measured-cardinality pattern from joins to AGGREGATION: a 1-row
-  skew probe (operators/skew.py max_key_share) measures the hot key's
-  row share and picks the two-phase salted aggregate when one key
-  exceeds a shuffle-partition's fair share, the plain partial/final
-  aggregate otherwise.  Both branches are algebraically identical
-  (sum of sums / sum of counts), so the oracle is branch-invariant;
-  tests/test_plans.py asserts each branch's plan shape.
+1. Fault-mode completion (r6 verdict item 4):
+   - q_fault_shuffle_retry kills a MAP-side task AFTER it produced
+     shuffle-bound rows (the "lost map output" recovery), pairing
+     with round-5's reduce-side q_fault_task_retry — together both
+     halves of the shuffle fault surface reachable from a Python
+     worker.  (A true JVM FetchFailedException cannot be thrown from
+     a Python worker — the scheduler classifies Python exceptions as
+     task failures — so this is the closest reachable twin.)
+2. Stats-driven optimization, aggregation leg (r6 stretch item):
+   - q_agg_skew_adaptive picks salted-two-phase vs plain aggregation
+     from a measured 1-row skew probe (operators/skew.py
+     max_key_share); branches algebraically identical, oracle
+     branch-invariant, both plan shapes asserted.
+3. Format/scan plurality and table maintenance:
+   - q_transform_xml (Spark 4 built-in XML source, attribute
+     mapping; Avro probed — external module, not deployable here),
+   - q_maint_compact (small-file compaction, the OPTIMIZE analog),
+   - q_scan_schema_drift (mergeSchema over mixed-vintage files).
+4. Engine-native sketches and modern front-end surfaces:
+   - q_agg_hll_merge (mergeable Datasketches HLL state: union of
+     per-day sketches ≡ direct sketch, est within 5 % of exact),
+   - q_agg_approx_topk (one-pass heavy hitters, exact under budget),
+   - q_sql_pipe (the |> linear SQL door),
+   - q_observe_metrics (CollectMetrics QC-on-the-same-pass).
+5. Streaming operations:
+   - q_stream_backpressure (maxFilesPerTrigger admission control,
+     batch count proven from the drain's own progress),
+   - q_stream_python_source (full DataSourceStreamReader with chunk
+     offsets, executor-side Arrow reads, and SOURCE-side rate
+     limiting — sources/skyhook_source.py SkyhookStreamReader).
 
 House rules unchanged: money/ratios quantized identically on both
 sides, identical aliases, deterministic everything, no all-pairs, no
