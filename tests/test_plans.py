@@ -764,3 +764,14 @@ def test_hll_merge_sketches_stay_aggregated(spark):
     assert "hll_union_agg" in plan
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_containment_dedup_stays_equi_join(spark):
+    """Containment candidates must come from the rare-shingle
+    inverted-index equi-join — never a cartesian/nested-loop pair
+    enumeration — and the df<=5 cap must aggregate partially before
+    its exchange."""
+    plan = explain_str(q("q_dedup_containment", spark))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashAggregate" in plan
