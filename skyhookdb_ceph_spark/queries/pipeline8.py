@@ -40,6 +40,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from skyhookdb_ceph_spark.operators import ensure_parallelism
 from skyhookdb_ceph_spark.operators.skew import (
     SKEW_SHARE_THRESHOLD,
     max_key_share,
@@ -942,4 +943,105 @@ def q_dedup_containment(spark, sf_dir):
             "containment",
         )
         .orderBy("doc_small", "doc_big")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.18.13 VARIANT semi-structured type (parse once, extract typed)
+# ---------------------------------------------------------------------------
+
+_VARIANT_ORACLE = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS cnt,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT)
+         AS sum_k,
+       CAST(count(*) AS BIGINT) AS n_missing_null,
+       'OBJECT<k: BIGINT>' AS variant_schema
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+@query("q_fn_variant", oracle=_VARIANT_ORACLE, tags=("functions", "semi-structured"))
+def q_fn_variant(spark, sf_dir):
+    """The VARIANT type — Spark 4's binary semi-structured encoding
+    (parse_json once, typed variant_get extraction after): the open
+    lakehouse answer to storing JSON as strings and re-parsing per
+    access.  Three semantics proven against the JSON-string oracle:
+    typed path extraction equals json_extract (sum over every row),
+    try_variant_get on an absent path is NULL for EVERY row (never an
+    error — n_missing_null == cnt), and schema_of_variant infers the
+    stable object shape, pinned as a literal verdict column.  The
+    fixture stores props as string so the parse still runs per row
+    here; the type's 100 TB payoff is WRITING the variant column to
+    parquet once and paying binary field access, not Jackson, on
+    every later read — same plan, parse hoisted to ingest."""
+    e = Catalog(spark, sf_dir).events
+    v = e.select(
+        "event_type",
+        F.expr("variant_get(parse_json(props), '$.k', 'int')").alias("k"),
+        F.expr(
+            "try_variant_get(parse_json(props), '$.absent', 'int')"
+        ).alias("miss"),
+        F.expr("schema_of_variant(parse_json(props))").alias("sch"),
+    )
+    return (
+        v.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.count_if(F.col("miss").isNull()).cast("bigint").alias(
+                "n_missing_null"
+            ),
+            F.min("sch").alias("variant_schema"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.18.14 collation-aware comparison (UTF8_LCASE distinct)
+# ---------------------------------------------------------------------------
+
+_COLLATION_ORACLE = """
+WITH ws AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+w AS (
+  SELECT CASE WHEN i % 2 = 1 THEN upper(toks[i]) ELSE toks[i] END AS w2
+  FROM ws, unnest(generate_series(1, len(toks))) t(i)
+  WHERE toks[i] <> '')
+SELECT CAST(count(*) AS BIGINT) AS n_words,
+       CAST(count(DISTINCT w2) AS BIGINT) AS distinct_cs,
+       CAST(count(DISTINCT lower(w2)) AS BIGINT) AS distinct_ci
+FROM w
+"""
+
+
+@query("q_fn_collation", oracle=_COLLATION_ORACLE, tags=("functions", "text"))
+def q_fn_collation(spark, sf_dir):
+    """COLLATION-aware comparison — Spark 4 collations make
+    case-insensitive equality a property of the COLUMN instead of a
+    lower() wrapped around every predicate and join key: the distinct
+    count over collate(w, 'UTF8_LCASE') must equal the oracle's
+    explicit count(DISTINCT lower(w)).  Case variation is synthesized
+    deterministically (every even-position token uppercased —
+    1-based/0-based indexing aligned between engines) so the
+    case-sensitive and case-insensitive counts provably diverge on
+    the same data.  At scale the win is plan-level: a collated
+    equi-join or aggregate hashes the collation key directly — no
+    derived lower() column to materialize, shuffle, and keep in sync
+    on 100 TB of text."""
+    d = ensure_parallelism(Catalog(spark, sf_dir).documents)
+    w = (
+        d.selectExpr("posexplode(split(text, ' ')) AS (pos, w)")
+        .filter("w <> ''")
+        .selectExpr(
+            "CASE WHEN pos % 2 = 0 THEN upper(w) ELSE w END AS w2"
+        )
+    )
+    return w.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        F.count_distinct("w2").cast("bigint").alias("distinct_cs"),
+        F.count_distinct(F.expr("collate(w2, 'UTF8_LCASE')"))
+        .cast("bigint")
+        .alias("distinct_ci"),
     )
