@@ -1045,3 +1045,103 @@ def q_fn_collation(spark, sf_dir):
         .cast("bigint")
         .alias("distinct_ci"),
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.18.15 orphan-file vacuum (transaction-log storage hygiene)
+# ---------------------------------------------------------------------------
+
+_VACUUM_ORACLE = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+       CAST(2 AS BIGINT) AS orphans_removed,
+       CAST(1 AS BOOLEAN) AS dir_matches_log
+FROM events
+"""
+
+
+@query("q_maint_vacuum", oracle=_VACUUM_ORACLE, tags=("maintenance", "scale-design"))
+def q_maint_vacuum(spark, sf_dir):
+    """Orphan-file VACUUM — the other half of table maintenance
+    (q_maint_compact): a transactional sink's commit log
+    (_spark_metadata here; Delta/Iceberg manifests at large) makes
+    reads correct in the presence of failed-attempt leftovers, but
+    the orphan bytes still occupy storage forever until something
+    reconciles directory contents against the log.  A streamed write
+    produces committed files; two orphans are planted beside them
+    (uncommitted leftovers a dead writer would leave); the vacuum
+    diffs the directory listing against the files the committed read
+    actually consumes (input_file_name over the log-honoring read)
+    and deletes the difference.  Proven: reads were ALREADY safe
+    before vacuum (row count + cents equal the fixture — the log,
+    not the listing, defines the table), exactly the 2 planted
+    orphans are removed, and afterwards the directory matches the
+    log.  At 100 TB this reconciliation is a listing-vs-manifest
+    anti-join per partition directory — same shape, object-store
+    scale."""
+    import os
+    import shutil
+    import tempfile
+
+    from skyhookdb_ceph_spark.queries.scans import _scratch_dir
+    from skyhookdb_ceph_spark.streaming.replay import (
+        drain_to_files,
+        events_stream,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="skyhook_vacuum_", dir=_scratch_dir())
+    src, out = f"{tmp}/src", f"{tmp}/out"
+    os.makedirs(src, exist_ok=True)
+    try:
+        shutil.copy(f"{sf_dir}/events.parquet", f"{src}/a.parquet")
+        committed_df = drain_to_files(
+            events_stream(spark, src, glob="*.parquet").select(
+                "event_type", "value"
+            ),
+            out,
+        )
+        # plant orphans: uncommitted leftovers beside committed files
+        data_files = [
+            f
+            for f in os.listdir(out)
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        ]
+        for i in (1, 2):
+            shutil.copy(
+                f"{out}/{data_files[0]}", f"{out}/orphan-{i}.parquet"
+            )
+        # the committed read is log-driven: orphans are invisible to it
+        committed = spark.read.parquet(out)
+        used = {
+            os.path.basename(r["f"])
+            for r in committed.select(
+                F.input_file_name().alias("f")
+            ).distinct().collect()
+        }
+        listing = {
+            f
+            for f in os.listdir(out)
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        }
+        orphans = sorted(listing - used)
+        for f in orphans:
+            os.remove(f"{out}/{f}")
+        after = {
+            f
+            for f in os.listdir(out)
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        }
+        agg = spark.read.parquet(out).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.floor(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("sum_cents"),
+        ).select(
+            "n_rows",
+            "sum_cents",
+            F.lit(len(orphans)).cast("bigint").alias("orphans_removed"),
+            F.lit(after == used).alias("dir_matches_log"),
+        )
+        return spark.createDataFrame(agg.collect(), agg.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
