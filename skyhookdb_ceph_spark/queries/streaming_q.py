@@ -594,3 +594,70 @@ def q_stream_foreach_batch(spark, sf_dir):
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# chained stateful window aggregations (multi-stateful-operator path)
+# ---------------------------------------------------------------------------
+
+_CHAINED_ORACLE = """
+WITH mx AS (SELECT max(ts) AS m FROM events),
+hours AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts) AS hs,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1),
+closed_h AS (
+  SELECT hs, cnt FROM hours, mx WHERE hs + INTERVAL '1 hour' <= m),
+days AS (
+  SELECT date_trunc('day', hs) AS day_start,
+         CAST(count(*) AS BIGINT) AS n_hours,
+         CAST(sum(cnt) AS BIGINT) AS n_events
+  FROM closed_h GROUP BY 1)
+SELECT day_start, n_hours, n_events
+FROM days, mx WHERE day_start + INTERVAL '1 day' <= m
+ORDER BY day_start
+"""
+
+
+@query(
+    "q_stream_chained_windows",
+    oracle=_CHAINED_ORACLE,
+    tags=("stream", "live-stream", "scale-design"),
+)
+def q_stream_chained_windows(spark, sf_dir):
+    """CHAINED stateful window aggregations in ONE streaming query —
+    the multiple-stateful-operator path (Spark 3.4+): an hourly
+    tumbling aggregate feeds a daily rollup of those hours, both
+    watermark-gated, both holding state, in a single plan.  Before
+    this path existed the daily layer required a second query reading
+    the first one's sink — doubling checkpoints, sinks, and
+    end-to-end latency; here the hour windows close as the watermark
+    passes, flow DOWNSTREAM inside the same micro-batch (their event
+    time is window_time = window end − 1 µs), and the day windows
+    close off the SAME watermark.  The oracle states the cascade
+    declaratively: hours whose end ≤ max(ts) roll into days whose end
+    ≤ max(ts) — both emission gates visible as WHERE clauses.  At
+    100 TB the win is one state lineage instead of a two-hop DAG:
+    the hour→day reduction happens before any sink, so the second
+    stateful operator's input is already aggregate-sized."""
+    stream = events_stream(spark, sf_dir)
+    hours = (
+        stream.withWatermark("ts", "0 seconds")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    days = (
+        hours.groupBy(F.window(F.window_time("window"), "1 day"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+            F.sum("cnt").cast("bigint").alias("n_events"),
+        )
+        .select(
+            F.col("window.start").alias("day_start"),
+            "n_hours",
+            "n_events",
+        )
+    )
+    return drain_to_memory(
+        days, output_mode="append", needs_watermark_batch=True
+    ).orderBy("day_start")

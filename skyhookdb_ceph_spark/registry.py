@@ -84,7 +84,7 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q_sql_pipe", "q_observe_metrics",
     "q_maint_compact", "q_scan_schema_drift", "q_stream_python_source",
     "q_dedup_containment", "q_fn_variant", "q_fn_collation",
-    "q_maint_vacuum",
+    "q_maint_vacuum", "q_stream_chained_windows",
     # -- r1-era stamps, last driver-checked 6 rounds of refactors ago
     "q_scan_full", "q_scan_project", "q_transform_format",
     "q_join_multiway", "q_set_union", "q_set_intersect", "q_set_except",
@@ -96,14 +96,14 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q_join_semi", "q_join_anti", "q_join_theta", "q_join_cross",
     # -- r2-era stamps: aggregates core
     "q_agg_having", "q_agg_distinct", "q_agg_approx_distinct",
-    "q_agg_rollup",
     # -- r2-era stamps: first filters (headline pair)
     "q_filter_gt", "q_filter_range_conj",
     # ---- window boundary (50) — round 8 leads with the r2 remainder:
-    # q_agg_cube, q_agg_percentiles, q_agg_grouping_sets, q_agg_pivot,
-    # q_agg_listagg, q_agg_avg_stddev, q_agg_filtered, q_tpch_q3/q5/q10,
-    # q_filter_eq_point/like/regex/in/between/or_not/null/null_safe_eq,
-    # q_project_compute, and the 13-entry q_fn_* family.
+    # q_agg_rollup, q_agg_cube, q_agg_percentiles, q_agg_grouping_sets,
+    # q_agg_pivot, q_agg_listagg, q_agg_avg_stddev, q_agg_filtered,
+    # q_tpch_q3/q5/q10, q_filter_eq_point/like/regex/in/between/or_not/
+    # null/null_safe_eq, q_project_compute, and the 13-entry q_fn_*
+    # family.
 )
 
 
