@@ -285,6 +285,19 @@ AUDIT = {
         "salt tasks (plain branch asserted separately in "
         "tests/test_plans.py)."
     ),
+    "q_dedup_containment": (
+        "Containment dedup (r7). Wanted: rare-shingle inverted-index "
+        "candidates via equi-joins only — no CartesianProduct, no "
+        "BroadcastNestedLoopJoin anywhere; the df<=5 cap's count "
+        "partial-aggregates before its exchange; exact containment "
+        "verified on the candidate set, never all pairs."
+    ),
+    "q_agg_hll_merge": (
+        "Mergeable HLL sketch state (r7). Wanted: hll_sketch_agg and "
+        "hll_union_agg both inside partial/final HashAggregates "
+        "(fixed-size binary state shuffles, never rows); the per-day "
+        "sketch side re-joins as a broadcast."
+    ),
 }
 
 
