@@ -332,14 +332,19 @@ def q_agg_hll_merge(spark, sf_dir):
     state a direct whole-history sketch holds — so yesterday's
     pre-aggregated bytes answer today's distinct-count question
     without rescanning history.  Two claims are proven against the
-    oracle as banded/exact verdict columns (the registry's
-    non-SQL-op pattern): est_ok — the sketch estimate is within 5 %
-    of the EXACT distinct count (computed in the same Spark agg and
+    oracle as banded verdict columns (the registry's non-SQL-op
+    pattern): est_ok — the direct sketch estimate is within 5 % of
+    the EXACT distinct count (computed in the same Spark agg and
     matched exactly against DuckDB's count(DISTINCT)); and
-    merge_consistent — the union-of-day-sketches estimate EQUALS the
-    direct-sketch estimate (Datasketches HLL union at equal lgK is a
-    lossless state merge, so any inequality means real breakage, not
-    tolerance).  Contrast q_agg_countmin (hand-rolled frequency
+    merge_consistent — the union-of-day-sketches estimate is within
+    the SAME 5 % of exact.  Exact equality of union and direct
+    estimates holds only while sketches stay in sparse/coupon mode
+    (true at sf0.01, 150 uniques/key); past promotion to dense HLL
+    the union's internal HLL_8 accumulator legitimately lands a few
+    counts off the direct sketch (measured sf0.1, 1500 uniques/key:
+    direct 1494 vs union 1488 vs exact 1500 — both inside the error
+    bound, NOT equal; the first r7 sf0.1 oracle sweep caught the
+    over-strong equality claim).  Contrast q_agg_countmin (frequency
     sketch): here the sketch bytes are engine-native binary state, so
     a user can persist the per-day column and keep merging forever.
     Plan: two map-combined keyed aggs + a 5-row broadcast join; the
@@ -372,9 +377,10 @@ def q_agg_hll_merge(spark, sf_dir):
                 F.abs(F.col("est_direct") - F.col("exact_users"))
                 <= 0.05 * F.col("exact_users")
             ).alias("est_ok"),
-            (F.col("est_direct") == F.col("est_union")).alias(
-                "merge_consistent"
-            ),
+            (
+                F.abs(F.col("est_union") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("merge_consistent"),
         )
         .orderBy("event_type")
     )
