@@ -7,7 +7,13 @@ validated pushdown by diffing --use-cls on/off results
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
+
+# Sort-order arguments in an optimized-plan windowspecdefinition print
+# as "<expr> ASC NULLS FIRST" / "<expr> DESC NULLS LAST".
+_SORT_ORDER_SUFFIX = re.compile(r"\b(ASC|DESC) NULLS (FIRST|LAST)$")
 
 
 def explain_str(df: DataFrame, mode: str = "formatted") -> str:
@@ -94,7 +100,11 @@ def count_unpartitioned_windows(df: DataFrame) -> int:
             for a in (s.strip() for s in args)
             if not a.startswith("specifiedwindowframe")
         ]
-        parts = [a for a in body if " ASC" not in a and " DESC" not in a]
+        # Match the trailing sort-order grammar, not a bare " ASC"/
+        # " DESC" substring, so a partition expression whose printed
+        # form merely CONTAINS those tokens (a literal 'X ASC', an
+        # alias named foo_DESC) is not miscounted as a sort key.
+        parts = [a for a in body if not _SORT_ORDER_SUFFIX.search(a)]
         if not parts:
             n += 1
         i = j

@@ -1116,14 +1116,29 @@ def q_maint_vacuum(spark, sf_dir):
             shutil.copy(
                 f"{out}/{data_files[0]}", f"{out}/orphan-{i}.parquet"
             )
-        # the committed read is log-driven: orphans are invisible to it
-        committed = spark.read.parquet(out)
-        used = {
-            os.path.basename(r["f"])
-            for r in committed.select(
-                F.input_file_name().alias("f")
-            ).distinct().collect()
-        }
+        # Enumerate committed files from the _spark_metadata commit log
+        # itself (each batch file is a "v1" header + one JSON
+        # SinkFileStatus per action), NOT from input_file_name() over a
+        # read: a committed-but-EMPTY sink file (a task that wrote zero
+        # rows) contributes no rows, so a row-derived file set would
+        # misclassify it as an orphan and vacuum would corrupt the log's
+        # referents.  The log is the manifest; the manifest defines
+        # "used".
+        import json as _json
+
+        used = set()
+        log_dir = f"{out}/_spark_metadata"
+        for batch in os.listdir(log_dir):
+            if batch.startswith(".") or batch.endswith(".crc"):
+                continue
+            with open(f"{log_dir}/{batch}") as fh:
+                for line in fh:
+                    line = line.strip()
+                    if not line or line.startswith("v"):
+                        continue
+                    action = _json.loads(line)
+                    if action.get("path") and action.get("action") != "delete":
+                        used.add(os.path.basename(action["path"]))
         listing = {
             f
             for f in os.listdir(out)

@@ -46,6 +46,7 @@ def get_spark(
     if existing is None:
         existing = getattr(SparkSession, "_instantiatedSession", None)
     if existing is not None:
+        _warn_on_conf_divergence(existing, shuffle_partitions, extra_conf)
         return existing
     # local[N,M]: M task attempts.  Production Spark survives lost
     # executors by re-running failed tasks (spark.task.maxFailures,
@@ -95,19 +96,55 @@ def get_spark(
     return b.getOrCreate()
 
 
+def _warn_on_conf_divergence(
+    live: SparkSession,
+    shuffle_partitions: int | None,
+    extra_conf: dict[str, str] | None,
+) -> None:
+    """Diagnose silent conf loss when an existing session is reused.
+
+    get_spark returns a pre-existing session untouched (the conf-leak
+    guard), which means a caller's requested confs are DISCARDED.  When
+    the request diverges from the live session's values, say so — a
+    bench run after a library created a session would otherwise run
+    with wrong settings and no signal."""
+    import logging
+
+    diffs: list[str] = []
+    want: dict[str, str] = dict(extra_conf or {})
+    if shuffle_partitions is not None:
+        want["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    for k, v in want.items():
+        try:
+            have = live.conf.get(k, None)
+        except Exception:
+            have = None
+        if have is not None and have != v:
+            diffs.append(f"{k}: requested {v!r}, live session has {have!r}")
+    if diffs:
+        logging.getLogger(__name__).warning(
+            "get_spark reused an existing SparkSession; requested confs "
+            "were NOT applied (%s). Start a fresh process to change them.",
+            "; ".join(diffs),
+        )
+
+
 def task_retries_available(spark: SparkSession) -> bool:
     """True iff a failed task attempt will be rescheduled.
 
     local[N,M] masters encode maxTaskFailures as M (1 = no retry —
     note "local[32,1]" CONTAINS a comma, so a substring test is
-    wrong); a bare local[N] is single-attempt; any non-local master
-    has cluster maxFailures semantics (default 4).  Fault-injection
-    queries consult this before raising, so they degrade to clean
-    runs under retry-less sessions instead of failing the job."""
+    wrong); a bare local[N] is single-attempt.  Only plain ``local[``
+    masters are single-JVM schedulers with this encoding:
+    ``local-cluster[...]`` simulates a real cluster and honors
+    spark.task.maxFailures (default 4), so it IS retry-capable, as is
+    any remote master.  Fault-injection queries consult this before
+    raising, so they degrade to clean runs under retry-less sessions
+    instead of failing the job."""
     import re
 
     master = spark.sparkContext.master
-    if not master.startswith("local"):
+    if not re.match(r"^local\[", master):
         return True
     m = re.match(r"local\[(?:\d+|\*),\s*(\d+)\]", master)
     return bool(m and int(m.group(1)) > 1)

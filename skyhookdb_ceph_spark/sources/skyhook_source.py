@@ -339,6 +339,14 @@ class SkyhookStreamReader(DataSourceStreamReader):
         return {"chunk": self._served}
 
     def partitions(self, start, end):
+        # Restart contract: _served is driver-memory only, but the
+        # offsets Spark hands back here come from the CHECKPOINT.  On a
+        # restart, a fresh reader's _served counter restarts at 0 and
+        # latestOffset could otherwise fall BEHIND the committed start
+        # offset (end < start — progress rewound, committed chunks
+        # replayed).  Clamping _served to every checkpoint-derived
+        # offset Spark shows us recovers the counter from durable state.
+        self._served = max(self._served, start["chunk"], end["chunk"])
         return [
             ChunkPartition(
                 self.path,
@@ -357,4 +365,7 @@ class SkyhookStreamReader(DataSourceStreamReader):
         yield from t.cast(_normalize_schema(t.schema)).to_batches()
 
     def commit(self, end):
-        pass  # nothing to release: the object is immutable
+        # Nothing to release (the object is immutable), but commit is
+        # the other checkpoint-sourced signal a restarted reader sees —
+        # keep the rate-limit counter at-or-past every committed offset.
+        self._served = max(self._served, end["chunk"])

@@ -43,6 +43,26 @@ def test_gate_population_is_the_headline_set():
     assert bench.HEADLINE == set(EXPECTED_HEADLINE)
 
 
+def test_window_audit_ignores_asc_desc_inside_partition_exprs(spark):
+    """The audit must classify windowspecdefinition args by the
+    trailing sort-order GRAMMAR ("... ASC NULLS FIRST"), not a bare
+    " ASC"/" DESC" substring: a partition expression whose printed
+    form merely contains those tokens (here a literal 'X ASC') was
+    miscounted as a sort key, flagging a partitioned window as
+    unpartitioned."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from skyhookdb_ceph_spark.plans.explain import count_unpartitioned_windows
+
+    df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    w = Window.partitionBy(
+        F.col("event_type") == F.lit("X ASC")
+    ).orderBy("ts")
+    out = df.select("event_type", F.row_number().over(w).alias("rn"))
+    assert count_unpartitioned_windows(out) == 0
+
+
 def test_window_allowlist_matches_audited_registry(spark):
     """Re-audit: every registered batch query's optimized plan is
     scanned for empty-partition window specs; the set with at least

@@ -113,6 +113,33 @@ def test_shared_test_session_has_no_retries(spark):
     assert not task_retries_available(spark), spark.sparkContext.master
 
 
+def test_get_spark_warns_when_reuse_discards_confs(spark, caplog):
+    """get_spark returns a pre-existing session untouched (the r7
+    conf-leak guard) — which silently DISCARDS the caller's requested
+    confs.  When the request diverges from the live session it must at
+    least say so, or a bench run after a library created a session
+    runs with wrong settings and no signal."""
+    import logging
+
+    from skyhookdb_ceph_spark.session import get_spark
+
+    live = spark.conf.get("spark.sql.shuffle.partitions")
+    want = int(live) + 7
+    with caplog.at_level(logging.WARNING, logger="skyhookdb_ceph_spark.session"):
+        got = get_spark(shuffle_partitions=want)
+    assert got is spark  # reused, untouched
+    assert spark.conf.get("spark.sql.shuffle.partitions") == live
+    assert any(
+        "NOT applied" in m and "shuffle.partitions" in m
+        for m in caplog.messages
+    )
+    # And silence when the request matches the live session.
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger="skyhookdb_ceph_spark.session"):
+        get_spark(shuffle_partitions=int(live))
+    assert not caplog.records
+
+
 def test_retry_guard_parses_masters_correctly():
     """Regression: "local[32,1]" CONTAINS a comma — the old substring
     guard classified a retry-LESS session as retry-capable, fired the
@@ -135,6 +162,10 @@ def test_retry_guard_parses_masters_correctly():
         "local[*,3]": True,
         "spark://host:7077": True,
         "yarn": True,
+        # local-cluster simulates a real cluster: it honors
+        # spark.task.maxFailures (default 4) and IS retry-capable —
+        # startswith("local") must not swallow it.
+        "local-cluster[2,1,1024]": True,
     }
     for master, expected in cases.items():
         assert task_retries_available(_S(master)) is expected, master

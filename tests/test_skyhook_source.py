@@ -185,6 +185,29 @@ def test_stream_reader_offsets_and_slices(spark):
     assert got == mid.hi - mid.lo
 
 
+def test_stream_reader_recovers_offset_after_restart(spark):
+    """Restart contract: _served is driver-memory only, so a FRESH
+    reader resumed from a checkpoint must recover its rate-limit
+    counter from the offsets Spark hands back (partitions/commit) —
+    otherwise latestOffset restarts at chunk 1 and can fall BEHIND the
+    committed start offset, rewinding progress and replaying
+    already-committed chunks."""
+    from skyhookdb_ceph_spark.sources.skyhook_source import (
+        SkyhookStreamReader,
+    )
+
+    path = "/root/testdata/sf0.001/events.parquet"
+    # Simulate a post-restart reader: fresh object, checkpoint says the
+    # query already committed through chunk 3.
+    r = SkyhookStreamReader(path, n_chunks=4, columns=["event_type"])
+    r.partitions({"chunk": 2}, {"chunk": 3})
+    assert r.latestOffset()["chunk"] >= 3  # never behind checkpoint
+    # commit() is the other checkpoint-sourced signal.
+    r2 = SkyhookStreamReader(path, n_chunks=4, columns=["event_type"])
+    r2.commit({"chunk": 3})
+    assert r2.latestOffset()["chunk"] >= 3
+
+
 def test_stream_reader_empty_range_plans_nothing(spark):
     from skyhookdb_ceph_spark.sources.skyhook_source import (
         SkyhookStreamReader,
