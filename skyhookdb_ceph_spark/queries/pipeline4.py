@@ -221,19 +221,49 @@ def q_tpch_q14(spark, sf_dir):
 # §2.15.5 Connected components (iterative min-label propagation)
 # ---------------------------------------------------------------------------
 
-_COMPONENTS_ORACLE = """
-WITH RECURSIVE edges AS (
-  SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
-  FROM lineitem WHERE l_orderkey % 20 = 0),
-und AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
-walk(v, lab) AS (
-  SELECT src, src FROM und
-  UNION
-  SELECT u.src, w.lab FROM und u JOIN walk w ON u.dst = w.v
-)
-SELECT v AS node, CAST(min(lab) AS BIGINT) AS component
-FROM walk GROUP BY v ORDER BY node
-"""
+def _components_oracle(k: int) -> str:
+    """Unrolled k-round min-label propagation as chained MATERIALIZED
+    CTEs — one level per round, each linear in |E|.
+
+    The obvious oracle (a recursive-CTE transitive closure with a
+    per-node min) materializes |component|^2 label pairs and exceeds
+    10 minutes of DuckDB time at sf0.1 (BASELINE.md §H.6), while this
+    form runs the SAME per-round recurrence as the Spark fixpoint —
+    lab_{i}(v) = least(lab_{i-1}(v), min over neighbors of
+    lab_{i-1}) — and is verified equal to the closure oracle at
+    sf0.001/sf0.01 (tests/test_correctness.py remains the cross-check
+    there).  k matches the Spark side's max_rounds bound: Spark
+    RAISES if the fixpoint needs more than max_rounds, so whenever
+    the engine returns at all, k oracle rounds provably cover it
+    (rounds past the fixpoint are no-ops).  MATERIALIZED is load-
+    bearing: each level is referenced twice (self + neighbor side)
+    and DuckDB's default CTE inlining would recompute it per
+    reference — exponential in k."""
+    sql = (
+        "WITH edges AS MATERIALIZED (\n"
+        "  SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst\n"
+        "  FROM lineitem WHERE l_orderkey % 20 = 0),\n"
+        "und AS MATERIALIZED "
+        "(SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),\n"
+        "lab0 AS MATERIALIZED (SELECT DISTINCT src AS v, src AS lab FROM und)"
+    )
+    for i in range(1, k + 1):
+        sql += (
+            f",\nlab{i} AS MATERIALIZED (\n"
+            f"  SELECT l.v, least(l.lab, coalesce(min(n.lab), l.lab)) AS lab\n"
+            f"  FROM lab{i - 1} l\n"
+            f"  LEFT JOIN und u ON u.src = l.v\n"
+            f"  LEFT JOIN lab{i - 1} n ON n.v = u.dst\n"
+            f"  GROUP BY l.v, l.lab)"
+        )
+    return sql + (
+        f"\nSELECT v AS node, CAST(lab AS BIGINT) AS component "
+        f"FROM lab{k} ORDER BY node"
+    )
+
+
+_COMPONENTS_MAX_ROUNDS = 50
+_COMPONENTS_ORACLE = _components_oracle(_COMPONENTS_MAX_ROUNDS)
 
 
 @query(
@@ -253,8 +283,10 @@ def q_graph_components(spark, sf_dir):
     Per-round cost at 100 TB is one sort-merge join partitioned by
     vertex; localCheckpoint truncates the growing lineage each round
     (a cluster deployment would use a checkpoint dir on shared
-    storage).  The oracle is the same fixpoint as a recursive CTE
-    (label set = transitive closure, min per node).
+    storage).  The oracle unrolls the SAME per-round recurrence to
+    the same max_rounds bound (see _components_oracle) — the previous
+    recursive-CTE transitive-closure form was O(|component|^2) and
+    DuckDB-intractable at sf0.1 (BASELINE.md §H.6).
 
     Convergence detection is FUSED into the round (r6 verdict item
     9): the new label row carries a chg flag (neighbor-min < own
@@ -281,7 +313,7 @@ def q_graph_components(spark, sf_dir):
         .withColumn("lab", F.col("v"))
         .localCheckpoint()
     )
-    max_rounds = 50
+    max_rounds = _COMPONENTS_MAX_ROUNDS  # oracle unrolls the same bound
     converged = False
     for _ in range(max_rounds):
         neigh_min = (
