@@ -4,10 +4,13 @@ SparkSession and prints ONE JSON line (the driver's BENCH_r{N} record).
 
     SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 python bench.py
 
-Methodology mirrors BASELINE.md §C (DuckDB baseline): one warm run, then
-best-of-2 timed runs, full materialization included (Arrow toPandas —
-the analog of DuckDB's fetchall).  JVM/session startup is excluded
-from per-query numbers but reported separately as "startup_sec".
+Methodology mirrors BASELINE.md §C (DuckDB baseline): one warm run,
+then best-of-2 timed runs — except the 13 HEADLINE gate queries, which
+are MEDIAN-of-3 with the per-rep samples and spread recorded in the
+gate object (single-number gating sat inside a ±15% noise box, §G).
+Full materialization included (Arrow collect — the analog of DuckDB's
+fetchall).  JVM/session startup is excluded from per-query numbers but
+reported separately as "startup_sec".
 Queries tagged "live-stream" (true readStream micro-pipelines) get the
 same warm run (absorbing one-time stream-machinery init), then a single
 timed drain of the full micro-pipeline.
@@ -101,6 +104,35 @@ WINDOW_ALLOWLIST = {
 }
 
 
+def build_gate(
+    headline_times: dict[str, float],
+    headline_samples: dict[str, list[float]],
+    floor: float,
+) -> dict[str, dict]:
+    """Per-query gate evaluation vs the DuckDB baseline (parsed from
+    BASELINE.md §A).  raw_ratio = t / baseline unadjusted; net_ratio
+    subtracts the self-measured local-mode dispatch floor.  t is the
+    MEDIAN of samples_sec (sorted, 3 reps — r7 verdict item 2:
+    best-of-2 sat inside a ±15% noise box where phantom swings were as
+    large as real fixes); spread_sec = max - min makes a noisy median
+    visible as such.  "data" queries (baseline > floor) are the ones a
+    plan can win or lose; "floor" queries' entire baseline is smaller
+    than one Spark job dispatch."""
+    gate = {}
+    for name, t in headline_times.items():
+        base_s = HEADLINE_BASELINE_MS[name] / 1e3
+        samples = headline_samples.get(name, [t])
+        gate[name] = {
+            "baseline_ms": HEADLINE_BASELINE_MS[name],
+            "raw_ratio": round(t / base_s, 2),
+            "net_ratio": round(max(t - floor, 0.0) / base_s, 2),
+            "kind": "data" if base_s > floor else "floor",
+            "samples_sec": [round(s, 4) for s in samples],
+            "spread_sec": round(max(samples) - min(samples), 4),
+        }
+    return gate
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf_name = os.path.basename(sf_dir.rstrip("/"))
@@ -159,6 +191,7 @@ def main() -> int:
 
     specs = load_all()
     times: dict[str, float] = {}
+    headline_samples: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
     win_global: dict[str, int] = {}
     for name, spec in sorted(specs.items()):
@@ -187,18 +220,31 @@ def main() -> int:
                         win_global[name] = n_gw
                 except Exception:  # noqa: BLE001 — diagnostics only
                     pass
-            # Best-of-2 for every batch query: single timed runs showed
-            # up to 4x GC/scheduling noise on mid-weight queries, which
-            # the per-round BENCH comparison would misread as
-            # regressions.  Live streams stay single-timed-run (each
-            # drain re-runs the full micro-pipeline, deterministic).
-            reps = 1 if live else 2
-            best = float("inf")
+            # Best-of-2 for ordinary batch queries: single timed runs
+            # showed up to 4x GC/scheduling noise on mid-weight
+            # queries, which the per-round BENCH comparison would
+            # misread as regressions.  HEADLINE queries — the judge's
+            # gate population — get MEDIAN-of-3 instead: best-of-2
+            # still left ±15% single-run swings (BASELINE.md §G —
+            # r7 saw ±100 ms phantom moves on q_scan_full/q_sim_knn
+            # as large as that round's real fixes), and the median
+            # both resists one slow outlier AND doesn't reward one
+            # lucky cache-hot run the way min does.  The gate records
+            # the spread so a noisy median is visible as such.  Live
+            # streams stay single-timed-run (each drain re-runs the
+            # full micro-pipeline, deterministic).
+            reps = 1 if live else (3 if name in HEADLINE else 2)
+            samples = []
             for _ in range(reps):
                 t = time.perf_counter()
                 _materialize(spec.fn(spark, sf_dir))
-                best = min(best, time.perf_counter() - t)
-            times[name] = round(best, 4)
+                samples.append(time.perf_counter() - t)
+            samples.sort()
+            if name in HEADLINE:
+                times[name] = round(samples[len(samples) // 2], 4)
+                headline_samples[name] = [round(s, 4) for s in samples]
+            else:
+                times[name] = round(samples[0], 4)
         except Exception as exc:  # noqa: BLE001
             errors[name] = f"{type(exc).__name__}: {exc}"[:200]
 
@@ -215,6 +261,7 @@ def main() -> int:
         "n_queries": len(times),
         "aqe_off": True,  # bench profile; correctness gate runs AQE-on
         "global_windows_all": win_global,  # incl. allowlisted (audit)
+        "headline_samples": headline_samples,  # sorted; median gated
     }
     if errors:
         full_record["errors"] = errors
@@ -250,24 +297,8 @@ def main() -> int:
         # floor_sec they carry).  "data" queries (baseline > floor)
         # are the ones a plan can win or lose; "floor" queries' entire
         # baseline is smaller than one Spark job dispatch.
-        "gate": {
-            name: {
-                "baseline_ms": HEADLINE_BASELINE_MS[name],
-                "raw_ratio": round(
-                    t / (HEADLINE_BASELINE_MS[name] / 1e3), 2
-                ),
-                "net_ratio": round(
-                    max(t - floor, 0.0) / (HEADLINE_BASELINE_MS[name] / 1e3),
-                    2,
-                ),
-                "kind": (
-                    "data"
-                    if HEADLINE_BASELINE_MS[name] / 1e3 > floor
-                    else "floor"
-                ),
-            }
-            for name, t in headline_times.items()
-        },
+        "gate": build_gate(headline_times, headline_samples, floor),
+        "gate_stat": "median_of_3",
         "gate_floor_self_measured": True,
         "sf": sf,
         "startup_sec": round(startup, 2),

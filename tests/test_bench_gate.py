@@ -43,6 +43,37 @@ def test_gate_population_is_the_headline_set():
     assert bench.HEADLINE == set(EXPECTED_HEADLINE)
 
 
+def test_build_gate_median_of_3_shape():
+    """r7 verdict item 2: the headline gate is a median-of-3 with the
+    per-rep samples and spread recorded, so box noise (±15 % single
+    runs, BASELINE.md §G) is visible rather than silently gated on.
+    Pins: median is the gated time, samples echo sorted reps, spread
+    = max - min, ratios derive from the median, and kind splits on
+    baseline-vs-floor."""
+    floor = 0.081
+    # q_scan_full baseline 775 ms > floor -> "data"; q_sim_knn 5.7 ms
+    # < floor -> "floor".  Times are the medians of the sample lists.
+    times = {"q_scan_full": 0.8, "q_sim_knn": 0.2}
+    samples = {
+        "q_scan_full": [0.7, 0.8, 1.0],
+        "q_sim_knn": [0.15, 0.2, 0.31],
+    }
+    gate = bench.build_gate(times, samples, floor)
+    g = gate["q_scan_full"]
+    assert g["kind"] == "data"
+    assert g["samples_sec"] == [0.7, 0.8, 1.0]
+    assert g["spread_sec"] == round(1.0 - 0.7, 4)
+    assert g["raw_ratio"] == round(0.8 / 0.775, 2)
+    assert g["net_ratio"] == round((0.8 - floor) / 0.775, 2)
+    k = gate["q_sim_knn"]
+    assert k["kind"] == "floor"
+    assert k["spread_sec"] == round(0.31 - 0.15, 4)
+    # A query with no recorded samples (defensive path) gates on its
+    # single time with zero spread.
+    solo = bench.build_gate({"q_topk": 0.3}, {}, floor)["q_topk"]
+    assert solo["samples_sec"] == [0.3] and solo["spread_sec"] == 0.0
+
+
 def test_window_audit_ignores_asc_desc_inside_partition_exprs(spark):
     """The audit must classify windowspecdefinition args by the
     trailing sort-order GRAMMAR ("... ASC NULLS FIRST"), not a bare
