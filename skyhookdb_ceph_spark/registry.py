@@ -61,49 +61,53 @@ _LOADED = False
 # list pins the front of the registry each round; anything not listed
 # keeps module-import order after it.
 #
-# Round-7 rotation: cumulative driver-green after r6 = 262/262 — every
-# registered query has at least one driver stamp, zero failures ever
-# (the r6 window's 48 entries were the complete never-verified set,
-# incl. q_stream_foreach_batch from streaming_q.py and the pipeline6/7
-# waves).  With no verification debt left, this window is REGRESSION
-# INSURANCE (r6 verdict item 3): lead with the 6 queries whose code
-# changed or is new in round 7 (they need fresh stamps), then re-stamp
-# the OLDEST greens — all 14 surviving r1-era stamps and 30 of the 48
-# r2-era stamps (joins core, aggregates core, early TPC-H, first
-# filters — the families whose shared helpers saw the most refactoring
-# since).  The 18 remaining r2-era stamps (filters tail,
-# q_project_compute, the q_fn_* family) lead round 8's window.
+# Round-8 rotation: cumulative driver-green after r7 = 278/278, zero
+# failures in 350 checks.  The window stays REGRESSION INSURANCE,
+# oldest-stamps-first (r7 verdict item 3): lead with the queries whose
+# code changed in round 8 (q_graph_components' oracle was replaced
+# with the tractable unrolled-recurrence form — the correctness
+# contract itself changed, so it needs a fresh stamp; new round-8
+# QueryIDs are inserted here as they land), then ALL 32 surviving
+# r2-era stamps (aggregates mid-wave, early TPC-H, filters tail,
+# q_project_compute, the q_fn_* scalar-function family — 5 rounds of
+# shared-helper refactors since their last driver check), then the
+# oldest r3-era stamps: the llm.py dedup family, the special joins
+# (range/nearest/skew-salted), the sim_knn pair, and the windows
+# mid-wave.  The 33 remaining r3-era stamps lead round 9's window.
 # Everything outside the window stays covered by
 # tests/test_correctness.py's local oracle diff regardless.
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # -- new / changed in round 7 (pipeline8 + reworked queries)
-    "q_fault_shuffle_retry", "q_agg_skew_adaptive",
-    "q_win_trailing_hour", "q_vec_recall_eval", "q_fault_task_retry",
-    "q_fn_map_json", "q_graph_components", "q_transform_xml",
-    "q_agg_hll_merge", "q_agg_approx_topk", "q_stream_backpressure",
-    "q_sql_pipe", "q_observe_metrics",
-    "q_maint_compact", "q_scan_schema_drift", "q_stream_python_source",
-    "q_dedup_containment", "q_fn_variant", "q_fn_collation",
-    "q_maint_vacuum", "q_stream_chained_windows",
-    # -- r1-era stamps, last driver-checked 6 rounds of refactors ago
-    "q_scan_full", "q_scan_project", "q_transform_format",
-    "q_join_multiway", "q_set_union", "q_set_intersect", "q_set_except",
-    "q_sort_orderby", "q_limit", "q_topk",
-    "q_win_rank", "q_win_running", "q_win_ntile_pct", "q_win_range_frame",
-    # -- r2-era stamps: joins core
-    "q_join_inner_hash", "q_join_broadcast", "q_join_sortmerge",
-    "q_join_left", "q_join_right", "q_join_full",
-    "q_join_semi", "q_join_anti", "q_join_theta", "q_join_cross",
-    # -- r2-era stamps: aggregates core
-    "q_agg_having", "q_agg_distinct", "q_agg_approx_distinct",
-    # -- r2-era stamps: first filters (headline pair)
-    "q_filter_gt", "q_filter_range_conj",
-    # ---- window boundary (50) — round 8 leads with the r2 remainder:
-    # q_agg_rollup, q_agg_cube, q_agg_percentiles, q_agg_grouping_sets,
-    # q_agg_pivot, q_agg_listagg, q_agg_avg_stddev, q_agg_filtered,
-    # q_tpch_q3/q5/q10, q_filter_eq_point/like/regex/in/between/or_not/
-    # null/null_safe_eq, q_project_compute, and the 13-entry q_fn_*
-    # family.
+    # -- new / changed in round 8
+    "q_graph_components",
+    # -- r2-era stamps: aggregates mid-wave
+    "q_agg_rollup", "q_agg_cube", "q_agg_percentiles",
+    "q_agg_grouping_sets", "q_agg_pivot", "q_agg_listagg",
+    "q_agg_avg_stddev", "q_agg_filtered",
+    # -- r2-era stamps: early TPC-H
+    "q_tpch_q3", "q_tpch_q5", "q_tpch_q10",
+    # -- r2-era stamps: filters tail + computed projection
+    "q_filter_eq_point", "q_filter_like", "q_filter_regex",
+    "q_filter_in", "q_filter_between", "q_filter_or_not",
+    "q_filter_null", "q_filter_null_safe_eq", "q_project_compute",
+    # -- r2-era stamps: scalar-function family (q_fn_map_json already
+    #    re-stamped r7 with its parallelism fix; the other 12 are r2)
+    "q_fn_string", "q_fn_split", "q_fn_date", "q_fn_math", "q_fn_case",
+    "q_fn_cast", "q_fn_date_arith", "q_fn_posexplode", "q_fn_bitwise",
+    "q_fn_regex_extract", "q_fn_map", "q_fn_array",
+    # -- r3-era stamps: llm.py dedup family
+    "q_dedup_exact", "q_dedup_fuzzy", "q_dedup_simhash", "q_dedup_ngram",
+    "q_dedup_url", "q_dedup_passage", "q_dedup_embed", "q_dedup_cluster",
+    "q_dedup_hierarchical", "q_dedup_decontaminate",
+    # -- r3-era stamps: special joins + sim_knn pair + windows mid-wave
+    "q_join_range", "q_join_nearest", "q_join_skew_salted",
+    "q_sim_knn", "q_sim_knn_batch",
+    "q_win_sessionize", "q_win_sliding_distinct",
+    # ---- window boundary (50) — round 9 leads with the r3 remainder:
+    # sampling family, text analysis (bm25/cooccur/pii/repetition/
+    # unigram_lp), q_agg_approx_quantile/corr/entropy/mode/salted_skew,
+    # ts_downsample/gapfill, vec_centroids/normalize, upsert/snapshot/
+    # schema_evolve, multimodal_frames, pack/curriculum/split/vocab,
+    # layout_zorder, mine_hardneg, embed_quantize, stream_filesink.
 )
 
 
