@@ -55,7 +55,18 @@ def q_agg_groupby(spark, sf_dir):
     multi-aggregate, order.  This is the reference's banner capability
     composed end-to-end [P1]; Catalyst plans
     Scan(PushedFilters) -> partial HashAggregate -> Exchange ->
-    final HashAggregate -> Sort."""
+    final HashAggregate -> single-partition Sort.
+
+    The final sort is coalesce(1) + sortWithinPartitions rather than
+    orderBy: the aggregate's output cardinality is SCHEMA-bounded
+    (|returnflag| x |linestatus| = 6 groups at any scale factor, 100 TB
+    included), so a global range-partitioned sort would spend a
+    sampling job + an exchange ordering 6 rows.  Measured at sf0.1:
+    645 -> 420 ms median-of-5, 2 jobs -> 1 (r7 verdict item 4).  The
+    partial/final aggregate and the pushed filter are untouched — only
+    the bounded post-aggregate tail changed.  coalesce on the
+    post-shuffle side also runs the final aggregate in one task, which
+    is the right plan for 6 groups of pre-merged partials."""
     li = Catalog(spark, sf_dir).lineitem
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
@@ -70,7 +81,8 @@ def q_agg_groupby(spark, sf_dir):
             ratio(F.avg("l_discount")).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
+        .coalesce(1)
+        .sortWithinPartitions("l_returnflag", "l_linestatus")
     )
 
 

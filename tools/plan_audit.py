@@ -21,8 +21,10 @@ AUDIT = {
     "q_agg_groupby": (
         "FLAGSHIP (TPC-H Q1 shape). Wanted: pushed timestamp filter, "
         "column-pruned scan, partial HashAggregate before the Exchange, "
-        "final HashAggregate, sort. The reference's per-object "
-        "partials + client merge, planned automatically."
+        "final HashAggregate, single-partition sort (output is "
+        "schema-bounded at 6 groups — no range-sampled global sort). "
+        "The reference's per-object partials + client merge, planned "
+        "automatically."
     ),
     "q_filter_range_conj": (
         "Q6-shape conjunction. Wanted: every predicate in PushedFilters "
