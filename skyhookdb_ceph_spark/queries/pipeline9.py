@@ -1,0 +1,165 @@
+"""Round-8 wave (SURVEY.md §2.19).
+
+Evidence-hardening queries closing the r7 verdict's residuals:
+
+1. q_vec_ivf_files_pruned — the recall/cost curve's cost axis
+   re-measured on the PERSISTED IVF layout: frac of partition
+   directories (= files) a probe actually reads must equal the
+   logical probe fraction the curve claims (r7 verdict item 5).
+
+House rules unchanged: identical aliases both sides, deterministic
+everything, no all-pairs, no corpus-sized collect() — driver-side
+materialization here is bounded by 2^n_bits cells, never rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from skyhookdb_ceph_spark.operators import vectors
+from skyhookdb_ceph_spark.queries._util import Catalog
+from skyhookdb_ceph_spark.registry import query
+
+# ---------------------------------------------------------------------------
+# §2.19.1 persisted-IVF probe = directory pruning, measured
+# ---------------------------------------------------------------------------
+
+
+def _files_pruned_oracle() -> str:
+    return f"""
+WITH {vectors.primary_cell_cte_duckdb()},
+qs AS (SELECT bucket AS qbucket FROM b WHERE vec_id % 50 = 0),
+p1 AS (SELECT DISTINCT qbucket AS pb FROM qs),
+pm AS (
+  SELECT DISTINCT pb FROM (
+    SELECT qbucket AS pb FROM qs
+    UNION
+    SELECT substr(qs.qbucket, 1, t.i - 1)
+           || (CASE WHEN substr(qs.qbucket, t.i, 1) = '1'
+               THEN '0' ELSE '1' END)
+           || substr(qs.qbucket, t.i + 1, nb.nb) AS pb
+    FROM qs, nb, unnest(generate_series(1, nb.nb)) t(i))),
+tot AS (SELECT CAST(count(DISTINCT bucket) AS BIGINT) AS n_cells_total,
+               CAST(count(*) AS BIGINT) AS corpus_n FROM b),
+per AS (
+  SELECT 1 AS pw,
+         CAST(count(DISTINCT bucket) AS BIGINT) AS n_cells_probed,
+         CAST(count(*) AS BIGINT) AS rows_read
+  FROM b WHERE bucket IN (SELECT pb FROM p1)
+  UNION ALL
+  SELECT (SELECT nb + 1 FROM nb) AS pw,
+         CAST(count(DISTINCT bucket) AS BIGINT),
+         CAST(count(*) AS BIGINT)
+  FROM b WHERE bucket IN (SELECT pb FROM pm))
+SELECT CAST(pw AS INT) AS probe_width, n_cells_probed, n_cells_total,
+       TRUE AS files_match_cells,
+       floor((CAST(rows_read AS DOUBLE) / corpus_n) * 1000000 + 0.5)
+         / 1000000 AS frac_corpus_read
+FROM per, tot ORDER BY probe_width
+"""
+
+
+@query(
+    "q_vec_ivf_files_pruned",
+    oracle=_files_pruned_oracle(),
+    tags=("llm", "vectors", "layout", "eval", "scale-design"),
+)
+def q_vec_ivf_files_pruned(spark, sf_dir):
+    """The recall curve's COST AXIS measured on the PERSISTED layout —
+    q_vec_recall_eval's frac_scored is computed from the LOGICAL probe
+    set; this query persists the IVF cells partitionBy(bucket) (one
+    file per cell — q_vec_ivf_build's layout) and proves that a probe
+    read with the cells as a pushed-down IN filter touches exactly the
+    probed directories: files actually contributing rows == probed
+    cells present (files_match_cells, the banded-verdict column), and
+    the fraction of the corpus those files hold equals the oracle's
+    logical fraction (frac_corpus_read).  Probe sets per width follow
+    q_vec_recall_eval exactly: width 1 = each query's own cell, width
+    nb+1 = own + all Hamming-1 flips, deterministic query sample
+    (vec_id % 50 == 0).  Driver-side materialization is the DISTINCT
+    CELL LIST — bounded by 2^nb regardless of corpus size (the same
+    boundedness that makes an IVF directory listing cheap at 100 TB) —
+    never vectors or rows.  Partition-directory values type-infer back
+    as ints ("0110" -> 110), so probe cells are pushed as their
+    decimal-digit int forms; the filter lands in PartitionFilters
+    (asserted in tests/test_ivf_layout.py), which at 100 TB is the
+    difference between listing nb+1 directories and scanning 2^nb."""
+    import shutil
+    import tempfile
+
+    from skyhookdb_ceph_spark.queries.scans import _scratch_dir
+
+    e = Catalog(spark, sf_dir).embeddings
+    b = vectors.bucketed_cells(e)
+    qs = b.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("bucket").alias("qbucket")
+    )
+    # distinct probe CELLS per width (bounded by 2^nb, collect-safe)
+    cells1 = sorted(
+        r["pb"] for r in qs.select(F.col("qbucket").alias("pb")).distinct().collect()
+    )
+    cellsm = sorted(
+        r["pb"]
+        for r in qs.crossJoin(F.broadcast(vectors.corpus_bits(e)))
+        .selectExpr(
+            "explode(array_union(array(qbucket), "
+            "transform(sequence(1, nb), i -> concat(substr(qbucket, 1, i - 1), "
+            "CASE WHEN substr(qbucket, i, 1) = '1' THEN '0' ELSE '1' END, "
+            "substr(qbucket, i + 1, nb))))) AS pb"
+        )
+        .distinct()
+        .collect()
+    )
+    nb = len(cells1[0])
+    tmp = tempfile.mkdtemp(prefix="skyhook_ivfprune_", dir=_scratch_dir())
+    try:
+        # one file per cell directory: repartition(bucket) gives every
+        # bucket a single writing task before partitionBy splits dirs
+        b.repartition("bucket").write.mode("overwrite").partitionBy(
+            "bucket"
+        ).parquet(tmp)
+        layout = spark.read.parquet(tmp)
+        totals = layout.agg(
+            F.count_distinct("bucket").cast("bigint").alias("n_cells_total"),
+            F.count(F.lit(1)).cast("bigint").alias("corpus_n"),
+        ).collect()[0]
+        rows = []
+        for pw, cells in ((1, cells1), (nb + 1, cellsm)):
+            pruned = layout.filter(
+                F.col("bucket").isin([int(c) for c in cells])
+            )
+            m = (
+                pruned.withColumn("_file", F.input_file_name())
+                .agg(
+                    F.count_distinct("_file")
+                    .cast("bigint")
+                    .alias("n_files"),
+                    F.count_distinct("bucket")
+                    .cast("bigint")
+                    .alias("n_cells"),
+                    F.count(F.lit(1)).cast("bigint").alias("rows_read"),
+                )
+                .collect()[0]
+            )
+            rows.append(
+                (
+                    pw,
+                    m["n_cells"],
+                    totals["n_cells_total"],
+                    bool(m["n_files"] == m["n_cells"]),
+                    float(
+                        __import__("math").floor(
+                            (m["rows_read"] / totals["corpus_n"]) * 1_000_000
+                            + 0.5
+                        )
+                        / 1_000_000
+                    ),
+                )
+            )
+        return spark.createDataFrame(
+            rows,
+            "probe_width int, n_cells_probed bigint, n_cells_total bigint, "
+            "files_match_cells boolean, frac_corpus_read double",
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

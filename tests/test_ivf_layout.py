@@ -129,3 +129,49 @@ def test_multiprobe_prunes_to_probe_set_only(ivf_index):
     }
     assert scanned <= set(probes)
     assert len(all_cells) > len(probes)  # pruning was non-trivial
+
+
+def test_files_pruned_probe_plans_partition_filters(spark):
+    """q_vec_ivf_files_pruned's claim rests on the probe's IN filter
+    reaching PartitionFilters (directory pruning, not a scan+filter).
+    Reproduce its exact read shape — persisted partitionBy(bucket)
+    layout, int-inferred partition values, isin over probe cells —
+    and assert the filter lands on the partition column, plus the
+    query's own verdict columns hold."""
+    from skyhookdb_ceph_spark.registry import load_all
+
+    rows = {
+        r["probe_width"]: r
+        for r in load_all()["q_vec_ivf_files_pruned"]
+        .fn(spark, "/root/testdata/sf0.01")
+        .collect()
+    }
+    assert len(rows) == 2
+    for r in rows.values():
+        assert r["files_match_cells"]
+        assert 0 < r["frac_corpus_read"] <= 1.0
+    w1, wm = sorted(rows)
+    assert rows[w1]["n_cells_probed"] <= rows[wm]["n_cells_probed"]
+    assert rows[w1]["frac_corpus_read"] < rows[wm]["frac_corpus_read"]
+    # plan shape: same persisted-layout probe read must partition-prune
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="skyhook_ivfprune_plan_")
+    try:
+        cells = vectors.bucketed_cells(
+            Catalog(spark, "/root/testdata/sf0.001").embeddings
+        )
+        cells.repartition("bucket").write.mode("overwrite").partitionBy(
+            "bucket"
+        ).parquet(tmp)
+        some = [
+            int(r["bucket"])
+            for r in cells.select("bucket").distinct().limit(3).collect()
+        ]
+        pruned = spark.read.parquet(tmp).filter(F.col("bucket").isin(some))
+        plan = explain_str(pruned)
+        assert "PartitionFilters" in plan
+        assert "bucket" in plan.split("PartitionFilters", 1)[1].splitlines()[0]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
