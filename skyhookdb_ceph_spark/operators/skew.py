@@ -98,3 +98,30 @@ def max_key_share(df: DataFrame, key: str) -> float:
     )
     share = row["share"] if row is not None else None
     return float(share) if share is not None else 0.0
+
+
+def adaptive_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+    salt_src_col: Column,
+    n_salts: int = 8,
+    threshold: float = SKEW_SHARE_THRESHOLD,
+) -> DataFrame:
+    """Equi-join whose PHYSICAL strategy is chosen from a measured
+    1-row skew probe (the join-side twin of adaptive_sum_by_key's
+    aggregation branch): if the big side's hottest key holds more than
+    one shuffle-partition's fair share of rows, take salted_join —
+    spreading the hot key over n_salts tasks at the cost of
+    replicating the small side; otherwise the plain equi-join, which
+    is strictly cheaper when no key dominates.  Both branches return
+    identical rows for any salt assignment, so callers (and oracles)
+    never need to know which one ran.  At 100 TB the probe is one
+    map-combined pass over the key column; a mis-planned hot-key join
+    is a straggler task holding the whole stage."""
+    if max_key_share(big.select(big_key), big_key) > threshold:
+        return salted_join(
+            big, small, big_key, small_key, salt_src_col, n_salts
+        )
+    return big.join(small, big[big_key] == small[small_key])

@@ -6,6 +6,10 @@ Evidence-hardening queries closing the r7 verdict's residuals:
    re-measured on the PERSISTED IVF layout: frac of partition
    directories (= files) a probe actually reads must equal the
    logical probe fraction the curve claims (r7 verdict item 5).
+2. q_join_skew_adaptive — the max_key_share skew probe wired into
+   the salted JOIN path: join-side salting decided by measurement,
+   not hardcoded (r7 verdict item 8); both branches plan-asserted
+   in tests/test_skew.py.
 
 House rules unchanged: identical aliases both sides, deterministic
 everything, no all-pairs, no corpus-sized collect() — driver-side
@@ -163,3 +167,73 @@ def q_vec_ivf_files_pruned(spark, sf_dir):
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# §2.19.2 skew-probe-driven JOIN strategy (join twin of q_agg_skew_adaptive)
+# ---------------------------------------------------------------------------
+
+_JOIN_SKEW_ADAPTIVE_ORACLE = """
+SELECT e.event_type, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+       CAST(max(type_len) AS INT) AS type_len
+FROM events e
+JOIN (SELECT DISTINCT event_type,
+             CAST(length(event_type) AS INT) AS type_len
+      FROM events) d
+  ON e.event_type = d.event_type
+GROUP BY e.event_type ORDER BY e.event_type
+"""
+
+
+@query(
+    "q_join_skew_adaptive",
+    oracle=_JOIN_SKEW_ADAPTIVE_ORACLE,
+    tags=("join", "stats", "skew", "scale-design"),
+)
+def q_join_skew_adaptive(spark, sf_dir):
+    """Stats-driven JOIN strategy — the runstats→optimizer story
+    (q_runstats → q_join_stats_driven → q_agg_skew_adaptive) closed
+    for the JOIN side: the same 1-row max_key_share probe decides
+    whether the fact side's join key is hot enough to salt
+    (operators/skew.py adaptive_join).  events.event_type has ~5
+    values (hot share ≈ 0.2 ≫ 1/32), so this query always takes the
+    salted branch — the fact is salted with hash(event_id) mod 8 and
+    the dim replicated per salt, joining on (key, salt); the plain
+    branch is plan-asserted separately on a uniform high-cardinality
+    key (tests/test_skew.py).  Both branches return identical rows
+    for any salt assignment, so the oracle is branch-invariant —
+    the property a real optimizer hides behind.  The dim is the
+    distinct event-type reference derived in one tiny keyed agg
+    (never broadcast-forced: the point is the shuffle-side shape;
+    AQE off in the bench still gets the skew-safe plan because the
+    salting rewrote the shuffle itself, not the schedule)."""
+    from skyhookdb_ceph_spark.operators.skew import adaptive_join
+
+    e = Catalog(spark, sf_dir).events
+    dim = (
+        e.select("event_type").distinct()
+        .select(
+            F.col("event_type").alias("d_type"),
+            F.length("event_type").cast("int").alias("type_len"),
+        )
+    )
+    joined = adaptive_join(
+        e.select("event_type", "value", "event_id"),
+        dim,
+        "event_type",
+        "d_type",
+        F.col("event_id"),
+        n_salts=8,
+    )
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("sum_cents"),
+            F.max("type_len").cast("int").alias("type_len"),
+        )
+        .orderBy("event_type")
+    )
