@@ -10,6 +10,9 @@ Evidence-hardening queries closing the r7 verdict's residuals:
    the salted JOIN path: join-side salting decided by measurement,
    not hardcoded (r7 verdict item 8); both branches plan-asserted
    in tests/test_skew.py.
+3. q_scan_metadata_cols — hidden file-metadata columns
+   (_metadata.file_name / row_index): per-row physical lineage at
+   the scan, contract-pinned against the oracle.
 
 House rules unchanged: identical aliases both sides, deterministic
 everything, no all-pairs, no corpus-sized collect() — driver-side
@@ -236,4 +239,54 @@ def q_join_skew_adaptive(spark, sf_dir):
             F.max("type_len").cast("int").alias("type_len"),
         )
         .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.19.3 hidden file-metadata columns (lineage at the scan)
+# ---------------------------------------------------------------------------
+
+_METADATA_ORACLE = """
+SELECT 'documents.parquet' AS file_name,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(0 AS BIGINT) AS min_ri,
+       CAST(count(*) - 1 AS BIGINT) AS max_ri,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+"""
+
+
+@query(
+    "q_scan_metadata_cols",
+    oracle=_METADATA_ORACLE,
+    tags=("scan", "lineage"),
+)
+def q_scan_metadata_cols(spark, sf_dir):
+    """Hidden FILE-METADATA columns at the scan (`_metadata.file_name`
+    / `_metadata.row_index`) — the lineage surface every audited 100 TB
+    pipeline leans on: which physical file did a row come from, and at
+    which position, WITHOUT writing either into the data.  Spark
+    exposes them as a constant-folded struct on file sources (no
+    per-row compute; row_index comes from the parquet reader's
+    position, so the column costs nothing at scan time).  The oracle
+    pins the contract rather than echoing the engine: the fixture is
+    exactly one file with its known basename, and row_index must cover
+    0..n-1 densely (min 0, max n-1 under the per-file count) — the
+    invariant downstream delta/debugging tooling depends on.  At
+    100 TB the same two columns turn "which ingest batch corrupted
+    this row" from a table rewrite into a WHERE on the scan."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        d.select(
+            F.col("_metadata.file_name").alias("file_name"),
+            F.col("_metadata.row_index").alias("ri"),
+            "n_chars",
+        )
+        .groupBy("file_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("ri").cast("bigint").alias("min_ri"),
+            F.max("ri").cast("bigint").alias("max_ri"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
     )
