@@ -290,3 +290,4 @@ def q_scan_metadata_cols(spark, sf_dir):
             F.sum("n_chars").cast("bigint").alias("sum_chars"),
         )
     )
+
