@@ -13,6 +13,9 @@ Evidence-hardening queries closing the r7 verdict's residuals:
 3. q_scan_metadata_cols — hidden file-metadata columns
    (_metadata.file_name / row_index): per-row physical lineage at
    the scan, contract-pinned against the oracle.
+4. q_stream_outer_join (streaming_q.py) — stream-stream LEFT OUTER
+   join with watermark-eviction NULL emission; the oracle pins the
+   two-watermark-node MIN-policy gate.
 
 House rules unchanged: identical aliases both sides, deterministic
 everything, no all-pairs, no corpus-sized collect() — driver-side

@@ -661,3 +661,71 @@ def q_stream_chained_windows(spark, sf_dir):
     return drain_to_memory(
         days, output_mode="append", needs_watermark_batch=True
     ).orderBy("day_start")
+
+
+@query(
+    "q_stream_outer_join",
+    oracle=(
+        "WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts "
+        "      FROM events WHERE event_type = 'purchase'), "
+        "c AS (SELECT event_id AS click_id, user_id AS c_user, ts AS c_ts "
+        "      FROM events WHERE event_type = 'click'), "
+        "wm AS (SELECT least((SELECT max(p_ts) FROM p), "
+        "                    (SELECT max(c_ts) FROM c)) "
+        "              - INTERVAL 10 MINUTE AS w), "
+        "m AS (SELECT p.purchase_id, c.click_id, p.user_id "
+        "      FROM p JOIN c ON p.user_id = c.c_user "
+        "      AND c.c_ts <= p.p_ts "
+        "      AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR) "
+        "SELECT purchase_id, click_id, user_id FROM m "
+        "UNION ALL "
+        "SELECT p.purchase_id, CAST(NULL AS BIGINT) AS click_id, p.user_id "
+        "FROM p, wm WHERE p.p_ts < wm.w "
+        "AND NOT EXISTS (SELECT 1 FROM m WHERE m.purchase_id = p.purchase_id)"
+    ),
+    tags=("stream", "live-stream"),
+)
+def q_stream_outer_join(spark, sf_dir):
+    """Stream-stream LEFT OUTER join — the semantics q_stream_join's
+    inner form cannot express: a purchase with NO same-user click in
+    the preceding hour must still emit, with NULL on the click side —
+    but only once the engine can PROVE no future click can match,
+    i.e. when the watermark passes the purchase's event time and its
+    join state is evicted.  Matches emit on arrival (same as inner);
+    NULL rows emit from the state-eviction pass, which for a finite
+    drain happens in the trailing no-data micro-batch
+    (needs_watermark_batch=True — without it the unmatched rows are
+    silently withheld, the exact failure mode the drain flag
+    documents).  The oracle mirrors BOTH gates declaratively: every
+    time-bound match, plus NULL rows exactly for unmatched purchases
+    with p_ts below the final GLOBAL watermark — which for a query
+    with TWO withWatermark nodes is the MIN of the per-node
+    watermarks (multipleWatermarkPolicy=min, the default):
+    least(max purchase ts, max click ts) - 10 min.  Pinned
+    empirically: the naive max(ts)-10min gate over-emits by the
+    purchases wedged between the two nodes' maxima.  Purchases
+    younger than the global watermark stay in state and are correctly
+    NOT emitted.  At scale the time bound keeps both state stores
+    bounded (clicks evict at wm - 1 h, purchases at wm), so the outer
+    join costs the same bounded state as the inner one."""
+    base = events_stream(spark, sf_dir)
+    purchases = base.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+    ).withWatermark("p_ts", "10 minutes")
+    clicks = base.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    ).withWatermark("c_ts", "10 minutes")
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+        "leftOuter",
+    ).select("purchase_id", "click_id", "user_id")
+    return drain_to_memory(
+        joined, output_mode="append", needs_watermark_batch=True
+    )
