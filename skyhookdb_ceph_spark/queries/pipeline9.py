@@ -104,23 +104,29 @@ def q_vec_ivf_files_pruned(spark, sf_dir):
     qs = b.filter(F.col("vec_id") % 50 == 0).select(
         F.col("bucket").alias("qbucket")
     )
-    # distinct probe CELLS per width (bounded by 2^nb, collect-safe)
-    cells1 = sorted(
-        r["pb"] for r in qs.select(F.col("qbucket").alias("pb")).distinct().collect()
-    )
-    cellsm = sorted(
-        r["pb"]
-        for r in qs.crossJoin(F.broadcast(vectors.corpus_bits(e)))
+    # distinct probe CELLS for both widths in ONE job (bounded by
+    # 2^nb per width, collect-safe): width-1 cells are the query
+    # buckets themselves; the multiprobe set adds the Hamming-1 flips
+    per_width = (
+        qs.crossJoin(F.broadcast(vectors.corpus_bits(e)))
         .selectExpr(
+            "nb",
             "explode(array_union(array(qbucket), "
             "transform(sequence(1, nb), i -> concat(substr(qbucket, 1, i - 1), "
             "CASE WHEN substr(qbucket, i, 1) = '1' THEN '0' ELSE '1' END, "
-            "substr(qbucket, i + 1, nb))))) AS pb"
+            "substr(qbucket, i + 1, nb))))) AS pb",
+            "qbucket",
         )
-        .distinct()
+        .select(
+            "pb", (F.col("pb") == F.col("qbucket")).alias("is_own"), "nb"
+        )
+        .groupBy("pb")
+        .agg(F.max("is_own").alias("own"), F.first("nb").alias("nb"))
         .collect()
     )
-    nb = len(cells1[0])
+    cells1 = sorted(r["pb"] for r in per_width if r["own"])
+    cellsm = sorted(r["pb"] for r in per_width)
+    nb = per_width[0]["nb"]
     tmp = tempfile.mkdtemp(prefix="skyhook_ivfprune_", dir=_scratch_dir())
     try:
         # one file per cell directory: repartition(bucket) gives every
@@ -133,24 +139,31 @@ def q_vec_ivf_files_pruned(spark, sf_dir):
             F.count_distinct("bucket").cast("bigint").alias("n_cells_total"),
             F.count(F.lit(1)).cast("bigint").alias("corpus_n"),
         ).collect()[0]
-        rows = []
+        # both pruned widths measured in ONE job: union of the two
+        # pushed-down reads, tagged by probe width (each leg keeps its
+        # own PartitionFilters; the union is evaluated in one pass)
+        legs = []
         for pw, cells in ((1, cells1), (nb + 1, cellsm)):
-            pruned = layout.filter(
-                F.col("bucket").isin([int(c) for c in cells])
+            legs.append(
+                layout.filter(F.col("bucket").isin([int(c) for c in cells]))
+                .withColumn("_file", F.input_file_name())
+                .select(F.lit(pw).alias("pw"), "_file", "bucket")
             )
-            m = (
-                pruned.withColumn("_file", F.input_file_name())
-                .agg(
-                    F.count_distinct("_file")
-                    .cast("bigint")
-                    .alias("n_files"),
-                    F.count_distinct("bucket")
-                    .cast("bigint")
-                    .alias("n_cells"),
-                    F.count(F.lit(1)).cast("bigint").alias("rows_read"),
-                )
-                .collect()[0]
+        per_pw = {
+            r["pw"]: r
+            for r in legs[0]
+            .unionByName(legs[1])
+            .groupBy("pw")
+            .agg(
+                F.count_distinct("_file").cast("bigint").alias("n_files"),
+                F.count_distinct("bucket").cast("bigint").alias("n_cells"),
+                F.count(F.lit(1)).cast("bigint").alias("rows_read"),
             )
+            .collect()
+        }
+        rows = []
+        for pw in (1, nb + 1):
+            m = per_pw[pw]
             rows.append(
                 (
                     pw,
