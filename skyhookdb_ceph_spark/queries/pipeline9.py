@@ -16,6 +16,10 @@ Evidence-hardening queries closing the r7 verdict's residuals:
 4. q_stream_outer_join (streaming_q.py) — stream-stream LEFT OUTER
    join with watermark-eviction NULL emission; the oracle pins the
    two-watermark-node MIN-policy gate.
+5. q_sql_parameterized — named-parameter SQL binding + {df} table
+   templating, the injection-safe SQL front door.
+6. q_scan_ignore_corrupt — file-level corruption tolerance via the
+   per-source ignoreCorruptFiles option.
 
 House rules unchanged: identical aliases both sides, deterministic
 everything, no all-pairs, no corpus-sized collect() — driver-side
@@ -307,3 +311,109 @@ def q_scan_metadata_cols(spark, sf_dir):
         )
     )
 
+
+
+# ---------------------------------------------------------------------------
+# §2.19.5 parameterized SQL (named-parameter binding)
+# ---------------------------------------------------------------------------
+
+_PARAM_SQL_ORACLE = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt,
+       floor(sum(o_totalprice) * 100 + 0.5) / 100 AS sum_price
+FROM orders WHERE o_totalprice > 150000.0
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+@query("q_sql_parameterized", oracle=_PARAM_SQL_ORACLE, tags=("sql",))
+def q_sql_parameterized(spark, sf_dir):
+    """PARAMETERIZED SQL — named `:param` markers bound server-side
+    (spark.sql(..., args=...)) plus `{df}` templating for the table
+    reference: the injection-safe front door every SQL-speaking
+    application should use instead of string interpolation (a
+    user-supplied threshold can never smuggle SQL past the parser —
+    parameters bind as typed literals AFTER parsing).  The sixth SQL
+    door next to CTE / VALUES / named-window / recursive / pipe.
+    Same plan as the literal form — pushed filter, partial/final
+    agg — because binding happens before optimization; the oracle IS
+    the literal form, proving the bound parameter reaches the plan
+    with identical semantics."""
+    orders = Catalog(spark, sf_dir).orders
+    return spark.sql(
+        "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt, "
+        "floor(sum(o_totalprice) * 100 + 0.5) / 100 AS sum_price "
+        "FROM {orders} WHERE o_totalprice > :minp "
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority",
+        args={"minp": 150000.0},
+        orders=orders,
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.19.6 corrupt-file tolerance at the scan
+# ---------------------------------------------------------------------------
+
+_IGNORE_CORRUPT_ORACLE = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT doc_id % 3) AS BIGINT) AS n_vintages,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents WHERE doc_id % 3 <> 2
+"""
+
+
+@query(
+    "q_scan_ignore_corrupt",
+    oracle=_IGNORE_CORRUPT_ORACLE,
+    tags=("scan", "robustness"),
+)
+def q_scan_ignore_corrupt(spark, sf_dir):
+    """CORRUPT-FILE tolerance at the scan — at 100 TB some file is
+    always damaged (truncated upload, bit rot, a writer that died
+    mid-close), and the default fail-the-job semantics turns one bad
+    object into a dead pipeline.  Three deterministic document shards
+    (doc_id mod 3) are written as separate parquet files; one is then
+    overwritten with garbage bytes (no footer — unreadable).  Reading
+    the directory with the per-source ignoreCorruptFiles OPTION (not
+    the session-wide conf — surgical, no leak into other scans) must
+    return exactly the two intact shards: the oracle aggregates the
+    same deterministic subset (doc_id % 3 <> 2).  Contrast
+    q_scan_corrupt_json, which handles row-level corruption inside a
+    readable file (PERMISSIVE mode); this is FILE-level corruption
+    below the format layer."""
+    import shutil
+    import tempfile
+
+    from skyhookdb_ceph_spark.queries.scans import _scratch_dir
+
+    d = Catalog(spark, sf_dir).documents.select("doc_id", "n_chars")
+    tmp = tempfile.mkdtemp(prefix="skyhook_corrupt_", dir=_scratch_dir())
+    try:
+        for shard in range(3):
+            d.filter(F.col("doc_id") % 3 == shard).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(f"{tmp}/shard={shard}")
+        # destroy shard 2's data file below the format layer
+        import os
+
+        sdir = f"{tmp}/shard=2"
+        victim = next(
+            f for f in os.listdir(sdir)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+        with open(f"{sdir}/{victim}", "wb") as fh:
+            fh.write(b"this is not a parquet file")
+        agg = (
+            spark.read.option("ignoreCorruptFiles", "true")
+            .parquet(tmp)
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.count_distinct(F.col("doc_id") % 3)
+                .cast("bigint")
+                .alias("n_vintages"),
+                F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            )
+        )
+        # materialize before the tempdir is removed (1 bounded row)
+        return spark.createDataFrame(agg.collect(), agg.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
