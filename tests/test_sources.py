@@ -64,3 +64,40 @@ def test_partitioned_ingest_prunes(spark, scratch, sf_small):
 
     plan = explain_str(out.filter(F.col("l_returnflag") == "R"))
     assert "PartitionFilters" in plan
+
+
+def test_corrupt_file_fails_without_option_and_skips_with_it(
+    spark, scratch, sf_small
+):
+    """q_scan_ignore_corrupt's negative half: the same garbage file
+    that ignoreCorruptFiles=true skips must FAIL the scan under the
+    default semantics — proving the option is load-bearing, not that
+    the reader silently tolerated the file anyway."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from skyhookdb_ceph_spark.catalog import Catalog
+
+    d = Catalog(spark, sf_small).documents.select("doc_id", "n_chars")
+    d.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{scratch}/ok")
+    import os
+    import shutil
+
+    shutil.copytree(f"{scratch}/ok", f"{scratch}/dir", dirs_exist_ok=True)
+    victim = next(
+        f for f in os.listdir(f"{scratch}/dir")
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    )
+    with open(f"{scratch}/dir/{victim.replace('.parquet', 'b.parquet')}",
+              "wb") as fh:
+        fh.write(b"garbage, no parquet footer")
+    with pytest.raises(Exception):
+        spark.read.parquet(f"{scratch}/dir").count()
+    good = (
+        spark.read.option("ignoreCorruptFiles", "true")
+        .parquet(f"{scratch}/dir")
+        .count()
+    )
+    assert good == d.filter(F.col("doc_id") % 2 == 0).count()
