@@ -775,3 +775,29 @@ def test_containment_dedup_stays_equi_join(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "HashAggregate" in plan
+
+
+def test_parameterized_sql_plans_like_literal(spark):
+    """q_sql_parameterized's claim: binding happens before
+    optimization, so the bound form and the literal form produce the
+    same physical plan (pushed filter included) — parameters are a
+    front-door change, not a plan change."""
+    from skyhookdb_ceph_spark.catalog import Catalog
+
+    orders = Catalog(spark, "/root/testdata/sf0.001").orders
+    q = (
+        "SELECT o_orderpriority, count(*) AS cnt FROM {orders} "
+        "WHERE o_totalprice > {thr} GROUP BY o_orderpriority"
+    )
+    bound = spark.sql(
+        q.replace("{thr}", ":minp"), args={"minp": 150000.0}, orders=orders
+    )
+    literal = spark.sql(q.replace("{thr}", "150000.0"), orders=orders)
+    import re
+
+    def norm(df):
+        s = explain_str(df, "simple")
+        return re.sub(r"#\d+L?|plan_id=\d+", "#x", s)
+
+    assert norm(bound) == norm(literal)
+    assert "PushedFilters" in explain_str(bound)
