@@ -20,6 +20,8 @@ Evidence-hardening queries closing the r7 verdict's residuals:
    templating, the injection-safe SQL front door.
 6. q_scan_ignore_corrupt — file-level corruption tolerance via the
    per-source ignoreCorruptFiles option.
+7. q_transform_text — line-oriented text round-trip (the raw LLM
+   corpus ingest format), completing §2.1's format plurality.
 
 House rules unchanged: identical aliases both sides, deterministic
 everything, no all-pairs, no corpus-sized collect() — driver-side
@@ -414,6 +416,56 @@ def q_scan_ignore_corrupt(spark, sf_dir):
             )
         )
         # materialize before the tempdir is removed (1 bounded row)
+        return spark.createDataFrame(agg.collect(), agg.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# §2.19.7 line-oriented text source (raw-corpus ingest format)
+# ---------------------------------------------------------------------------
+
+_TEXT_ORACLE = """
+SELECT CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+       CAST(min(length(text)) AS BIGINT) AS min_chars,
+       CAST(max(length(text)) AS BIGINT) AS max_chars
+FROM documents
+"""
+
+
+@query("q_transform_text", oracle=_TEXT_ORACLE, tags=("scan", "format"))
+def q_transform_text(spark, sf_dir):
+    """Line-oriented TEXT round-trip — the rawest corpus format an
+    LLM-data pipeline ingests (one document per line: webtext dumps,
+    log shards, .jsonl before the json step).  spark.read.text maps
+    each line to one `value` row with NO parsing cost, which is why
+    it is the fastest possible scan of unstructured bytes; the write
+    side proves the inverse (df.write.text, distributed, one file per
+    task).  The fixture's documents are newline-free so the
+    round-trip is exact: line count, total/min/max line length must
+    match the source — proving no line splitting, merging, trailing
+    separators, or encoding drift.  Completes §2.1's format plurality
+    (parquet/CSV/JSON/ORC/XML/binaryFile + text).  At 100 TB text
+    scans split by line boundaries within files, so parallelism is
+    maxPartitionBytes-driven exactly like parquet — no format-level
+    serialization point."""
+    import shutil
+    import tempfile
+
+    from skyhookdb_ceph_spark.queries.scans import _scratch_dir
+
+    d = Catalog(spark, sf_dir).documents.select("text")
+    tmp = tempfile.mkdtemp(prefix="skyhook_text_", dir=_scratch_dir())
+    try:
+        d.write.mode("overwrite").text(tmp)
+        lines = spark.read.text(tmp)
+        agg = lines.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum(F.length("value")).cast("bigint").alias("sum_chars"),
+            F.min(F.length("value")).cast("bigint").alias("min_chars"),
+            F.max(F.length("value")).cast("bigint").alias("max_chars"),
+        )
         return spark.createDataFrame(agg.collect(), agg.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
