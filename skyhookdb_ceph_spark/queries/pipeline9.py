@@ -30,6 +30,8 @@ materialization here is bounded by 2^n_bits cells, never rows.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import functions as F
 
 from skyhookdb_ceph_spark.operators import vectors
@@ -176,8 +178,9 @@ def q_vec_ivf_files_pruned(spark, sf_dir):
                     m["n_cells"],
                     totals["n_cells_total"],
                     bool(m["n_files"] == m["n_cells"]),
+                    # mirrors the oracle's floor(x*1e6 + 0.5)/1e6
                     float(
-                        __import__("math").floor(
+                        math.floor(
                             (m["rows_read"] / totals["corpus_n"]) * 1_000_000
                             + 0.5
                         )

@@ -46,7 +46,11 @@ VERBATIM = ["region", "nation", "customer", "supplier", "part", "orders"]
 
 
 def _rng(table: str, c: int) -> np.random.Generator:
-    return np.random.default_rng(abs(hash((table, c))) % (2**32))
+    # zlib.crc32 is stable across interpreters — Python's hash() is
+    # salted per process and would make the fixtures irreproducible
+    import zlib
+
+    return np.random.default_rng(zlib.crc32(f"{table}:{c}".encode()))
 
 
 def scale_events(t: pa.Table, k: int) -> pa.Table:
@@ -134,7 +138,7 @@ def scale_embeddings(t: pa.Table, k: int) -> pa.Table:
             )
         )
     out = pa.concat_tables(parts)
-    assert len(out) == k * len(t) and dim == 64
+    assert len(out) == k * len(t), (len(out), k, len(t), dim)
     return out
 
 

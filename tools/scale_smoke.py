@@ -46,6 +46,8 @@ def main() -> int:
     out: dict[str, dict[str, dict[str, float]]] = {}
     for d in dirs:
         label = Path(d).name
+        if label in out:  # two dirs sharing a basename would collide
+            label = d
         out[label] = {}
         for name in FLAGSHIPS:
             fn = specs[name].fn
