@@ -801,3 +801,47 @@ def test_parameterized_sql_plans_like_literal(spark):
 
     assert norm(bound) == norm(literal)
     assert "PushedFilters" in explain_str(bound)
+
+
+def test_runtime_bloom_filter_injects_on_shuffle_join(spark):
+    """Runtime Bloom-filter join — the non-partition-column analog of
+    DPP (q_join_dpp): a selective filter on the small (creation) side
+    is turned into a bloom-filter probe (might_contain) on the fact
+    (application) side BEFORE the join shuffle, cutting the shuffled
+    fact rows to ~the join's selectivity.  Injection is gated on size
+    heuristics meant for clusters (application side >= 10 GB scanned),
+    so the test lowers the thresholds to fixture scale to exercise the
+    MECHANISM — the conf is restored either way (leak guard).  At
+    100 TB the default thresholds hold and this fires exactly when it
+    pays: the creation side already filtered, the fact side huge."""
+    from pyspark.sql import functions as F
+
+    from skyhookdb_ceph_spark.catalog import Catalog
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        # a broadcastable creation side plans a broadcast join, which
+        # already avoids the fact shuffle — injection correctly skips
+        # it; disable broadcast so the fixture-scale join is a shuffle
+        # join, the shape the bloom filter exists for
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        c = Catalog(spark, "/root/testdata/sf0.01")
+        sel = c.orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        j = (
+            c.lineitem.join(sel, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        plan = explain_str(j)
+        assert "might_contain" in plan.lower(), plan[:2000]
+        # and the probe must sit on the FACT side scan, pre-shuffle
+        rows = j.collect()
+        assert rows and all(r["cnt"] > 0 for r in rows)
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
