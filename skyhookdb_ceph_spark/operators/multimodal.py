@@ -317,11 +317,12 @@ def ppm_bytes(pixels: np.ndarray, width: int, height: int) -> bytes:
     return hdr + pixels.astype(np.uint8).tobytes()
 
 
-def parse_ppm(data: bytes) -> dict:
-    """REAL P6 parse: magic check, whitespace/comment-tolerant header
-    tokenizer (PPM allows `#` comments anywhere in the header), then
-    numpy uint8 raster decode with an exact length check.  Raises
-    ValueError on malformed input — no silent fallback."""
+def ppm_raster(data: bytes) -> tuple[int, int, np.ndarray]:
+    """P6 header tokenize + raster decode, shared by parse_ppm (sums)
+    and resize_ppm (pixel math): magic check, whitespace/comment-
+    tolerant header (PPM allows `#` comments anywhere in it), numpy
+    uint8 raster with an exact length check.  Raises ValueError on
+    malformed input — no silent fallback."""
     if data[:2] != b"P6":
         raise ValueError("not a P6 PPM payload")
     # Tokenize the header: 3 integers (w, h, maxval), skipping
@@ -355,16 +356,63 @@ def parse_ppm(data: bytes) -> dict:
         raise ValueError(
             f"raster length {len(raster)} != {width}x{height}x3"
         )
+    return width, height, raster
+
+
+def parse_ppm(data: bytes) -> dict:
+    """REAL P6 parse (see ppm_raster) -> typed metadata + exact
+    per-channel integer sums."""
+    width, height, raster = ppm_raster(data)
     rgb = raster.reshape(-1, 3).astype(np.int64)
     return {
         "width": width,
         "height": height,
-        "maxval": maxval,
+        "maxval": 255,  # ppm_raster rejects any other maxval
         "n_pixels": width * height,
         "sum_r": int(rgb[:, 0].sum()),
         "sum_g": int(rgb[:, 1].sum()),
         "sum_b": int(rgb[:, 2].sum()),
     }
+
+
+def resize_ppm(
+    media: DataFrame,
+    factor: int = 2,
+    id_col: str = "media_id",
+    bytes_col: str = "payload",
+) -> DataFrame:
+    """Arrow-batched nearest-neighbor DOWNSAMPLE of P6 payloads: output
+    pixel (y, x) = source pixel (factor*y, factor*x) — deterministic
+    integer pixel math, re-encoded as a new P6 payload so the result
+    flows into any downstream PPM stage (decode_ppm, another resize).
+    Pure map over Arrow batches: resize parallelism = partition count,
+    nothing shuffles, and the payload column SHRINKS by ~factor² before
+    any downstream exchange — the reason real pipelines resize as early
+    as possible."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[bytes_col]):
+                w, h, raster = ppm_raster(bytes(payload))
+                img = raster.reshape(h, w, 3)
+                small = img[::factor, ::factor, :]
+                oh, ow = small.shape[0], small.shape[1]
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "payload": ppm_bytes(small.reshape(-1), ow, oh),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[id_col, bytes_col])
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField(bytes_col, T.BinaryType()),
+        ]
+    )
+    return media.select(id_col, bytes_col).mapInPandas(process, schema)
 
 
 def decode_ppm(

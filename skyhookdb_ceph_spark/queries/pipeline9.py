@@ -22,6 +22,10 @@ Evidence-hardening queries closing the r7 verdict's residuals:
    per-source ignoreCorruptFiles option.
 7. q_transform_text — line-oriented text round-trip (the raw LLM
    corpus ingest format), completing §2.1's format plurality.
+8. q_multimodal_resize — image resize with real pixel math
+   (operators/multimodal.resize_ppm), completing the §2.12
+   multimodal quartet (decode / feature-extract / resize /
+   frame-sample).
 
 House rules unchanged: identical aliases both sides, deterministic
 everything, no all-pairs, no corpus-sized collect() — driver-side
@@ -472,3 +476,109 @@ def q_transform_text(spark, sf_dir):
         return spark.createDataFrame(agg.collect(), agg.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# §2.19.8 image resize (real pixel math over binary payloads)
+# ---------------------------------------------------------------------------
+
+# Source raster byte j is (media_id*7 + j*13) % 256 (same family as
+# q_multimodal_image, disjoint doc subset).  Nearest-neighbor /2:
+# output pixel (yy, xx) = source pixel (2yy, 2xx); numpy's [::2] keeps
+# ceil(n/2) samples, so out_w = (w+1)//2.  The oracle walks the SAME
+# output pixel positions arithmetically — any offset, stride, or
+# channel-interleave bug in the resize surfaces as a value mismatch.
+_RESIZE_ORACLE = """
+WITH p AS (
+  SELECT doc_id AS media_id,
+    CAST(8 + (doc_id % 9) AS INT) AS w,
+    CAST(8 + (doc_id % 7) AS INT) AS h
+  FROM documents WHERE doc_id % 10 = 7),
+d AS (
+  SELECT media_id, w, h,
+    CAST((w + 1) // 2 AS INT) AS ow, CAST((h + 1) // 2 AS INT) AS oh
+  FROM p)
+SELECT media_id, ow AS width, oh AS height, CAST(255 AS INT) AS maxval,
+  CAST(ow * oh AS BIGINT) AS n_pixels,
+  CAST(list_aggregate(list_transform(
+    generate_series(0, ow * oh - 1),
+    k -> (media_id * 7
+          + (((k // ow) * 2 * w + (k % ow) * 2) * 3 + 0) * 13) % 256),
+    'sum') AS BIGINT) AS sum_r,
+  CAST(list_aggregate(list_transform(
+    generate_series(0, ow * oh - 1),
+    k -> (media_id * 7
+          + (((k // ow) * 2 * w + (k % ow) * 2) * 3 + 1) * 13) % 256),
+    'sum') AS BIGINT) AS sum_g,
+  CAST(list_aggregate(list_transform(
+    generate_series(0, ow * oh - 1),
+    k -> (media_id * 7
+          + (((k // ow) * 2 * w + (k % ow) * 2) * 3 + 2) * 13) % 256),
+    'sum') AS BIGINT) AS sum_b
+FROM d ORDER BY media_id
+"""
+
+
+@query(
+    "q_multimodal_resize",
+    oracle=_RESIZE_ORACLE,
+    tags=("pipeline", "multimodal"),
+)
+def q_multimodal_resize(spark, sf_dir):
+    """Image RESIZE with real pixel math — the third stage of the
+    multimodal quartet (decode / feature-extract / RESIZE /
+    frame-sample, SURVEY §2.12): synthesize P6 payloads (disjoint doc
+    subset from q_multimodal_image), nearest-neighbor downsample by 2
+    (operators/multimodal.resize_ppm — output pixel (y, x) = source
+    (2y, 2x), re-encoded as a real P6 payload), then decode the
+    RESIZED payloads and emit dimensions + exact per-channel sums.
+    Three chained Arrow-batched mapInPandas stages, zero shuffle; the
+    oracle computes the same sums by walking the output pixel
+    positions arithmetically, so any stride/offset/interleave bug in
+    the resize is a value mismatch, not a silent quality loss.  At
+    100 TB the payload column shrinks ~4x at the resize stage —
+    before any exchange — which is why real pipelines resize
+    earliest."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from skyhookdb_ceph_spark.operators import ensure_parallelism
+    from skyhookdb_ceph_spark.operators.multimodal import (
+        decode_ppm,
+        ppm_bytes,
+        resize_ppm,
+    )
+
+    params = (
+        ensure_parallelism(Catalog(spark, sf_dir).documents)
+        .filter("doc_id % 10 = 7")
+        .selectExpr(
+            "doc_id AS media_id",
+            "CAST(8 + (doc_id % 9) AS INT) AS width",
+            "CAST(8 + (doc_id % 7) AS INT) AS height",
+        )
+    )
+    synth_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            rows = []
+            for mid, w, h in zip(pdf.media_id, pdf.width, pdf.height):
+                j = np.arange(int(w) * int(h) * 3, dtype=np.int64)
+                raster = (int(mid) * 7 + j * 13) % 256
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "payload": ppm_bytes(raster, int(w), int(h)),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = params.mapInPandas(synth, synth_schema)
+    return decode_ppm(resize_ppm(media, factor=2)).orderBy("media_id")
