@@ -26,6 +26,9 @@ Evidence-hardening queries closing the r7 verdict's residuals:
    (operators/multimodal.resize_ppm), completing the §2.12
    multimodal quartet (decode / feature-extract / resize /
    frame-sample).
+9. q_fn_sql_udf — SQL-defined functions (CREATE FUNCTION ... RETURN)
+   + lateral column aliases over aggregate aliases: the declarative
+   UDF door, inlined at plan time.
 
 House rules unchanged: identical aliases both sides, deterministic
 everything, no all-pairs, no corpus-sized collect() — driver-side
@@ -582,3 +585,52 @@ def q_multimodal_resize(spark, sf_dir):
 
     media = params.mapInPandas(synth, synth_schema)
     return decode_ppm(resize_ppm(media, factor=2)).orderBy("media_id")
+
+
+# ---------------------------------------------------------------------------
+# §2.19.9 SQL-defined functions (scalar + table) and lateral aliases
+# ---------------------------------------------------------------------------
+
+_SQL_UDF_ORACLE = """
+SELECT l_returnflag,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+                AS BIGINT)) AS BIGINT) AS rev_cents,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+                AS BIGINT)) // count(*) AS BIGINT) AS avg_rev_cents
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+@query("q_fn_sql_udf", oracle=_SQL_UDF_ORACLE, tags=("function", "sql"))
+def q_fn_sql_udf(spark, sf_dir):
+    """SQL-DEFINED functions (Spark 4 `CREATE FUNCTION ... RETURN
+    expr`) + lateral column aliases — the declarative UDF door: the
+    business definition (discounted price) lives ONCE as a named SQL
+    function, is inlined by Catalyst at plan time (no Python worker,
+    no serialization boundary — contrast §2.9's pandas UDFs), and the
+    lateral alias derives avg_rev_cents from the rev_cents/n_rows
+    aggregate ALIASES in the same SELECT — no subquery, no
+    re-aggregation.  Per-row cents quantization before the sum
+    keeps both engines integer-exact.  The oracle inlines the same
+    expressions — value equality proves the function call IS the
+    expression, and the whole plan stays one partial/final aggregate
+    over the scan."""
+    Catalog(spark, sf_dir).lineitem.createOrReplaceTempView(
+        "li_sql_udf_v"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION skyhook_disc_price("
+        "p DOUBLE, d DOUBLE) RETURNS DOUBLE RETURN p * (1 - d)"
+    )
+    return spark.sql(
+        "SELECT l_returnflag, "
+        "  CAST(sum(CAST(floor("
+        "    skyhook_disc_price(l_extendedprice, l_discount) * 100"
+        "  ) AS BIGINT)) AS BIGINT) AS rev_cents, "
+        "  CAST(count(*) AS BIGINT) AS n_rows, "
+        # lateral column aliases: avg derives from the two aggregate
+        # ALIASES in the same SELECT — no subquery, no re-aggregation
+        "  CAST(rev_cents DIV n_rows AS BIGINT) AS avg_rev_cents "
+        "FROM li_sql_udf_v GROUP BY l_returnflag ORDER BY l_returnflag"
+    )
