@@ -29,6 +29,9 @@ Evidence-hardening queries closing the r7 verdict's residuals:
 9. q_fn_sql_udf — SQL-defined functions (CREATE FUNCTION ... RETURN)
    + lateral column aliases over aggregate aliases: the declarative
    UDF door, inlined at plan time.
+10. q_stream_full_outer_join (streaming_q.py) — stream-stream FULL
+    OUTER join; the oracle pins the ASYMMETRIC eviction schedules
+    (purchases at wm, interval-bound clicks at wm - 1h).
 
 House rules unchanged: identical aliases both sides, deterministic
 everything, no all-pairs, no corpus-sized collect() — driver-side

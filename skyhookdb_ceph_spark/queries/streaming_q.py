@@ -729,3 +729,70 @@ def q_stream_outer_join(spark, sf_dir):
     return drain_to_memory(
         joined, output_mode="append", needs_watermark_batch=True
     )
+
+
+@query(
+    "q_stream_full_outer_join",
+    oracle=(
+        "WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts "
+        "      FROM events WHERE event_type = 'purchase'), "
+        "c AS (SELECT event_id AS click_id, user_id AS c_user, ts AS c_ts "
+        "      FROM events WHERE event_type = 'click'), "
+        "wm AS (SELECT least((SELECT max(p_ts) FROM p), "
+        "                    (SELECT max(c_ts) FROM c)) "
+        "              - INTERVAL 10 MINUTE AS w), "
+        "m AS (SELECT p.purchase_id, c.click_id, p.user_id "
+        "      FROM p JOIN c ON p.user_id = c.c_user "
+        "      AND c.c_ts <= p.p_ts "
+        "      AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR) "
+        "SELECT purchase_id, click_id, user_id FROM m "
+        "UNION ALL "
+        "SELECT p.purchase_id, CAST(NULL AS BIGINT), p.user_id "
+        "FROM p, wm WHERE p.p_ts < wm.w "
+        "AND NOT EXISTS (SELECT 1 FROM m WHERE m.purchase_id = p.purchase_id) "
+        "UNION ALL "
+        "SELECT CAST(NULL AS BIGINT), c.click_id, c.c_user "
+        "FROM c, wm WHERE c.c_ts < wm.w - INTERVAL 1 HOUR "
+        "AND NOT EXISTS (SELECT 1 FROM m WHERE m.click_id = c.click_id)"
+    ),
+    tags=("stream", "live-stream"),
+)
+def q_stream_full_outer_join(spark, sf_dir):
+    """Stream-stream FULL OUTER join — BOTH unmatched sides must
+    eventually emit with NULLs, and the two sides evict on DIFFERENT
+    schedules, which the oracle pins exactly: an unmatched purchase
+    emits once the global watermark passes p_ts (no click with
+    c_ts <= p_ts can still arrive), but an unmatched click must be
+    HELD A FULL HOUR LONGER — a click at c_ts can match any future
+    purchase with p_ts up to c_ts + 1 h (the join's interval bound),
+    so its NULL row emits only when c_ts < wm - 1 h.  Both gates
+    measured empirically and mirrored declaratively (global wm = MIN
+    of the two watermark nodes, the q_stream_outer_join finding).
+    This asymmetry is the state-size story at scale: the side that
+    can match FUTURE rows pays state proportional to the interval
+    width; the other side pays only the watermark delay."""
+    base = events_stream(spark, sf_dir)
+    purchases = base.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+    ).withWatermark("p_ts", "10 minutes")
+    clicks = base.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    ).withWatermark("c_ts", "10 minutes")
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+        "fullOuter",
+    ).select(
+        "purchase_id",
+        "click_id",
+        F.coalesce("user_id", "c_user").alias("user_id"),
+    )
+    return drain_to_memory(
+        joined, output_mode="append", needs_watermark_batch=True
+    )

@@ -73,10 +73,11 @@ _LOADED = False
 # shared-helper refactors since their last driver check), then the
 # oldest r3-era stamps: the llm.py dedup family, the special joins
 # (range/nearest/skew-salted), the sim_knn pair, and the windows
-# mid-wave.  The 42 remaining r3-era stamps (q_dedup_hierarchical,
-# q_dedup_decontaminate, q_join_range, q_join_nearest,
-# q_join_skew_salted, q_sim_knn, q_sim_knn_batch, q_win_sessionize,
-# q_win_sliding_distinct first) lead round 9's window.
+# mid-wave.  The 43 remaining r3-era stamps (q_dedup_cluster,
+# q_dedup_hierarchical, q_dedup_decontaminate, q_join_range,
+# q_join_nearest, q_join_skew_salted, q_sim_knn, q_sim_knn_batch,
+# q_win_sessionize, q_win_sliding_distinct first) lead round 9's
+# window.
 # Everything outside the window stays covered by
 # tests/test_correctness.py's local oracle diff regardless.
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
@@ -85,7 +86,7 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q_join_skew_adaptive", "q_scan_metadata_cols",
     "q_stream_outer_join", "q_sql_parameterized",
     "q_scan_ignore_corrupt", "q_transform_text", "q_multimodal_resize",
-    "q_fn_sql_udf",
+    "q_fn_sql_udf", "q_stream_full_outer_join",
     # -- r2-era stamps: aggregates mid-wave
     "q_agg_rollup", "q_agg_cube", "q_agg_percentiles",
     "q_agg_grouping_sets", "q_agg_pivot", "q_agg_listagg",
@@ -103,9 +104,9 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q_fn_regex_extract", "q_fn_map", "q_fn_array",
     # -- r3-era stamps: llm.py dedup family
     "q_dedup_exact", "q_dedup_fuzzy", "q_dedup_simhash", "q_dedup_ngram",
-    "q_dedup_url", "q_dedup_passage", "q_dedup_embed", "q_dedup_cluster",
+    "q_dedup_url", "q_dedup_passage", "q_dedup_embed",
     # ---- window boundary (50) — round 9 leads with the r3 remainder:
-    # q_dedup_hierarchical,
+    # q_dedup_cluster, q_dedup_hierarchical,
     # q_dedup_decontaminate, q_join_range, q_join_nearest,
     # q_join_skew_salted, q_sim_knn,
     # q_sim_knn_batch, q_win_sessionize, q_win_sliding_distinct, the
