@@ -400,8 +400,8 @@ def resize_ppm(
                 oh, ow = small.shape[0], small.shape[1]
                 rows.append(
                     {
-                        "media_id": int(mid),
-                        "payload": ppm_bytes(small.reshape(-1), ow, oh),
+                        id_col: int(mid),
+                        bytes_col: ppm_bytes(small.reshape(-1), ow, oh),
                     }
                 )
             yield pd.DataFrame(rows, columns=[id_col, bytes_col])

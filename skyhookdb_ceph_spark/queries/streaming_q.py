@@ -663,21 +663,54 @@ def q_stream_chained_windows(spark, sf_dir):
     ).orderBy("day_start")
 
 
+# Shared purchase/click interval-join machinery for the two outer-join
+# queries: both sides watermarked 10 min, clicks restricted to the hour
+# preceding each same-user purchase.  The oracle CTE prefix mirrors the
+# same sides, the MIN-of-nodes global watermark, and the match set —
+# edit HERE and both queries (and both oracles) move together.
+_PC_ORACLE_PREFIX = (
+    "WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts "
+    "      FROM events WHERE event_type = 'purchase'), "
+    "c AS (SELECT event_id AS click_id, user_id AS c_user, ts AS c_ts "
+    "      FROM events WHERE event_type = 'click'), "
+    "wm AS (SELECT least((SELECT max(p_ts) FROM p), "
+    "                    (SELECT max(c_ts) FROM c)) "
+    "              - INTERVAL 10 MINUTE AS w), "
+    "m AS (SELECT p.purchase_id, c.click_id, p.user_id "
+    "      FROM p JOIN c ON p.user_id = c.c_user "
+    "      AND c.c_ts <= p.p_ts "
+    "      AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR) "
+)
+
+
+def _purchase_click_join(spark, sf_dir, how):
+    """purchases ⋈ clicks (same user, click within the preceding hour),
+    both sides watermarked — the Spark twin of _PC_ORACLE_PREFIX."""
+    base = events_stream(spark, sf_dir)
+    purchases = base.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+    ).withWatermark("p_ts", "10 minutes")
+    clicks = base.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    ).withWatermark("c_ts", "10 minutes")
+    return purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+        how,
+    )
+
+
 @query(
     "q_stream_outer_join",
     oracle=(
-        "WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts "
-        "      FROM events WHERE event_type = 'purchase'), "
-        "c AS (SELECT event_id AS click_id, user_id AS c_user, ts AS c_ts "
-        "      FROM events WHERE event_type = 'click'), "
-        "wm AS (SELECT least((SELECT max(p_ts) FROM p), "
-        "                    (SELECT max(c_ts) FROM c)) "
-        "              - INTERVAL 10 MINUTE AS w), "
-        "m AS (SELECT p.purchase_id, c.click_id, p.user_id "
-        "      FROM p JOIN c ON p.user_id = c.c_user "
-        "      AND c.c_ts <= p.p_ts "
-        "      AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR) "
-        "SELECT purchase_id, click_id, user_id FROM m "
+        _PC_ORACLE_PREFIX
+        + "SELECT purchase_id, click_id, user_id FROM m "
         "UNION ALL "
         "SELECT p.purchase_id, CAST(NULL AS BIGINT) AS click_id, p.user_id "
         "FROM p, wm WHERE p.p_ts < wm.w "
@@ -708,24 +741,9 @@ def q_stream_outer_join(spark, sf_dir):
     NOT emitted.  At scale the time bound keeps both state stores
     bounded (clicks evict at wm - 1 h, purchases at wm), so the outer
     join costs the same bounded state as the inner one."""
-    base = events_stream(spark, sf_dir)
-    purchases = base.filter(F.col("event_type") == "purchase").select(
-        F.col("event_id").alias("purchase_id"),
-        F.col("user_id"),
-        F.col("ts").alias("p_ts"),
-    ).withWatermark("p_ts", "10 minutes")
-    clicks = base.filter(F.col("event_type") == "click").select(
-        F.col("event_id").alias("click_id"),
-        F.col("user_id").alias("c_user"),
-        F.col("ts").alias("c_ts"),
-    ).withWatermark("c_ts", "10 minutes")
-    joined = purchases.join(
-        clicks,
-        (F.col("user_id") == F.col("c_user"))
-        & (F.col("c_ts") <= F.col("p_ts"))
-        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
-        "leftOuter",
-    ).select("purchase_id", "click_id", "user_id")
+    joined = _purchase_click_join(spark, sf_dir, "leftOuter").select(
+        "purchase_id", "click_id", "user_id"
+    )
     return drain_to_memory(
         joined, output_mode="append", needs_watermark_batch=True
     )
@@ -734,18 +752,8 @@ def q_stream_outer_join(spark, sf_dir):
 @query(
     "q_stream_full_outer_join",
     oracle=(
-        "WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts "
-        "      FROM events WHERE event_type = 'purchase'), "
-        "c AS (SELECT event_id AS click_id, user_id AS c_user, ts AS c_ts "
-        "      FROM events WHERE event_type = 'click'), "
-        "wm AS (SELECT least((SELECT max(p_ts) FROM p), "
-        "                    (SELECT max(c_ts) FROM c)) "
-        "              - INTERVAL 10 MINUTE AS w), "
-        "m AS (SELECT p.purchase_id, c.click_id, p.user_id "
-        "      FROM p JOIN c ON p.user_id = c.c_user "
-        "      AND c.c_ts <= p.p_ts "
-        "      AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR) "
-        "SELECT purchase_id, click_id, user_id FROM m "
+        _PC_ORACLE_PREFIX
+        + "SELECT purchase_id, click_id, user_id FROM m "
         "UNION ALL "
         "SELECT p.purchase_id, CAST(NULL AS BIGINT), p.user_id "
         "FROM p, wm WHERE p.p_ts < wm.w "
@@ -771,24 +779,7 @@ def q_stream_full_outer_join(spark, sf_dir):
     This asymmetry is the state-size story at scale: the side that
     can match FUTURE rows pays state proportional to the interval
     width; the other side pays only the watermark delay."""
-    base = events_stream(spark, sf_dir)
-    purchases = base.filter(F.col("event_type") == "purchase").select(
-        F.col("event_id").alias("purchase_id"),
-        F.col("user_id"),
-        F.col("ts").alias("p_ts"),
-    ).withWatermark("p_ts", "10 minutes")
-    clicks = base.filter(F.col("event_type") == "click").select(
-        F.col("event_id").alias("click_id"),
-        F.col("user_id").alias("c_user"),
-        F.col("ts").alias("c_ts"),
-    ).withWatermark("c_ts", "10 minutes")
-    joined = purchases.join(
-        clicks,
-        (F.col("user_id") == F.col("c_user"))
-        & (F.col("c_ts") <= F.col("p_ts"))
-        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
-        "fullOuter",
-    ).select(
+    joined = _purchase_click_join(spark, sf_dir, "fullOuter").select(
         "purchase_id",
         "click_id",
         F.coalesce("user_id", "c_user").alias("user_id"),

@@ -145,6 +145,18 @@ def scale_embeddings(t: pa.Table, k: int) -> pa.Table:
 def main() -> int:
     k = int(sys.argv[1])
     out = Path(sys.argv[2])
+    # Validate the embedding width BEFORE writing anything: the
+    # engine's DuckDB oracle twins fix dim=64 (vectors.dot_duckdb), so
+    # a reshaped fixture must fail loudly here, not mid-generation or
+    # — worse — downstream with plausible-but-wrong oracle data.
+    emb0 = pq.read_table(SRC / "embeddings.parquet", columns=["embedding"])
+    dim = len(emb0["embedding"][0])
+    if dim != 64:
+        raise SystemExit(
+            f"embeddings dim {dim} != 64 — the DuckDB oracle twins "
+            "(vectors.dot_duckdb) fix dim=64; update them before "
+            "scaling this fixture"
+        )
     out.mkdir(parents=True, exist_ok=True)
     for name in VERBATIM:
         shutil.copy(SRC / f"{name}.parquet", out / f"{name}.parquet")
