@@ -286,6 +286,7 @@ SELECT 'documents.parquet' AS file_name,
        CAST(count(*) AS BIGINT) AS n_rows,
        CAST(0 AS BIGINT) AS min_ri,
        CAST(count(*) - 1 AS BIGINT) AS max_ri,
+       CAST(count(*) * (count(*) - 1) / 2 AS BIGINT) AS sum_ri,
        CAST(sum(n_chars) AS BIGINT) AS sum_chars
 FROM documents
 """
@@ -306,8 +307,10 @@ def q_scan_metadata_cols(spark, sf_dir):
     position, so the column costs nothing at scan time).  The oracle
     pins the contract rather than echoing the engine: the fixture is
     exactly one file with its known basename, and row_index must cover
-    0..n-1 densely (min 0, max n-1 under the per-file count) — the
-    invariant downstream delta/debugging tooling depends on.  At
+    0..n-1 densely — min 0, max n-1, AND sum n*(n-1)/2, which together
+    with the count rules out duplicate-and-skip patterns that
+    min/max/count alone admit (e.g. {0,1,1,3}) — the invariant
+    downstream delta/debugging tooling depends on.  At
     100 TB the same two columns turn "which ingest batch corrupted
     this row" from a table rewrite into a WHERE on the scan."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -322,6 +325,7 @@ def q_scan_metadata_cols(spark, sf_dir):
             F.count(F.lit(1)).cast("bigint").alias("n_rows"),
             F.min("ri").cast("bigint").alias("min_ri"),
             F.max("ri").cast("bigint").alias("max_ri"),
+            F.sum("ri").cast("bigint").alias("sum_ri"),
             F.sum("n_chars").cast("bigint").alias("sum_chars"),
         )
     )

@@ -81,40 +81,40 @@ _LOADED = False
 # Everything outside the window stays covered by
 # tests/test_correctness.py's local oracle diff regardless.
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # -- new / changed in round 8
-    "q_graph_components", "q_vec_ivf_files_pruned",
-    "q_join_skew_adaptive", "q_scan_metadata_cols",
-    "q_stream_outer_join", "q_sql_parameterized",
-    "q_scan_ignore_corrupt", "q_transform_text", "q_multimodal_resize",
-    "q_fn_sql_udf", "q_stream_full_outer_join",
-    # -- r2-era stamps: aggregates mid-wave
-    "q_agg_rollup", "q_agg_cube", "q_agg_percentiles",
-    "q_agg_grouping_sets", "q_agg_pivot", "q_agg_listagg",
-    "q_agg_avg_stddev", "q_agg_filtered",
-    # -- r2-era stamps: early TPC-H
-    "q_tpch_q3", "q_tpch_q5", "q_tpch_q10",
-    # -- r2-era stamps: filters tail + computed projection
-    "q_filter_eq_point", "q_filter_like", "q_filter_regex",
-    "q_filter_in", "q_filter_between", "q_filter_or_not",
-    "q_filter_null", "q_filter_null_safe_eq", "q_project_compute",
-    # -- r2-era stamps: scalar-function family (q_fn_map_json already
-    #    re-stamped r7 with its parallelism fix; the other 12 are r2)
-    "q_fn_string", "q_fn_split", "q_fn_date", "q_fn_math", "q_fn_case",
-    "q_fn_cast", "q_fn_date_arith", "q_fn_posexplode", "q_fn_bitwise",
-    "q_fn_regex_extract", "q_fn_map", "q_fn_array",
-    # -- r3-era stamps: llm.py dedup family
-    "q_dedup_exact", "q_dedup_fuzzy", "q_dedup_simhash", "q_dedup_ngram",
-    "q_dedup_url", "q_dedup_passage", "q_dedup_embed",
-    # ---- window boundary (50) — round 9 leads with the r3 remainder:
-    # q_dedup_cluster, q_dedup_hierarchical,
-    # q_dedup_decontaminate, q_join_range, q_join_nearest,
-    # q_join_skew_salted, q_sim_knn,
-    # q_sim_knn_batch, q_win_sessionize, q_win_sliding_distinct, the
-    # sampling family, text analysis (bm25/cooccur/pii/repetition/
-    # unigram_lp), q_agg_approx_quantile/corr/entropy/mode/salted_skew,
-    # ts_downsample/gapfill, vec_centroids/normalize, upsert/snapshot/
-    # schema_evolve, multimodal_frames, pack/curriculum/split/vocab,
-    # layout_zorder, mine_hardneg, embed_quantize, stream_filesink.
+    # -- new / changed in round 9 (oracle or plan touched this round)
+    "q_scan_metadata_cols",  # oracle now pins sum(row_index) density
+    # -- r3-era stamps (externally driver-checked last in round 3 —
+    #    five rounds of refactors since; all 43, oldest freshness debt)
+    "q_dedup_cluster", "q_dedup_hierarchical", "q_dedup_decontaminate",
+    "q_join_range", "q_join_nearest", "q_join_skew_salted",
+    "q_sim_knn", "q_sim_knn_batch",
+    "q_win_sessionize", "q_win_sliding_distinct",
+    "q_sample_stratified", "q_sample_balanced", "q_sample_weighted",
+    "q_sample_negatives", "q_sample_reservoir", "q_split_group_aware",
+    "q_text_bm25", "q_text_cooccur", "q_text_pii_redact",
+    "q_text_repetition", "q_text_unigram_lp",
+    "q_agg_approx_quantile", "q_agg_corr", "q_agg_entropy",
+    "q_agg_mode", "q_agg_salted_skew",
+    "q_ts_downsample", "q_ts_gapfill",
+    "q_vec_centroids", "q_vec_normalize",
+    "q_upsert_latest", "q_snapshot_diff", "q_schema_evolve",
+    "q_multimodal_frames",
+    "q_pack_sequences", "q_curriculum_bins", "q_vocab_pairs",
+    "q_layout_zorder", "q_mine_hardneg", "q_embed_quantize",
+    "q_fn_histogram", "q_fn_url_parse", "q_stream_filesink",
+    # -- fill to the 50-entry window with the oldest r4-era stamps
+    "q_join_asof", "q_filter_bloom", "q_agg_countmin",
+    "q_udf_pandas_scalar", "q_udaf_grouped_agg", "q_udtf",
+    # ---- window boundary (50) — round 10 continues the r4 era:
+    # q_scan_pushdown_source, q_transform_json, q_transform_orc,
+    # q_sample_hash, q_runstats, q_fn_struct_ops, q_win_cume_dist,
+    # q_win_first_last, q_win_lag_lead, q_win_quartile_scalable,
+    # q_sort_nulls, the r4 stream_* family (tumbling/sliding/session/
+    # watermark/dedup/join/stateful/enrich), q_text_* r4 wave
+    # (chunk/edit_distance/fingerprint/keyword/langid/quality/stats/
+    # tfidf/tokens), q_dedup_prefix, q_sim_pairs, q_sim_knn_ivf,
+    # q_ts_asof_interp, q_delta_upsert_merge, q_graph_pagerank,
+    # q_tpch_q1/q6/q12/q14, q_multimodal_binary/json.
 )
 
 

@@ -144,7 +144,10 @@ def task_retries_available(spark: SparkSession) -> bool:
     import re
 
     master = spark.sparkContext.master
-    if not re.match(r"^local\[", master):
+    if not re.match(r"^local(\[|$)", master):
         return True
+    # Bare "local" is a valid single-thread, single-attempt scheduler;
+    # local[N] likewise defaults maxTaskFailures to 1.  Only an
+    # explicit local[N,M] with M > 1 retries.
     m = re.match(r"local\[(?:\d+|\*),\s*(\d+)\]", master)
     return bool(m and int(m.group(1)) > 1)

@@ -159,6 +159,9 @@ def test_retry_guard_parses_masters_correctly():
         "local[32,2]": True,
         "local[32]": False,
         "local[*]": False,
+        # Bare "local" (no bracket) is a valid single-attempt master;
+        # the ^local\[ regex alone would fall through to True.
+        "local": False,
         "local[*,3]": True,
         "spark://host:7077": True,
         "yarn": True,
