@@ -337,20 +337,24 @@ def q_fn_map_json(spark, sf_dir):
 
     The parse is spread across cores BEFORE extraction
     (ensure_parallelism): the fixture's single-row-group parquet scans
-    as ONE task, which would serialize 100 % of the per-row Jackson
-    work on one core; the narrow (event_type, props) shuffle costs
-    less than the serialized parse (measured sf0.1: 359 → 270 ms
-    median) and is a no-op at scale where the input already has
-    thousands of splits.  The r6-verdict from_json hoist was measured
-    and REJECTED: one get_json_object call is already a single parse,
-    and from_json's struct materialization benched 17 % slower (421 vs
-    362 ms); json_tuple and variant parse_json benched within noise of
-    get_json_object."""
+    as ONE task, which would serialize 100 % of the per-row parse work
+    on one core; the narrow (event_type, props) shuffle costs less
+    than the serialized parse (measured sf0.1: 359 → 270 ms median)
+    and is a no-op at scale where the input already has thousands of
+    splits.  Parser choice (r8-verdict item, tools/exp_map_json.py,
+    interleaved median-of-5/7 at sf0.1 across three sessions): the
+    Spark 4 VARIANT path — parse_json once, try_variant_get typed
+    extraction — beat get_json_object in every session (314 vs 323,
+    425 vs 463, 344 vs 493 ms medians; 6/7 paired samples in the
+    confirmation run), so it ships.  from_json's struct hoist stays
+    REJECTED (355–421 ms, struct materialization costs more than the
+    single-path parse).  At 100 TB the variant encoding also amortizes:
+    one binary parse serves every later extraction, where each extra
+    get_json_object would re-parse the string."""
     e = Catalog(spark, sf_dir).events
     w = ensure_parallelism(e.select("event_type", "props"))
+    k = F.try_variant_get(F.parse_json(F.col("props")), "$.k", "int")
     return w.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("cnt"),
-        ratio(
-            F.avg(F.get_json_object("props", "$.k").cast("int"))
-        ).alias("avg_k"),
+        ratio(F.avg(k)).alias("avg_k"),
     )

@@ -83,6 +83,7 @@ _LOADED = False
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # -- new / changed in round 9 (oracle or plan touched this round)
     "q_scan_metadata_cols",  # oracle now pins sum(row_index) density
+    "q_fn_map_json",  # parser switched to parse_json/try_variant_get
     # -- r3-era stamps (externally driver-checked last in round 3 —
     #    five rounds of refactors since; all 43, oldest freshness debt)
     "q_dedup_cluster", "q_dedup_hierarchical", "q_dedup_decontaminate",
@@ -104,9 +105,9 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q_fn_histogram", "q_fn_url_parse", "q_stream_filesink",
     # -- fill to the 50-entry window with the oldest r4-era stamps
     "q_join_asof", "q_filter_bloom", "q_agg_countmin",
-    "q_udf_pandas_scalar", "q_udaf_grouped_agg", "q_udtf",
+    "q_udf_pandas_scalar", "q_udaf_grouped_agg",
     # ---- window boundary (50) — round 10 continues the r4 era:
-    # q_scan_pushdown_source, q_transform_json, q_transform_orc,
+    # q_udtf, q_scan_pushdown_source, q_transform_json, q_transform_orc,
     # q_sample_hash, q_runstats, q_fn_struct_ops, q_win_cume_dist,
     # q_win_first_last, q_win_lag_lead, q_win_quartile_scalable,
     # q_sort_nulls, the r4 stream_* family (tumbling/sliding/session/

@@ -69,21 +69,28 @@ def main():
     e = Catalog(spark, sf).events
     e.count()  # warm page cache + scan metadata
 
-    out = {}
-    for name, fn in [("get_json_object", variant_a),
-                     ("variant_get", variant_b),
-                     ("from_json_struct", variant_c)]:
-        mat(fn(e))  # warm the plan/codegen path once, unmeasured
-        samples = []
-        for _ in range(5):
+    variants = [("get_json_object", variant_a),
+                ("variant_get", variant_b),
+                ("from_json_struct", variant_c)]
+    samples = {name: [] for name, _ in variants}
+    rows = {}
+    for name, fn in variants:  # warm each plan/codegen path, unmeasured
+        rows[name] = mat(fn(e))
+    # Interleave rounds so JVM warm-up drift spreads evenly across
+    # variants instead of penalizing whichever runs first.
+    for _ in range(5):
+        for name, fn in variants:
             t = time.perf_counter()
-            n = mat(fn(e))
-            samples.append(round((time.perf_counter() - t) * 1000, 1))
-        out[name] = {
-            "rows": n,
-            "samples_ms": samples,
-            "median_ms": statistics.median(samples),
+            mat(fn(e))
+            samples[name].append(round((time.perf_counter() - t) * 1000, 1))
+    out = {
+        name: {
+            "rows": rows[name],
+            "samples_ms": samples[name],
+            "median_ms": statistics.median(samples[name]),
         }
+        for name, _ in variants
+    }
     print(json.dumps(out))
 
 
