@@ -358,10 +358,33 @@ class SkyhookStreamReader(DataSourceStreamReader):
         ]
 
     def read(self, partition: ChunkPartition):
+        # Row-group-targeted: decode ONLY the groups overlapping
+        # [lo, hi), then slice inside them.  The previous
+        # read-everything-then-slice shape was O(object) per batch —
+        # harmless on the single-row-group fixture, quadratic across a
+        # replay of a 100 TB multi-group object (every chunk would
+        # re-decode the whole file).  Chunk offsets are row positions,
+        # so the group walk below is the exact storage analog of
+        # "fetch only the RADOS objects this offset range names".
         import pyarrow.parquet as pq
 
-        t = pq.ParquetFile(partition.path).read(columns=partition.columns)
-        t = t.slice(partition.lo, partition.hi - partition.lo)
+        f = pq.ParquetFile(partition.path)
+        off = 0
+        groups: list[int] = []
+        first_group_start = 0
+        for i in range(f.metadata.num_row_groups):
+            n = f.metadata.row_group(i).num_rows
+            if off + n > partition.lo and off < partition.hi:
+                if not groups:
+                    first_group_start = off
+                groups.append(i)
+            off += n
+        if not groups:
+            return
+        t = f.read_row_groups(groups, columns=partition.columns)
+        t = t.slice(
+            partition.lo - first_group_start, partition.hi - partition.lo
+        )
         yield from t.cast(_normalize_schema(t.schema)).to_batches()
 
     def commit(self, end):

@@ -217,3 +217,47 @@ def test_stream_reader_empty_range_plans_nothing(spark):
         "/root/testdata/sf0.001/events.parquet", n_chunks=4, columns=None
     )
     assert r.partitions({"chunk": 2}, {"chunk": 2}) == []
+
+
+def test_stream_reader_targets_only_overlapping_row_groups(tmp_path):
+    """read() must decode ONLY the row groups covering [lo, hi) —
+    the previous read-everything-then-slice shape was O(object) per
+    micro-batch, quadratic across a replay of a multi-group object.
+    A 100-row / 10-groups file, 7 uneven chunks: every slice's values
+    must be exact (including group-straddling slices), and the groups
+    handed to read_row_groups must be exactly the overlapping ones."""
+    import pyarrow as pa
+
+    from skyhookdb_ceph_spark.sources import skyhook_source as src
+
+    path = str(tmp_path / "multi_group.parquet")
+    tbl = pa.table({"v": list(range(100))})
+    pq.write_table(tbl, path, row_group_size=10)
+    assert pq.ParquetFile(path).metadata.num_row_groups == 10
+
+    seen_groups: list[list[int]] = []
+    orig = pq.ParquetFile.read_row_groups
+
+    def spying(self, groups, **kw):
+        seen_groups.append(list(groups))
+        return orig(self, groups, **kw)
+
+    r = src.SkyhookStreamReader(path, n_chunks=7, columns=["v"])
+    parts = r.partitions({"chunk": 0}, {"chunk": 7})
+    pq.ParquetFile.read_row_groups = spying
+    try:
+        for p in parts:
+            got = []
+            for batch in r.read(p):
+                got.extend(batch.column(0).to_pylist())
+            assert got == list(range(p.lo, p.hi)), (p.lo, p.hi)
+            expect_groups = sorted(
+                {g for g in range(10)
+                 if g * 10 < p.hi and (g + 1) * 10 > p.lo}
+            )
+            assert seen_groups[-1] == expect_groups, (p.lo, p.hi)
+    finally:
+        pq.ParquetFile.read_row_groups = orig
+    # 100/7 chunks are ~14-15 rows: no slice may have decoded all 10
+    # groups (that would be the old whole-object read).
+    assert all(len(g) <= 3 for g in seen_groups)

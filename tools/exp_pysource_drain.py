@@ -32,6 +32,18 @@ def main():
     spark = get_spark(app_name="exp_pysrc", shuffle_partitions=8)
     spark.range(1).collect()
     register(spark)
+    if "--prewarm" in sys.argv:
+        # Pay the session-level Python-datasource worker cold-start on
+        # a 1-chunk BATCH read before the stream starts.
+        t = time.perf_counter()
+        spark.read.format("skyhook").option(
+            "path", f"{sf}/events.parquet"
+        ).option("chunks", "1").load().count()
+        print(
+            f"prewarm batch read: "
+            f"{round((time.perf_counter() - t) * 1000, 1)} ms",
+            file=sys.stderr,
+        )
     n_chunks = 4
     stream = (
         spark.readStream.format("skyhook")
