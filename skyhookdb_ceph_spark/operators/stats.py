@@ -42,3 +42,54 @@ def analyze_table(df: DataFrame, name: str) -> None:
     df.sparkSession.sql(
         f"ANALYZE TABLE {name} COMPUTE STATISTICS FOR ALL COLUMNS"
     )
+
+
+def measured_block_width(
+    df: DataFrame,
+    key: str,
+    order_sec: str,
+    frame_sec: int,
+    target_rows: int,
+) -> int | None:
+    """Pick a time-block width for decomposing a per-key RANGE window
+    from a MEASURED density probe (the window-planning consumer of the
+    runstats idea, sibling of skew.max_key_share's join/agg branches).
+
+    One keyed-partial probe job (map-combined: at most keys x
+    partitions partial rows cross the wire, reduced to ONE row)
+    measures the densest key's row count and the time span; the block
+    width is then sized so a (key, block) task holds ~target_rows of
+    the densest key:
+
+        width = span * target_rows / max_key_rows
+
+    clamped to >= 4 * frame_sec — the decomposition duplicates the
+    trailing frame_sec of each block as contributor-only ghost rows,
+    so the clamp caps ghost inflation at 25 %; correctness only needs
+    width >= frame_sec (a frame may reach at most ONE block back).
+    Returns None when the measured width covers the whole span —
+    i.e. the data is too sparse for decomposition to buy parallelism
+    and the caller should keep the plain per-key window (both plan
+    shapes return identical rows, so callers and oracles never need
+    to know which ran).  Static file stats cannot make this call: the
+    density that matters is POST-filter, per-key."""
+    row = (
+        df.groupBy(key)
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.min(order_sec).alias("__lo"),
+            F.max(order_sec).alias("__hi"),
+        )
+        .agg(
+            F.max("__n").alias("max_n"),
+            (F.max("__hi") - F.min("__lo")).alias("span"),
+        )
+        .first()
+    )
+    if row is None or not row["max_n"]:
+        return None
+    span = int(row["span"] or 0)
+    if span <= 0:
+        return None
+    width = max(4 * frame_sec, span * target_rows // int(row["max_n"]))
+    return None if width >= span else int(width)

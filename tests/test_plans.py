@@ -858,3 +858,78 @@ def test_runtime_bloom_filter_injects_on_shuffle_join(spark):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_density_blocks_blocked_branch_plan(spark):
+    """q_win_density_blocks with its shipped target (128 rows/block)
+    must take the MEASURED block decomposition on the fixture: ghost
+    union present and the window exchange keyed on (event_type, blk)."""
+    import re
+
+    plan = explain_str(q("q_win_density_blocks", spark))
+    assert "Union" in plan  # real + boundary-ghost contributor rows
+    assert re.search(
+        r"hashpartitioning\(event_type#\d+, blk#\d+", plan
+    ), "window exchange must key on (event_type, blk)"
+
+
+def test_density_blocks_plain_branch_plan(spark):
+    """A huge rows-per-block target makes the measured width cover the
+    whole span — the probe must return None and the plan fall back to
+    the plain per-type window: no ghost union, no blk column, window
+    exchange keyed on event_type alone."""
+    import re
+
+    from skyhookdb_ceph_spark.queries.pipeline10 import (
+        _trailing_hour_window,
+    )
+
+    df = _trailing_hour_window(spark, SF, target_rows=10_000_000)
+    plan = explain_str(df)
+    assert "blk" not in plan and "emit" not in plan
+    assert re.search(r"hashpartitioning\(event_type#\d+, 8\)", plan) or \
+        re.search(r"hashpartitioning\(event_type#\d+\b", plan)
+
+
+def test_density_blocks_branches_agree(spark):
+    """Both physical branches must return byte-identical rows — the
+    invariant that lets the oracle ignore which branch ran."""
+    from skyhookdb_ceph_spark.queries.pipeline10 import (
+        _trailing_hour_window,
+    )
+
+    blocked = _trailing_hour_window(spark, SF, target_rows=64).collect()
+    plain = _trailing_hour_window(
+        spark, SF, target_rows=10_000_000
+    ).collect()
+    assert blocked == plain and len(blocked) > 0
+
+
+def test_measured_block_width_contract(spark):
+    """Width clamps to >= 4x frame, returns None for sparse data
+    (width would cover the span) and on empty input."""
+    from skyhookdb_ceph_spark.operators.stats import measured_block_width
+
+    df = spark.range(1000).selectExpr(
+        "CAST(id % 4 AS STRING) AS k", "id * 100 AS sec"
+    )
+    # span 99900; densest key 250 rows; target 50 -> width ~19980
+    w = measured_block_width(df, "k", "sec", frame_sec=100, target_rows=50)
+    assert w is not None and 4 * 100 <= w < 99900
+    # huge target -> covers span -> None (plain-window branch)
+    assert (
+        measured_block_width(df, "k", "sec", frame_sec=100,
+                             target_rows=10**9)
+        is None
+    )
+    # tiny target -> clamp to 4x frame
+    assert (
+        measured_block_width(df, "k", "sec", frame_sec=100, target_rows=1)
+        == 400
+    )
+    empty = df.filter("id < 0")
+    assert (
+        measured_block_width(empty, "k", "sec", frame_sec=100,
+                             target_rows=50)
+        is None
+    )
