@@ -83,6 +83,8 @@ _LOADED = False
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # -- new / changed in round 9 (oracle or plan touched this round)
     "q_win_density_blocks",  # new: density-probed window-block planning
+    "q_fn_higher_order", "q_agg_moments", "q_gdpr_anonymize",
+    "q_sample_poisson", "q_ts_outlier_mad", "q_join_asof_tolerance",
     "q_scan_metadata_cols",  # oracle now pins sum(row_index) density
     "q_fn_map_json",  # parser switched to parse_json/try_variant_get
     # -- r3-era stamps (externally driver-checked last in round 3 —
@@ -103,13 +105,13 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q_multimodal_frames",
     "q_pack_sequences", "q_curriculum_bins", "q_vocab_pairs",
     "q_layout_zorder", "q_mine_hardneg", "q_embed_quantize",
-    "q_fn_histogram", "q_fn_url_parse", "q_stream_filesink",
-    # -- fill to the 50-entry window with the oldest r4-era stamps
-    "q_join_asof", "q_filter_bloom", "q_agg_countmin",
-    "q_udf_pandas_scalar",
-    # ---- window boundary (50) — round 10 continues the r4 era:
-    # q_udaf_grouped_agg, q_udtf, q_scan_pushdown_source,
-    # q_transform_json, q_transform_orc,
+    "q_fn_histogram",
+    # ---- window boundary (50) — round 10 leads with the two r3-era
+    # stamps the round-9 additions displaced, then the r4 era:
+    # q_fn_url_parse, q_stream_filesink,
+    # q_join_asof, q_filter_bloom, q_agg_countmin,
+    # q_udf_pandas_scalar, q_udaf_grouped_agg, q_udtf,
+    # q_scan_pushdown_source, q_transform_json, q_transform_orc,
     # q_sample_hash, q_runstats, q_fn_struct_ops, q_win_cume_dist,
     # q_win_first_last, q_win_lag_lead, q_win_quartile_scalable,
     # q_sort_nulls, the r4 stream_* family (tumbling/sliding/session/
