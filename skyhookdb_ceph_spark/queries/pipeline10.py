@@ -306,27 +306,53 @@ def q_gdpr_anonymize(spark, sf_dir):
     suppression.  The verdict row per level carries the released-group
     count and the min group size — which must be >= k on every
     non-suppressed level BY CONSTRUCTION, the invariant the oracle
-    re-derives independently.  Scale shape: three window counts over
-    progressively coarser keys (each a keyed map-combined exchange;
-    coarser keys strictly fewer groups), no self-join, no collect —
-    at 100 TB this is three aggregate-sized shuffles, not a
-    record-pairs comparison."""
-    c = Catalog(spark, sf_dir).customer
-    from pyspark.sql import Window as W
+    re-derives independently (its window-count formulation and this
+    plan are two independent derivations of the same ladder).
 
+    Scale shape — deliberately NOT window counts: a window partitioned
+    by the quasi-identifiers would exchange the FULL record stream
+    three times (and the segment-only window caps parallelism at
+    |segments| tasks).  Group sizes are instead three map-combined
+    aggregates — bounded by the quasi-identifier DOMAIN, which is
+    small by definition or k-anonymity is unattainable — broadcast
+    back onto the records: ZERO fact shuffles before the final
+    level-keyed aggregate.  tests/test_plans.py pins the
+    broadcast-only shape."""
+    c = Catalog(spark, sf_dir).customer
     g = c.select(
         "c_custkey",
         "c_nationkey",
         "c_mktsegment",
         F.floor(F.col("c_acctbal") / 1000).alias("bal_kb"),
     )
-    n0 = F.count(F.lit(1)).over(
-        W.partitionBy("c_nationkey", "c_mktsegment", "bal_kb")
+    s0 = g.groupBy(
+        F.col("c_nationkey").alias("k0n"),
+        F.col("c_mktsegment").alias("k0s"),
+        F.col("bal_kb").alias("k0b"),
+    ).agg(F.count(F.lit(1)).alias("n0"))
+    s1 = g.groupBy(
+        F.col("c_nationkey").alias("k1n"), F.col("c_mktsegment").alias("k1s")
+    ).agg(F.count(F.lit(1)).alias("n1"))
+    s2 = g.groupBy(F.col("c_mktsegment").alias("k2s")).agg(
+        F.count(F.lit(1)).alias("n2")
     )
-    n1 = F.count(F.lit(1)).over(W.partitionBy("c_nationkey", "c_mktsegment"))
-    n2 = F.count(F.lit(1)).over(W.partitionBy("c_mktsegment"))
+    joined = (
+        g.join(
+            F.broadcast(s0),
+            (F.col("c_nationkey") == F.col("k0n"))
+            & (F.col("c_mktsegment") == F.col("k0s"))
+            & (F.col("bal_kb") == F.col("k0b")),
+        )
+        .join(
+            F.broadcast(s1),
+            (F.col("c_nationkey") == F.col("k1n"))
+            & (F.col("c_mktsegment") == F.col("k1s")),
+        )
+        .join(F.broadcast(s2), F.col("c_mktsegment") == F.col("k2s"))
+    )
+    n0, n1, n2 = F.col("n0"), F.col("n1"), F.col("n2")
     k = _KANON_K
-    lv = g.select(
+    lv = joined.select(
         "c_custkey",
         "c_nationkey",
         "c_mktsegment",

@@ -933,3 +933,28 @@ def test_measured_block_width_contract(spark):
                              target_rows=50)
         is None
     )
+
+
+def test_anonymize_is_broadcast_only(spark):
+    """k-anonymity group sizes must reach the records as BROADCAST
+    joins of domain-bounded aggregates — never a windowed or
+    sort-merge pass over the full record stream."""
+    plan = explain_str(q("q_gdpr_anonymize", spark))
+    assert "SortMergeJoin" not in plan and "Window" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_higher_order_lambdas_stay_jvm_side(spark):
+    """The lambda quartet must be pure whole-stage-codegen map work:
+    zero exchanges, zero Python evals, no explode/Generate."""
+    plan = explain_str(q("q_fn_higher_order", spark))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan and "Generate" not in plan
+
+
+def test_poisson_bootstrap_is_map_then_agg(spark):
+    """Replicate counts are computed in the map phase; the only
+    shuffles are the final keyed aggregate and its ordering."""
+    plan = explain_str(q("q_sample_poisson", spark))
+    assert "EvalPython" not in plan and "SortMergeJoin" not in plan
+    assert "partial_count" in plan or "HashAggregate" in plan
