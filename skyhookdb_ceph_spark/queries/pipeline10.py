@@ -617,3 +617,158 @@ def q_join_asof_tolerance(spark, sf_dir):
         "ts",
         F.when(within, F.col("last_click_ts")).alias("click_30m"),
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.20.8 one-sided CUSUM change detection via the prefix-min identity
+# ---------------------------------------------------------------------------
+
+_CUSUM_ORACLE = """
+WITH hourly AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) AS bucket,
+         sum(value) AS v
+  FROM events GROUP BY 1, 2),
+mu AS (
+  SELECT event_type AS et, avg(v) AS mu, stddev_samp(v) AS sigma
+  FROM hourly GROUP BY 1),
+p AS (
+  SELECT h.event_type, h.bucket,
+    sum(h.v - m.mu - 0.5 * m.sigma) OVER w AS pref,
+    min(sum(h.v - m.mu - 0.5 * m.sigma) OVER w) OVER w AS pref_min,
+    m.sigma
+  FROM hourly h JOIN mu m ON h.event_type = m.et
+  WINDOW w AS (PARTITION BY h.event_type ORDER BY h.bucket))
+SELECT event_type, bucket,
+  floor((pref - least(pref_min, 0)) * 1000 + 0.5) / 1000 AS cusum,
+  CASE WHEN pref - least(pref_min, 0) > 5 * sigma THEN 1 ELSE 0 END
+    AS is_shift
+FROM p ORDER BY event_type, bucket
+"""
+
+
+@query(
+    "q_ts_cusum",
+    oracle=_CUSUM_ORACLE,
+    tags=("timeseries", "scale-design"),
+)
+def q_ts_cusum(spark, sf_dir):
+    """One-sided CUSUM change-point detection on hourly sums — the
+    classic S_t = max(0, S_{t-1} + (v_t - mu - slack)) recursion,
+    which looks inherently sequential but is exactly expressible as
+    two window functions via the prefix-min identity:
+
+        S_t = P_t - min(0, min_{i<=t} P_i),   P = prefix sum of
+                                              (v - mu - 0.5 sigma)
+
+    so the engine runs cumulative-sum + running-min inside ONE sorted
+    window partition instead of a row-at-a-time recursion (no UDF, no
+    iterative driver loop — the same make-the-recursion-algebraic
+    move as q_ts_ewma's closed form).  A shift flags when S_t exceeds
+    5 sigma.  Buckets per type are time-bounded, so the window input
+    is aggregate-sized at any corpus size; mu/sigma are a
+    type-bounded broadcast.  cusum quantized at 3 decimals (chained
+    double accumulation, the z-score precedent)."""
+    ev = Catalog(spark, sf_dir).events
+    from pyspark.sql import Window as W
+
+    from skyhookdb_ceph_spark.queries._util import quantize
+
+    hourly = ev.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 3600).cast("bigint").alias(
+            "bucket"
+        ),
+    ).agg(F.sum("value").alias("v"))
+    mu = hourly.groupBy(F.col("event_type").alias("et")).agg(
+        F.avg("v").alias("mu"), F.stddev_samp("v").alias("sigma")
+    )
+    w = W.partitionBy("event_type").orderBy("bucket")
+    wcum = w.rowsBetween(W.unboundedPreceding, 0)
+    d = hourly.join(F.broadcast(mu), F.col("event_type") == F.col("et"))
+    pref = F.sum(
+        F.col("v") - F.col("mu") - 0.5 * F.col("sigma")
+    ).over(wcum)
+    p = d.select(
+        "event_type",
+        "bucket",
+        "sigma",
+        pref.alias("pref"),
+    ).select(
+        "event_type",
+        "bucket",
+        "sigma",
+        "pref",
+        F.min("pref").over(wcum).alias("pref_min"),
+    )
+    s = F.col("pref") - F.least(F.col("pref_min"), F.lit(0.0))
+    return p.select(
+        "event_type",
+        "bucket",
+        quantize(s, 3).alias("cusum"),
+        F.when(s > 5 * F.col("sigma"), 1).otherwise(0).alias("is_shift"),
+    ).orderBy("event_type", "bucket")
+
+
+# ---------------------------------------------------------------------------
+# §2.20.9 lag-k autocorrelation per series
+# ---------------------------------------------------------------------------
+
+_AUTOCORR_ORACLE = """
+WITH hourly AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) AS bucket,
+         sum(value) AS v
+  FROM events GROUP BY 1, 2),
+lagged AS (
+  SELECT event_type, v,
+    lag(v, 1) OVER (PARTITION BY event_type ORDER BY bucket) AS v1,
+    lag(v, 24) OVER (PARTITION BY event_type ORDER BY bucket) AS v24
+  FROM hourly)
+SELECT event_type,
+  CAST(count(v1) AS BIGINT) AS n_lag1,
+  floor((corr(v, v1)) * 1000000 + 0.5) / 1000000 AS r_lag1,
+  floor((corr(v, v24)) * 1000000 + 0.5) / 1000000 AS r_lag24
+FROM lagged GROUP BY event_type ORDER BY event_type
+"""
+
+
+@query("q_ts_autocorr", oracle=_AUTOCORR_ORACLE, tags=("timeseries",))
+def q_ts_autocorr(spark, sf_dir):
+    """Lag-1 and lag-24 autocorrelation of the hourly series per type
+    — the seasonality screen (a daily cycle shows as r_lag24 >>
+    r_lag1) that decides whether q_ts_seasonal's decomposition is
+    worth running at all.  Shape: hourly rollup (map-combined), lag
+    via one sorted window per type over the AGGREGATE-sized series,
+    then corr as a single-pass mergeable co-moment aggregate
+    (q_agg_corr's machinery applied to the series against its own
+    shift).  Nothing here ever re-touches raw events after the first
+    rollup — at 100 TB the windowed data is bounded by types x
+    time-buckets regardless of corpus size."""
+    ev = Catalog(spark, sf_dir).events
+    from pyspark.sql import Window as W
+
+    from skyhookdb_ceph_spark.queries._util import quantize
+
+    hourly = ev.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 3600).cast("bigint").alias(
+            "bucket"
+        ),
+    ).agg(F.sum("value").alias("v"))
+    w = W.partitionBy("event_type").orderBy("bucket")
+    lagged = hourly.select(
+        "event_type",
+        "v",
+        F.lag("v", 1).over(w).alias("v1"),
+        F.lag("v", 24).over(w).alias("v24"),
+    )
+    return (
+        lagged.groupBy("event_type")
+        .agg(
+            F.count("v1").cast("bigint").alias("n_lag1"),
+            quantize(F.corr("v", "v1"), 6).alias("r_lag1"),
+            quantize(F.corr("v", "v24"), 6).alias("r_lag24"),
+        )
+        .orderBy("event_type")
+    )
