@@ -353,7 +353,12 @@ def q_fn_map_json(spark, sf_dir):
     get_json_object would re-parse the string."""
     e = Catalog(spark, sf_dir).events
     w = ensure_parallelism(e.select("event_type", "props"))
-    k = F.try_variant_get(F.parse_json(F.col("props")), "$.k", "int")
+    # try_parse_json (not parse_json): NULL on malformed rows, matching
+    # get_json_object's old null-tolerance -- one bad props row at 100 TB
+    # must not fail the query.
+    k = F.try_variant_get(
+        F.try_parse_json(F.col("props")), "$.k", "int"
+    )
     return w.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("cnt"),
         ratio(F.avg(k)).alias("avg_k"),

@@ -78,7 +78,11 @@ def _trailing_hour_window(spark, sf_dir, target_rows):
         s = s.withColumn("blk", F.floor(F.col("sec") / width))
         real = s.withColumn("emit", F.lit(1))
         ghost = (
-            s.filter(F.col("sec") % width >= width - _FRAME_SEC)
+            # pmod, not %: Spark's % follows the dividend's sign, so for
+            # negative sec (pre-1970) it would disagree with the
+            # floor(sec/width) block assignment and break the
+            # ghost-row equivalence invariant.
+            s.filter(F.pmod(F.col("sec"), F.lit(width)) >= width - _FRAME_SEC)
             .withColumn("blk", F.col("blk") + 1)
             .withColumn("emit", F.lit(0))
         )
@@ -632,13 +636,19 @@ WITH hourly AS (
 mu AS (
   SELECT event_type AS et, avg(v) AS mu, stddev_samp(v) AS sigma
   FROM hourly GROUP BY 1),
-p AS (
+p0 AS (
+  -- DuckDB forbids nesting window calls (min(sum(...) OVER w) OVER w),
+  -- so the prefix sum materializes one CTE level before the running min
+  -- -- the same two stacked selects the Spark plan uses.
   SELECT h.event_type, h.bucket,
     sum(h.v - m.mu - 0.5 * m.sigma) OVER w AS pref,
-    min(sum(h.v - m.mu - 0.5 * m.sigma) OVER w) OVER w AS pref_min,
     m.sigma
   FROM hourly h JOIN mu m ON h.event_type = m.et
-  WINDOW w AS (PARTITION BY h.event_type ORDER BY h.bucket))
+  WINDOW w AS (PARTITION BY h.event_type ORDER BY h.bucket)),
+p AS (
+  SELECT event_type, bucket, pref, sigma,
+    min(pref) OVER (PARTITION BY event_type ORDER BY bucket) AS pref_min
+  FROM p0)
 SELECT event_type, bucket,
   floor((pref - least(pref_min, 0)) * 1000 + 0.5) / 1000 AS cusum,
   CASE WHEN pref - least(pref_min, 0) > 5 * sigma THEN 1 ELSE 0 END

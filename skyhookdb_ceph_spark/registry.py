@@ -61,65 +61,63 @@ _LOADED = False
 # list pins the front of the registry each round; anything not listed
 # keeps module-import order after it.
 #
-# Round-8 rotation: cumulative driver-green after r7 = 278/278, zero
-# failures in 350 checks.  The window stays REGRESSION INSURANCE,
-# oldest-stamps-first (r7 verdict item 3): lead with the queries whose
-# code changed in round 8 (q_graph_components' oracle was replaced
-# with the tractable unrolled-recurrence form — the correctness
-# contract itself changed, so it needs a fresh stamp; new round-8
-# QueryIDs are inserted here as they land), then ALL 32 surviving
-# r2-era stamps (aggregates mid-wave, early TPC-H, filters tail,
-# q_project_compute, the q_fn_* scalar-function family — 5 rounds of
-# shared-helper refactors since their last driver check), then the
-# oldest r3-era stamps: the llm.py dedup family, the special joins
-# (range/nearest/skew-salted), the sim_knn pair, and the windows
-# mid-wave.  The 43 remaining r3-era stamps (q_dedup_cluster,
-# q_dedup_hierarchical, q_dedup_decontaminate, q_join_range,
-# q_join_nearest, q_join_skew_salted, q_sim_knn, q_sim_knn_batch,
-# q_win_sessionize, q_win_sliding_distinct first) lead round 9's
-# window.
+# Round-10 rotation: cumulative driver-green after r9 = 295 distinct
+# QueryIDs, zero failures in 449 checks.  The window stays REGRESSION
+# INSURANCE, new/changed-first then oldest-stamps-first: lead with the
+# two queries that have NEVER been driver-stamped (q_ts_cusum — its
+# oracle was invalid SQL until this round, the r9 verdict's top item —
+# and q_ts_autocorr, which landed after the r9 window was full), plus
+# the two r9-stamped queries whose expressions changed this round
+# (q_fn_map_json: parse_json → try_parse_json null-tolerance;
+# q_win_density_blocks: ghost filter % → pmod for negative sec).  Any
+# NEW round-10 QueryID is inserted at the head as it lands, displacing
+# the tail.  Then the two r3-era stamps the round-9 additions
+# displaced, then the r4 era (six rounds of shared-helper refactors
+# since their last external check).
 # Everything outside the window stays covered by
 # tests/test_correctness.py's local oracle diff regardless.
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # -- new / changed in round 9 (oracle or plan touched this round)
-    "q_win_density_blocks",  # new: density-probed window-block planning
-    "q_fn_higher_order", "q_agg_moments", "q_gdpr_anonymize",
-    "q_sample_poisson", "q_ts_outlier_mad", "q_join_asof_tolerance",
-    "q_scan_metadata_cols",  # oracle now pins sum(row_index) density
-    "q_fn_map_json",  # parser switched to parse_json/try_variant_get
-    # -- r3-era stamps (externally driver-checked last in round 3 —
-    #    five rounds of refactors since; all 43, oldest freshness debt)
-    "q_dedup_cluster", "q_dedup_hierarchical", "q_dedup_decontaminate",
-    "q_join_range", "q_join_nearest", "q_join_skew_salted",
-    "q_sim_knn", "q_sim_knn_batch",
-    "q_win_sessionize", "q_win_sliding_distinct",
-    "q_sample_stratified", "q_sample_balanced", "q_sample_weighted",
-    "q_sample_negatives", "q_sample_reservoir", "q_split_group_aware",
-    "q_text_bm25", "q_text_cooccur", "q_text_pii_redact",
-    "q_text_repetition", "q_text_unigram_lp",
-    "q_agg_approx_quantile", "q_agg_corr", "q_agg_entropy",
-    "q_agg_mode", "q_agg_salted_skew",
-    "q_ts_downsample", "q_ts_gapfill",
-    "q_vec_centroids", "q_vec_normalize",
-    "q_upsert_latest", "q_snapshot_diff", "q_schema_evolve",
-    "q_multimodal_frames",
-    "q_pack_sequences", "q_curriculum_bins", "q_vocab_pairs",
-    "q_layout_zorder", "q_mine_hardneg", "q_embed_quantize",
-    "q_fn_histogram",
-    # ---- window boundary (50) — round 10 leads with the two r3-era
-    # stamps the round-9 additions displaced, then the r4 era:
-    # q_fn_url_parse, q_stream_filesink,
-    # q_join_asof, q_filter_bloom, q_agg_countmin,
-    # q_udf_pandas_scalar, q_udaf_grouped_agg, q_udtf,
-    # q_scan_pushdown_source, q_transform_json, q_transform_orc,
-    # q_sample_hash, q_runstats, q_fn_struct_ops, q_win_cume_dist,
-    # q_win_first_last, q_win_lag_lead, q_win_quartile_scalable,
-    # q_sort_nulls, the r4 stream_* family (tumbling/sliding/session/
-    # watermark/dedup/join/stateful/enrich), q_text_* r4 wave
-    # (chunk/edit_distance/fingerprint/keyword/langid/quality/stats/
-    # tfidf/tokens), q_dedup_prefix, q_sim_pairs, q_sim_knn_ivf,
-    # q_ts_asof_interp, q_delta_upsert_merge, q_graph_pagerank,
-    # q_tpch_q1/q6/q12/q14, q_multimodal_binary/json.
+    # -- new / changed in round 10 (oracle or expression touched)
+    "q_ts_cusum",      # oracle fixed: nested window split into 2 CTEs
+    "q_ts_autocorr",   # never driver-stamped (landed post-window in r9)
+    "q_fn_map_json",   # try_parse_json null-tolerance (ADVICE r9)
+    "q_win_density_blocks",  # pmod ghost filter (ADVICE r9)
+    # -- r3-era stamps displaced by the round-9 additions
+    "q_fn_url_parse", "q_stream_filesink",
+    # -- r4-era stamps (externally driver-checked last in round 4)
+    "q_join_asof", "q_filter_bloom", "q_agg_countmin",
+    "q_udf_pandas_scalar", "q_udaf_grouped_agg", "q_udtf",
+    "q_scan_pushdown_source", "q_transform_json", "q_transform_orc",
+    "q_sample_hash", "q_runstats", "q_fn_struct_ops",
+    "q_win_cume_dist", "q_win_first_last", "q_win_lag_lead",
+    "q_win_quartile_scalable", "q_sort_nulls",
+    "q_stream_tumbling", "q_stream_sliding", "q_stream_session",
+    "q_stream_watermark", "q_stream_dedup", "q_stream_join",
+    "q_stream_stateful", "q_stream_enrich",
+    "q_text_chunk", "q_text_edit_distance", "q_text_fingerprint",
+    "q_text_keyword", "q_text_langid", "q_text_quality",
+    "q_text_stats", "q_text_tfidf", "q_text_tokens",
+    "q_sim_pairs", "q_sim_knn_ivf",
+    "q_ts_asof_interp", "q_delta_upsert_merge", "q_graph_pagerank",
+    "q_tpch_q1", "q_tpch_q6", "q_tpch_q12", "q_tpch_q14",
+    "q_multimodal_binary",
+    # ---- window boundary (50) — round 11 leads with the r4-era
+    # remainder (q_multimodal_json, q_subquery_exists, q_subquery_in,
+    # q_subquery_scalar,
+    # q_text_minhash_cluster) plus anything round-10 additions
+    # displaced, then the r5 era: q_dedup_prefix, q_ts_ewma,
+    # q_text_zipf, q_dedup_casefold, q_dedup_tombstone, q_agg_argmax,
+    # q_agg_benford, q_agg_bool, q_agg_funnel, q_agg_regression,
+    # q_agg_retention_bitmap, q_agg_skyline, q_agg_histogram_eqdepth,
+    # q_feat_hashing, q_fn_string_adv, q_fn_try_cast, q_fn_unpivot,
+    # q_gdpr_delete, q_join_bucketed, q_join_dpp, q_join_scd2,
+    # q_join_spatial_grid, q_sim_knn_multiprobe, q_sort_pagination,
+    # q_sql_cte/values/named_window, q_stats_constraints,
+    # q_stats_profile, q_text_bigram_lm/bpe_merge/html_strip/
+    # proximity, q_tpch_q4/q7/q8/q13/q15/q17/q18/q19/q22,
+    # q_ts_anomaly, q_ts_rollup_two_level, q_vec_ivf_build,
+    # q_win_islands/nth_value/retention_cohort, q_scan_partition_prune,
+    # q_multimodal_audio_windows, q_tpch_q2 tail.
 )
 
 
