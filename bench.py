@@ -96,6 +96,7 @@ WINDOW_ALLOWLIST = {
     "q_agg_skyline",
     "q_fn_histogram",
     "q_text_bm25",
+    "q_text_rerank",  # rank over 10 rows post-limit (bm25 precedent)
     "q_text_zipf",
     "q_vocab_pairs",
     "q_win_gaps",

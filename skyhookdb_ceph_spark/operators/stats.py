@@ -93,3 +93,42 @@ def measured_block_width(
         return None
     width = max(4 * frame_sec, span * target_rows // int(row["max_n"]))
     return None if width >= span else int(width)
+
+
+def measured_shuffle_width(
+    df: DataFrame,
+    target_rows_per_task: int,
+    max_width: int = 4096,
+) -> int | None:
+    """Pick numPartitions for a keyed exchange from a MEASURED row
+    count — the shuffle-sizing consumer of the runstats idea (sibling
+    of measured_block_width's window branch and skew.max_key_share's
+    join/agg branches).  `spark.sql.shuffle.partitions` is one static
+    number for every exchange in the session; the right width for a
+    specific keyed shuffle is input-proportional:
+
+        width = ceil(measured_rows / target_rows_per_task)
+
+    Returns None when the input fits in a single task's budget — the
+    caller keeps the planner's default plan (at that size the exchange
+    cost is noise and an explicit repartition would only add plan
+    nodes).  The probe is one count() job; on an unfiltered parquet
+    scan Catalyst prunes EVERY column (ReadSchema: struct<>), so the
+    count reads row-group metadata plus null bitmaps only — at 100 TB
+    the probe touches no data pages, while the exchange it sizes moves
+    the whole table.  max_width caps the task count so a huge measured
+    input degrades to bigger tasks, not a scheduler flood (AQE's
+    coalescing works downward from a too-big width, never upward from
+    a too-small one — which is why undersizing is the failure mode
+    worth a probe).
+
+    Engine floor (measured, Spark 4.1.2): under a shuffled join,
+    EnsureRequirements honors a user repartition width only when it is
+    >= spark.sql.shuffle.partitions and rewrites smaller widths up to
+    that conf — so the probe only ever WIDENS the exchange beyond the
+    static conf, which is exactly the direction AQE cannot go."""
+    n = df.count()
+    if n <= target_rows_per_task:
+        return None
+    width = -(-n // target_rows_per_task)  # ceil
+    return int(min(width, max_width))

@@ -1,0 +1,251 @@
+"""Round-10 wave (SURVEY.md §2.21).
+
+Closing the r9 verdict's stretch items:
+
+1. q_join_width_probed — the fourth consumer of the measured-stats
+   machinery (r9 verdict item 8): a fact-fact equi-join whose keyed
+   exchange width (numPartitions) is computed from a 1-row count
+   probe (operators/stats.measured_shuffle_width) instead of the
+   session-static spark.sql.shuffle.partitions, falling back to the
+   planner's default plan when the measured input fits one task.
+   Both branches return identical rows; the oracle is the plain join
+   and never needs to know which branch ran.  Both plan shapes are
+   pinned in tests/test_plans.py.
+
+2. q_text_rerank — two-stage retrieval (r9 verdict item 9): BM25
+   top-k candidate generation, then a feature-scored rerank that
+   re-touches ONLY the k candidate documents (broadcast candidate
+   list, corpus never shuffles) — the retrieve-then-rerank shape
+   every production search / RAG pipeline runs.
+
+House rules unchanged: identical aliases both sides, deterministic
+everything, no all-pairs, no corpus-sized collect() — the probes'
+driver-side materializations are one row / k rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from skyhookdb_ceph_spark.operators.stats import measured_shuffle_width
+from skyhookdb_ceph_spark.queries._util import Catalog, money, quantize
+from skyhookdb_ceph_spark.registry import query
+
+# ---------------------------------------------------------------------------
+# §2.21.1 probe-driven shuffle-partition count for a keyed join
+# ---------------------------------------------------------------------------
+
+_WIDTH_ORACLE = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt,
+  floor((sum(l_quantity)) * 100 + 0.5) / 100 AS sum_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+_WIDTH_TARGET_ROWS = 16384
+
+
+def _width_probed_join(spark, sf_dir, target_rows):
+    """Shared body so tests can force either branch via target_rows
+    (tiny target -> probed explicit width; huge target -> planner
+    default)."""
+    c = Catalog(spark, sf_dir)
+    li = c.lineitem.select("l_orderkey", "l_quantity")
+    o = c.orders.select("o_orderkey", "o_orderpriority")
+    width = measured_shuffle_width(li, target_rows)
+    if width is None:
+        # planner default: input fits one task's budget, the exchange
+        # cost is noise and an explicit repartition only adds nodes
+        joined = li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+    else:
+        # both sides repartitioned to the MEASURED width on the join
+        # key: EnsureRequirements sees the children co-partitioned and
+        # adds NO further exchange — the join's shuffle now has an
+        # input-proportional task count instead of the session-static
+        # spark.sql.shuffle.partitions.  shuffle_hash hint because the
+        # branch models the fact-fact case (at 100 TB neither side
+        # broadcasts); at fixture scale the planner would otherwise
+        # broadcast orders and strand both repartitions as dead cost
+        joined = li.repartition(width, "l_orderkey").join(
+            o.repartition(width, "o_orderkey").hint("shuffle_hash"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            money(F.sum("l_quantity")).alias("sum_qty"),
+        )
+        # output cardinality is SCHEMA-bounded (5 priorities at any
+        # scale factor): q_agg_groupby's bounded-tail precedent
+        .coalesce(1)
+        .sortWithinPartitions("o_orderpriority")
+    )
+
+
+@query(
+    "q_join_width_probed",
+    oracle=_WIDTH_ORACLE,
+    tags=("join", "scale-design", "stats-driven"),
+)
+def q_join_width_probed(spark, sf_dir):
+    """Fact-fact equi-join whose keyed-exchange width is computed from
+    a measured row-count probe — the shuffle-sizing consumer of the
+    measured-statistics machinery (after the agg/join skew branches
+    and the window density blocks).
+
+    `spark.sql.shuffle.partitions` is ONE static number for every
+    exchange in the session; at 100 TB the lineitem-orders shuffle
+    wants tens of thousands of tasks while a dimension shuffle in the
+    same session wants dozens.  The probe (one count() job — column
+    pruning makes it read row-group metadata, no data pages) sizes
+    THIS exchange at ceil(rows / target_rows_per_task); both join
+    inputs are repartitioned to that width on the join key, so
+    EnsureRequirements sees them co-partitioned and the join itself
+    adds no further exchange (plan-asserted).  When the measured input
+    fits one task the planner's default plan is kept — both branches
+    are row-identical, so the oracle is branch-invariant.  AQE's
+    coalescing only merges a too-wide shuffle downward; it can never
+    split an undersized one, which is exactly the failure the probe
+    prevents."""
+    return _width_probed_join(spark, sf_dir, _WIDTH_TARGET_ROWS)
+
+
+# ---------------------------------------------------------------------------
+# §2.21.2 two-stage retrieval: BM25 candidates -> feature rerank
+# ---------------------------------------------------------------------------
+
+_RERANK_TERMS = ("table", "query")
+_RERANK_K1, _RERANK_B = 1.2, 0.75
+_RERANK_CANDIDATES = 20
+_RERANK_PHRASE = " ".join(_RERANK_TERMS)
+
+_RERANK_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM (
+    SELECT doc_id, unnest(toks) AS term FROM d) x
+  WHERE term IN ('{_RERANK_TERMS[0]}', '{_RERANK_TERMS[1]}')
+  GROUP BY doc_id, term),
+idf AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+    sum(ln(1 + (s.n_docs - idf.df + 0.5) / (idf.df + 0.5))
+        * tf.tf * ({_RERANK_K1} + 1)
+        / (tf.tf + {_RERANK_K1} * (1 - {_RERANK_B} + {_RERANK_B} * dl.dl / s.avgdl))
+    ) AS raw
+  FROM tf JOIN idf USING (term) JOIN dl USING (doc_id), stats s
+  GROUP BY tf.doc_id),
+cand AS (
+  SELECT doc_id, floor(raw * 1000000 + 0.5) / 1000000 AS bm25
+  FROM scored
+  ORDER BY floor(raw * 1000000 + 0.5) / 1000000 DESC, doc_id
+  LIMIT {_RERANK_CANDIDATES}),
+feat AS (
+  SELECT c.doc_id, c.bm25,
+    CASE WHEN d.text LIKE '%{_RERANK_PHRASE}%' THEN 1 ELSE 0 END
+      AS phrase_hit,
+    1.0 / ln(1 + dl.dl) AS len_prior
+  FROM cand c JOIN d USING (doc_id) JOIN dl USING (doc_id)),
+r AS (
+  SELECT doc_id, bm25,
+    floor((bm25 + 0.5 * phrase_hit + len_prior) * 1000000 + 0.5) / 1000000
+      AS rerank
+  FROM feat)
+SELECT doc_id, bm25, rerank,
+  CAST(row_number() OVER (ORDER BY rerank DESC, doc_id) AS INT) AS rnk
+FROM r ORDER BY rerank DESC, doc_id LIMIT 10
+"""
+
+
+@query(
+    "q_text_rerank",
+    oracle=_RERANK_ORACLE,
+    tags=("pipeline", "text", "scale-design"),
+)
+def q_text_rerank(spark, sf_dir):
+    """Two-stage retrieval: BM25 candidate generation (q_text_bm25's
+    scoring path, widened to top-20), then a feature-scored RERANK
+    over the candidates only — the retrieve-then-rerank shape every
+    production search / RAG pipeline runs (a cheap sparse scorer
+    prunes the corpus; an expensive scorer re-orders the survivors).
+
+    The scale contract is the candidate boundary: stage 1 never
+    shuffles document text (postings filtered at the explode, exactly
+    q_text_bm25), and stage 2's expensive features (phrase scan over
+    the raw text + length prior) run on exactly k=20 rows — the
+    candidate list broadcasts and the corpus side of the text fetch is
+    a broadcast-hash-join stream, so document text STILL never
+    shuffles (plan-asserted: no exchange carries `text`).  At 100 TB
+    stage 2's cost is O(k), independent of corpus size — the whole
+    point of the two-stage shape.  The rerank score is
+    bm25 + 0.5 * phrase_hit + 1/ln(1+dl): an exact-phrase bonus (the
+    feature BM25's bag-of-words model cannot see) and a brevity
+    prior.  Candidate cut on the QUANTIZED bm25 with doc_id tiebreak
+    so the k-boundary is engine-invariant; 6-decimal quantization
+    before the final rank window (2-term float sums cannot drift)."""
+    d = Catalog(spark, sf_dir).documents.select(
+        "doc_id", "text", F.split("text", " ").alias("toks")
+    )
+    dl = d.select("doc_id", F.size("toks").cast("bigint").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        d.select("doc_id", F.explode("toks").alias("term"))
+        .where(F.col("term").isin(*_RERANK_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    idf = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    k1, b = _RERANK_K1, _RERANK_B
+    scored = (
+        tf.join(F.broadcast(idf), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.log(
+                    1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                )
+                * F.col("tf")
+                * (k1 + 1)
+                / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+            ).alias("raw")
+        )
+    )
+    cand = (
+        scored.select("doc_id", quantize(F.col("raw"), 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(_RERANK_CANDIDATES)
+    )
+    # stage 2: k-bounded candidate list BROADCASTS; the corpus side is
+    # the streamed side of a broadcast hash join, so text never
+    # shuffles and the expensive features run on k rows only
+    feat = (
+        F.broadcast(cand)
+        .join(d.select("doc_id", "text", F.size("toks").alias("dl")), "doc_id")
+        .select(
+            "doc_id",
+            "bm25",
+            F.when(F.col("text").contains(_RERANK_PHRASE), 1)
+            .otherwise(0)
+            .alias("phrase_hit"),
+            (F.lit(1.0) / F.log(1 + F.col("dl"))).alias("len_prior"),
+        )
+    )
+    r = feat.select(
+        "doc_id",
+        "bm25",
+        quantize(
+            F.col("bm25") + 0.5 * F.col("phrase_hit") + F.col("len_prior"), 6
+        ).alias("rerank"),
+    )
+    top = r.orderBy(F.desc("rerank"), "doc_id").limit(10)
+    w = Window.orderBy(F.desc("rerank"), "doc_id")  # 10 rows post-limit
+    return top.withColumn("rnk", F.row_number().over(w).cast("int"))

@@ -958,3 +958,71 @@ def test_poisson_bootstrap_is_map_then_agg(spark):
     plan = explain_str(q("q_sample_poisson", spark))
     assert "EvalPython" not in plan and "SortMergeJoin" not in plan
     assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_width_probed_join_probed_branch(spark):
+    """Forced-small target: the join's two input exchanges must be the
+    explicit probe-sized REPARTITION_BY_NUM ones (conf-floored — see
+    measured_shuffle_width's engine-floor note) and the join must add
+    NO further exchange; the only planner-inserted exchange is the
+    post-join aggregate's."""
+    import re
+
+    from skyhookdb_ceph_spark.queries.pipeline11 import _width_probed_join
+
+    plan = explain_str(_width_probed_join(spark, SF, target_rows=1000))
+    assert plan.count("REPARTITION_BY_NUM") == 2
+    assert "ShuffledHashJoin" in plan
+    ens = re.findall(
+        r"hashpartitioning\(([^)]*)\), ENSURE_REQUIREMENTS", plan
+    )
+    assert len(ens) == 1 and "o_orderpriority" in ens[0]
+
+
+def test_width_probed_join_plain_branch(spark):
+    """Shipped target at fixture scale: the probe says the input fits
+    one task's budget — the planner's default plan is kept, with no
+    explicit repartition nodes."""
+    plan = explain_str(q("q_join_width_probed", spark))
+    assert "REPARTITION_BY_NUM" not in plan
+
+
+def test_width_probed_branches_agree(spark):
+    """Both physical branches must return byte-identical rows — the
+    invariant that lets the oracle ignore which branch ran."""
+    from skyhookdb_ceph_spark.queries.pipeline11 import _width_probed_join
+
+    probed = _width_probed_join(spark, SF, target_rows=1000).collect()
+    plain = _width_probed_join(spark, SF, target_rows=10**9).collect()
+    assert probed == plain and len(probed) > 0
+
+
+def test_measured_shuffle_width_contract(spark):
+    """None when the input fits one task, ceil otherwise, capped at
+    max_width."""
+    from skyhookdb_ceph_spark.operators.stats import (
+        measured_shuffle_width,
+    )
+
+    df = spark.range(10000)
+    assert measured_shuffle_width(df, 10001) is None
+    assert measured_shuffle_width(df, 10000) is None  # boundary: fits
+    assert measured_shuffle_width(df, 4999) == 3  # ceil(10000/4999)
+    assert measured_shuffle_width(df, 1, max_width=64) == 64  # cap
+
+
+def test_rerank_candidates_broadcast_text_never_shuffles(spark):
+    """Two-stage retrieval: the candidate list must broadcast (the
+    corpus side of the text fetch streams through a broadcast hash
+    join), both top-k cuts must fuse into TakeOrderedAndProject, and
+    no exchange may key on the raw text column."""
+    import re
+
+    plan = explain_str(q("q_text_rerank", spark))
+    assert "BroadcastExchange" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    parts = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert parts, "expected keyed exchanges in the BM25 stage"
+    for args in parts:
+        assert "text#" not in args
