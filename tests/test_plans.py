@@ -960,6 +960,44 @@ def test_poisson_bootstrap_is_map_then_agg(spark):
     assert "partial_count" in plan or "HashAggregate" in plan
 
 
+def test_moments_single_keyed_pass(spark):
+    """Power-sum moments must be ONE map-combined keyed aggregate:
+    a single hash exchange on the group key, partial aggregation
+    before it, and no window, join, or second scan."""
+    import re
+
+    plan = explain_str(q("q_agg_moments", spark))
+    assert len(re.findall(r"hashpartitioning\(", plan)) == 1
+    assert "partial_" in plan
+    assert "Window" not in plan and "Join" not in plan
+    # formatted mode prints each node twice (tree + detail section)
+    assert plan.count("Scan parquet") == 2
+
+
+def test_outlier_mad_medians_broadcast(spark):
+    """Both median aggregates (median, then MAD) must come back to the
+    hourly rollup as BROADCAST joins of type-bounded aggregates —
+    never a sort-merge pass or a window over the stream."""
+    plan = explain_str(q("q_ts_outlier_mad", spark))
+    assert "SortMergeJoin" not in plan and "Window" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_asof_tolerance_adds_no_shuffle(spark):
+    """The staleness tolerance is a post-window filter: its plan must
+    contain exactly as many keyed exchanges as the plain as-of join's
+    (zero added shuffles)."""
+    import re
+
+    tol = explain_str(q("q_join_asof_tolerance", spark))
+    plain = explain_str(q("q_join_asof", spark))
+    assert len(re.findall(r"hashpartitioning\(", tol)) == len(
+        re.findall(r"hashpartitioning\(", plain)
+    )
+    assert "CartesianProduct" not in tol
+    assert "BroadcastNestedLoopJoin" not in tol
+
+
 def test_width_probed_join_probed_branch(spark):
     """Forced-small target: the join's two input exchanges must be the
     explicit probe-sized REPARTITION_BY_NUM ones (conf-floored — see
