@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from skyhookdb_ceph_spark.operators import minhash, vectors
+from skyhookdb_ceph_spark.queries.llm import FUZZY_CTES
 from skyhookdb_ceph_spark.operators.stats import measured_shuffle_width
 from skyhookdb_ceph_spark.queries._util import Catalog, money, quantize
 from skyhookdb_ceph_spark.registry import query
@@ -249,3 +251,178 @@ def q_text_rerank(spark, sf_dir):
     top = r.orderBy(F.desc("rerank"), "doc_id").limit(10)
     w = Window.orderBy(F.desc("rerank"), "doc_id")  # 10 rows post-limit
     return top.withColumn("rnk", F.row_number().over(w).cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# §2.21.3 dedup-method agreement audit (MinHash vs embedding-cosine)
+# ---------------------------------------------------------------------------
+
+_AGREE_ORACLE = f"""
+WITH {FUZZY_CTES},
+tpair AS (
+  SELECT da AS a, db AS b
+  FROM cand JOIN sh x ON x.doc_id = cand.da JOIN sh y ON y.doc_id = cand.db
+  WHERE floor((len(list_intersect(x.shingles, y.shingles)) * 1.0
+        / len(list_distinct(x.shingles || y.shingles))) * 1000000 + 0.5)
+        / 1000000 >= 0.8),
+{vectors.banded_cells_cte_duckdb()},
+ecand AS (
+  SELECT DISTINCT a.vec_id AS a, c.vec_id AS b
+  FROM cells a JOIN cells c ON a.bucket = c.bucket AND a.vec_id < c.vec_id),
+epair AS (
+  SELECT ecand.a, ecand.b
+  FROM ecand JOIN embeddings x ON x.vec_id = ecand.a
+             JOIN embeddings y ON y.vec_id = ecand.b
+  WHERE {vectors.cosine_duckdb('x.embedding', 'y.embedding')} > 0.4),
+u AS (
+  SELECT COALESCE(t.in_text, 0) AS in_text, COALESCE(e.in_embed, 0) AS in_embed
+  FROM (SELECT a, b, 1 AS in_text FROM tpair) t
+  FULL OUTER JOIN (SELECT a, b, 1 AS in_embed FROM epair) e
+    ON t.a = e.a AND t.b = e.b)
+SELECT
+  CAST(sum(in_text * in_embed) AS BIGINT) AS n_both,
+  CAST(sum(in_text * (1 - in_embed)) AS BIGINT) AS n_text_only,
+  CAST(sum((1 - in_text) * in_embed) AS BIGINT) AS n_embed_only,
+  floor((sum(in_text * in_embed) * 1.0 / count(*)) * 1000000 + 0.5) / 1000000
+    AS agreement
+FROM u
+"""
+
+
+@query(
+    "q_dedup_agreement",
+    oracle=_AGREE_ORACLE,
+    tags=("llm", "dedup", "scale-design"),
+)
+def q_dedup_agreement(spark, sf_dir):
+    """Agreement audit between the two near-dup detectors: the
+    text-side MinHash pipeline (q_dedup_fuzzy: shingle LSH -> exact
+    Jaccard >= 0.8) vs the embedding-side cosine pipeline
+    (q_dedup_embed's pair stage: sign-LSH buckets -> cosine > 0.4) —
+    the validation every production dedup stack runs before trusting
+    the cheap method at scale (Jaccard agreement of the pair sets =
+    how often the scalable detector and the semantic detector find
+    the SAME duplicates; text_only = semantic misses, embed_only =
+    lexical misses).
+
+    Scale shape: both pair generators are LSH-bucketed candidate
+    joins (never all-pairs — the operators/minhash.py and
+    operators/vectors.py machinery with corpus-scaled band widths);
+    the agreement join keys on 16-byte id pairs, so its input is
+    pair-count-sized, orders of magnitude below the corpus; output is
+    ONE row.  Fixture embeddings are synthetic (not derived from the
+    texts), so the measured agreement is near zero — the operator's
+    value is the plumbing + the confusion counts being exact and
+    oracle-checked."""
+    c = Catalog(spark, sf_dir)
+    tp = minhash.jaccard_pairs(c.documents, threshold=0.8).select(
+        F.col("doc_a").alias("a"),
+        F.col("doc_b").alias("b"),
+        F.lit(1).alias("in_text"),
+    )
+    ep = (
+        vectors.bucketed_pairs(c.embeddings)
+        .selectExpr(
+            "va AS a", "vb AS b", f"{vectors.cosine_expr('ea', 'eb')} AS sim"
+        )
+        .filter("sim > 0.4")
+        .select("a", "b", F.lit(1).alias("in_embed"))
+    )
+    u = tp.join(ep, ["a", "b"], "full_outer").select(
+        F.coalesce("in_text", F.lit(0)).alias("in_text"),
+        F.coalesce("in_embed", F.lit(0)).alias("in_embed"),
+    )
+    both = F.sum(F.col("in_text") * F.col("in_embed"))
+    return u.agg(
+        both.cast("bigint").alias("n_both"),
+        F.sum(F.col("in_text") * (1 - F.col("in_embed")))
+        .cast("bigint")
+        .alias("n_text_only"),
+        F.sum((1 - F.col("in_text")) * F.col("in_embed"))
+        .cast("bigint")
+        .alias("n_embed_only"),
+        quantize(both / F.count(F.lit(1)), 6).alias("agreement"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.21.4 two-stage quality-filter cascade
+# ---------------------------------------------------------------------------
+
+_CASCADE_HI, _CASCADE_LO, _CASCADE_BD = 0.62, 0.5, 0.97
+
+_CASCADE_ORACLE = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+s1 AS (
+  SELECT doc_id, toks,
+    floor((0.5 * least(len(toks) / 80.0, 1.0)
+     + 0.5 * (len(list_distinct(toks)) * 1.0 / len(toks))) * 1000000 + 0.5)
+     / 1000000 AS q1
+  FROM t),
+s2 AS (
+  SELECT doc_id, q1,
+    CASE WHEN q1 >= {_CASCADE_HI} OR q1 < {_CASCADE_LO} THEN NULL
+         WHEN len(toks) < 2 THEN 1.0
+         ELSE floor((len(list_distinct(list_transform(
+                generate_series(1, len(toks) - 1),
+                i -> toks[i] || ' ' || toks[i + 1]))) * 1.0
+                / (len(toks) - 1)) * 1000000 + 0.5) / 1000000 END AS bd
+  FROM s1)
+SELECT doc_id, q1,
+  CAST(CASE WHEN bd IS NULL THEN 1 ELSE 2 END AS INT) AS stage,
+  CASE WHEN bd IS NULL THEN
+         (CASE WHEN q1 >= {_CASCADE_HI} THEN 'accept' ELSE 'reject' END)
+       WHEN bd >= {_CASCADE_BD} THEN 'accept' ELSE 'reject' END AS verdict
+FROM s2
+"""
+
+
+@query(
+    "q_text_quality_cascade",
+    oracle=_CASCADE_ORACLE,
+    tags=("llm", "text", "scale-design"),
+)
+def q_text_quality_cascade(spark, sf_dir):
+    """Two-stage quality-filter CASCADE: the cheap heuristic score
+    (q_text_quality's length x lexical-diversity blend) routes every
+    document — confident accepts/rejects exit at stage 1; only the
+    uncertain middle band pays the expensive stage-2 feature (bigram
+    diversity: distinct bigrams / total bigrams, the n-gram repetition
+    screen).  This is the cost model every production quality pipeline
+    uses when the expensive scorer (a model) cannot run on the full
+    corpus: expensive-cost = P(uncertain) x corpus, not corpus.
+
+    Spark shape: ONE Project over the scan — the cascade is a lazy
+    CASE WHEN, and Catalyst's CaseWhen evaluates branches in order per
+    row, so the bigram build+distinct runs ONLY for rows that reach
+    the stage-2 branch; no second pass, no shuffle, no routing join
+    (plan-asserted: zero exchanges).  Both stage scores are
+    floor-quantized at 6 decimals BEFORE banding so the band
+    assignment is engine-invariant.  size<2 guard because Spark's
+    sequence(1, 0) yields a DESCENDING [1,0] while DuckDB's
+    generate_series(1, 0) is empty."""
+    d = Catalog(spark, sf_dir).documents
+    toks = "split(text, ' ')"
+    q1 = (
+        f"floor((cast(0.5 AS double) * least(size({toks}) / cast(80.0 AS double), cast(1.0 AS double)) "
+        f"+ cast(0.5 AS double) * (cast(size(array_distinct({toks})) AS double) "
+        f"/ size({toks}))) * 1000000 + 0.5) / 1000000"
+    )
+    bg = (
+        f"transform(sequence(1, size({toks}) - 1), "
+        f"i -> concat(element_at({toks}, i), ' ', element_at({toks}, i + 1)))"
+    )
+    bd = (
+        f"CASE WHEN size({toks}) < 2 THEN cast(1.0 AS double) "
+        f"ELSE floor((cast(size(array_distinct({bg})) AS double) "
+        f"/ (size({toks}) - 1)) * 1000000 + 0.5) / 1000000 END"
+    )
+    return d.selectExpr(
+        "doc_id",
+        f"{q1} AS q1",
+        f"CAST(CASE WHEN {q1} >= {_CASCADE_HI} OR {q1} < {_CASCADE_LO} "
+        f"THEN 1 ELSE 2 END AS INT) AS stage",
+        f"CASE WHEN {q1} >= {_CASCADE_HI} THEN 'accept' "
+        f"WHEN {q1} < {_CASCADE_LO} THEN 'reject' "
+        f"WHEN {bd} >= {_CASCADE_BD} THEN 'accept' ELSE 'reject' END AS verdict",
+    )

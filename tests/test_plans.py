@@ -1049,6 +1049,30 @@ def test_measured_shuffle_width_contract(spark):
     assert measured_shuffle_width(df, 1, max_width=64) == 64  # cap
 
 
+def test_quality_cascade_is_single_map_pass(spark):
+    """The cascade must be ONE Project over the scan: the stage-2
+    routing is a lazy CASE WHEN, not a filter+union or a join — zero
+    exchanges, zero Python evals, one scan."""
+    plan = explain_str(q("q_text_quality_cascade", spark))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan and "Join" not in plan
+    assert plan.count("Scan parquet") == 2  # tree + detail section
+
+
+def test_dedup_agreement_never_all_pairs(spark):
+    """Both pair generators must stay LSH-bucketed equi-joins and the
+    agreement join must be keyed on the id pair — no cartesian, and
+    the only nested loops are the 1-row nb config cross-joins inside
+    banded_cells (every BroadcastNestedLoopJoin is a Cross)."""
+    import re
+
+    plan = explain_str(q("q_dedup_agreement", spark), "simple")
+    assert "CartesianProduct" not in plan
+    bnl = re.findall(r"BroadcastNestedLoopJoin \w+, (\w+)", plan)
+    assert all(k == "Cross" for k in bnl)
+    assert re.search(r"SortMergeJoin \[a#\d+L, b#\d+L\].*FullOuter", plan)
+
+
 def test_rerank_candidates_broadcast_text_never_shuffles(spark):
     """Two-stage retrieval: the candidate list must broadcast (the
     corpus side of the text fetch streams through a broadcast hash

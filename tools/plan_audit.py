@@ -300,6 +300,45 @@ AUDIT = {
         "(fixed-size binary state shuffles, never rows); the per-day "
         "sketch side re-joins as a broadcast."
     ),
+    "q_win_density_blocks": (
+        "Density-probed window-block planning (r9). Wanted on the "
+        "fixture density: ghost-row Union present and the window "
+        "exchange keyed on (event_type, blk) — the probe-measured "
+        "block decomposition (plain branch asserted separately in "
+        "tests/test_plans.py)."
+    ),
+    "q_gdpr_anonymize": (
+        "k-anonymity ladder (r9). Wanted: the three generalization "
+        "levels reach the records as BroadcastHashJoins of "
+        "domain-bounded aggregates — no Window over the record "
+        "stream, no SortMergeJoin, zero fact shuffles."
+    ),
+    "q_join_width_probed": (
+        "Probe-driven shuffle width (r10). Wanted at fixture scale: "
+        "the probe says the input fits one task, so the planner "
+        "default (no REPARTITION_BY_NUM) — the probed branch with "
+        "its two explicit exchanges and no further join exchange is "
+        "asserted in tests/test_plans.py."
+    ),
+    "q_text_rerank": (
+        "Two-stage retrieval (r10). Wanted: stage-1 BM25 postings "
+        "filtered at the explode; the k=20 candidate list broadcasts "
+        "and the corpus streams through a BroadcastHashJoin (text "
+        "never shuffles); both top-k cuts fuse to "
+        "TakeOrderedAndProject."
+    ),
+    "q_text_quality_cascade": (
+        "Quality cascade (r10). Wanted: ONE Project over the scan — "
+        "the stage-2 bigram feature lives inside a lazy CASE WHEN "
+        "branch; zero exchanges, no routing join or second pass."
+    ),
+    "q_dedup_agreement": (
+        "Dedup-method agreement audit (r10). Wanted: both pair "
+        "generators stay LSH-bucketed equi-joins (no cartesian; the "
+        "only nested loops are 1-row nb config cross-joins); the "
+        "agreement join is a FullOuter SortMergeJoin keyed on the id "
+        "pair — pair-count-sized input, one output row."
+    ),
 }
 
 
