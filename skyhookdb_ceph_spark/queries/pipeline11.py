@@ -426,3 +426,210 @@ def q_text_quality_cascade(spark, sf_dir):
         f"WHEN {q1} < {_CASCADE_LO} THEN 'reject' "
         f"WHEN {bd} >= {_CASCADE_BD} THEN 'accept' ELSE 'reject' END AS verdict",
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.21.5 bucket-pruned point read over a bucketed table
+# ---------------------------------------------------------------------------
+
+_BUCKET_PRUNE_KEYS = (1, 5, 13)
+_BUCKET_PRUNE_N = 16
+
+_BUCKET_PRUNE_ORACLE = f"""
+SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+  floor((sum(o_totalprice)) * 100 + 0.5) / 100 AS spend
+FROM orders WHERE o_custkey IN {_BUCKET_PRUNE_KEYS}
+GROUP BY o_custkey ORDER BY o_custkey
+"""
+
+
+@query(
+    "q_scan_bucket_prune",
+    oracle=_BUCKET_PRUNE_ORACLE,
+    tags=("scan", "layout", "scale-design"),
+)
+def q_scan_bucket_prune(spark, sf_dir):
+    """Bucket-PRUNED point read: the read-side payoff of the bucketed
+    layout that q_join_bucketed pays for at write time.  A key-equality
+    (or IN-list) predicate on the bucket column lets the scan open
+    ONLY the buckets those keys hash to — the plan's FileSourceScan
+    shows `SelectedBucketsCount: k out of 16` (plan-asserted in
+    tests/test_bucketing.py) — so a point lookup over a 100 TB
+    bucketed fact touches 1/16th of the files per key with ZERO index
+    structures, just the layout.  This is the q_scan_partition_prune
+    story on a HASHED key (high-cardinality ids that would explode a
+    hive partition tree into millions of directories bucket cleanly
+    into a fixed file count).  The pushed IN-filter still applies
+    within the surviving buckets.  Oracle reads the plain parquet —
+    layout must never change results."""
+    from skyhookdb_ceph_spark.operators.bucketing import write_bucketed
+
+    c = Catalog(spark, sf_dir)
+    write_bucketed(
+        c.orders.select("o_custkey", "o_totalprice"),
+        "bp_orders",
+        ["o_custkey"],
+        _BUCKET_PRUNE_N,
+    )
+    t = spark.table("bp_orders")
+    return (
+        t.filter(F.col("o_custkey").isin(*_BUCKET_PRUNE_KEYS))
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            money(F.sum("o_totalprice")).alias("spend"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.21.6 event-sequence pattern matching (MATCH_RECOGNIZE-style funnel)
+# ---------------------------------------------------------------------------
+
+_PATTERN = "s[vc]*p"  # signup -> (view|click)* -> purchase, contiguous
+
+_PATTERN_ORACLE = f"""
+WITH s AS (
+  SELECT user_id,
+    string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
+  FROM events GROUP BY user_id)
+SELECT user_id, CAST(length(seq) AS INT) AS seq_len,
+  CAST(len(regexp_extract_all(seq, '{_PATTERN}')) AS INT) AS n_funnels,
+  CASE WHEN len(regexp_extract_all(seq, '{_PATTERN}')) > 0 THEN 1 ELSE 0 END
+    AS has_funnel
+FROM s ORDER BY user_id
+"""
+
+
+@query(
+    "q_win_event_pattern",
+    oracle=_PATTERN_ORACLE,
+    tags=("window", "pipeline", "scale-design"),
+)
+def q_win_event_pattern(spark, sf_dir):
+    """MATCH_RECOGNIZE-style event-sequence pattern matching: per user,
+    the time-ordered event stream compiles to a compact symbol string
+    (one char per event) and the funnel 'signup -> (view|click)* ->
+    purchase, uninterrupted' becomes the REGEX s[vc]*p counted
+    non-overlapping per user — the complex-event-processing shape that
+    q_agg_funnel's fixed-stage count and q_win_sessionize's gap rule
+    cannot express (arbitrary repetition + interruption semantics in
+    one pattern).
+
+    Scale shape: ONE keyed aggregate builds the per-user string
+    (collect_list -> sort_array for a deterministic (ts, event_id)
+    order — the q_win_sessionize per-key-bounded-history argument: a
+    user's event count is human-bounded at any corpus size, so the
+    per-key string is KB-sized while the corpus is 100 TB), then the
+    regex runs ONCE per user on the compact string, JVM-side — no
+    self-join chain (the k-stage-join funnel alternative multiplies
+    the fact table k times), no window over raw events, no Python.
+    Tie order pinned by (ts, event_id) in both engines."""
+    e = Catalog(spark, sf_dir).events
+    seq = e.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            F.col("ts"),
+                            F.col("event_id"),
+                            F.substring("event_type", 1, 1).alias("c"),
+                        )
+                    )
+                ),
+                lambda x: x["c"],
+            ),
+            "",
+        ).alias("seq")
+    )
+    n = F.size(F.regexp_extract_all("seq", F.lit(_PATTERN), F.lit(0)))
+    return seq.select(
+        "user_id",
+        F.length("seq").cast("int").alias("seq_len"),
+        n.cast("int").alias("n_funnels"),
+        F.when(n > 0, 1).otherwise(0).alias("has_funnel"),
+    ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# §2.21.7 incremental aggregate maintenance (merge state, not rescan)
+# ---------------------------------------------------------------------------
+
+_IVM_CUT = "2024-01-20"
+
+_IVM_ORACLE = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+  floor((sum(value)) * 1000000 + 0.5) / 1000000 AS total,
+  floor((avg(value)) * 1000000 + 0.5) / 1000000 AS avg_value
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+@query(
+    "q_agg_incremental_merge",
+    oracle=_IVM_ORACLE,
+    tags=("aggregate", "scale-design"),
+)
+def q_agg_incremental_merge(spark, sf_dir):
+    """Incremental view maintenance for an aggregate: yesterday's
+    MATERIALIZED state (count, sum per key — the mergeable-state form)
+    is combined with today's delta instead of recomputing over all
+    history — the q_agg_moments merge-by-addition idea applied across
+    TIME instead of across partitions.
+
+    The base state is computed once and PERSISTED (parquet round-trip
+    through a temp dir, like the maintenance queries); the final
+    answer is  merge(read-back state, delta aggregate)  where the
+    delta scan carries a PUSHED ts >= cut filter — the plan rescans
+    only the delta and a groups-sized state file, never base history.
+    At 100 TB with daily ingest this is the difference between
+    O(history) and O(delta + groups) per refresh; avg derives from
+    the merged (sum, count) rather than being averaged across states
+    (averages do not merge; sums and counts do).  The oracle is the
+    full recompute — maintenance must equal recomputation exactly."""
+    import shutil
+    import tempfile
+
+    ev = Catalog(spark, sf_dir).events
+    cut = F.lit(_IVM_CUT).cast("timestamp")
+    tmp = tempfile.mkdtemp(prefix="skyhook_ivm_")
+    try:
+        base_state = (
+            ev.filter(F.col("ts") < cut)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.sum("value").alias("s"),
+            )
+        )
+        base_state.write.mode("overwrite").parquet(f"{tmp}/state")
+        state = spark.read.parquet(f"{tmp}/state")
+        delta = (
+            ev.filter(F.col("ts") >= cut)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.sum("value").alias("s"),
+            )
+        )
+        merged = (
+            state.unionByName(delta)
+            .groupBy("event_type")
+            .agg(
+                F.sum("n").cast("bigint").alias("n"),
+                F.sum("s").alias("s"),
+            )
+        )
+        out = merged.select(
+            "event_type",
+            "n",
+            quantize(F.col("s"), 6).alias("total"),
+            quantize(F.col("s") / F.col("n"), 6).alias("avg_value"),
+        ).orderBy("event_type")
+        # materialize before the temp dir vanishes (groups-sized)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

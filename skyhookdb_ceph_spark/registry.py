@@ -84,6 +84,9 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q_text_rerank",   # new: BM25 candidates -> feature rerank
     "q_dedup_agreement",  # new: MinHash-vs-embedding dedup audit
     "q_text_quality_cascade",  # new: two-stage quality filter
+    "q_scan_bucket_prune",  # new: bucket-pruned point read
+    "q_win_event_pattern",  # new: funnel-regex event sequences
+    "q_agg_incremental_merge",  # new: IVM state merge
     "q_fn_map_json",   # try_parse_json null-tolerance (ADVICE r9)
     "q_win_density_blocks",  # pmod ghost filter (ADVICE r9)
     # -- r3-era stamps displaced by the round-9 additions
@@ -102,10 +105,10 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q_text_keyword", "q_text_langid", "q_text_quality",
     "q_text_stats", "q_text_tfidf", "q_text_tokens",
     "q_sim_pairs", "q_sim_knn_ivf",
-    "q_ts_asof_interp", "q_delta_upsert_merge", "q_graph_pagerank",
-    "q_tpch_q1",
+    "q_ts_asof_interp",
     # ---- window boundary (50) — round 11 leads with the r4-era
-    # remainder (q_tpch_q6, q_tpch_q12, q_tpch_q14,
+    # remainder (q_delta_upsert_merge, q_graph_pagerank,
+    # q_tpch_q1, q_tpch_q6, q_tpch_q12, q_tpch_q14,
     # q_multimodal_binary, q_multimodal_json,
     # q_subquery_exists, q_subquery_in, q_subquery_scalar,
     # q_text_minhash_cluster) plus anything round-10 additions

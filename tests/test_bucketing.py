@@ -46,3 +46,22 @@ def test_bucketed_join_results_match_plain_join(bucketed_tables):
     )
     got = colocated_join(spark, "li_b", "ord_b", on=["okey"]).count()
     assert got == expected
+
+
+def test_bucket_prune_selects_only_matching_buckets(spark):
+    """q_scan_bucket_prune's point read must open only the buckets the
+    IN-list keys hash to: SelectedBucketsCount strictly below the
+    bucket total, with the IN filter still pushed to the scan."""
+    import re
+
+    from skyhookdb_ceph_spark.registry import load_all
+
+    df = load_all()["q_scan_bucket_prune"].fn(
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = explain_str(df)
+    m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+    assert m, "bucket pruning must be visible in the scan"
+    assert int(m.group(1)) < int(m.group(2))
+    assert re.search(r"PushedFilters: \[In\(o_custkey", plan)
+    spark.sql("DROP TABLE IF EXISTS bp_orders")

@@ -1073,6 +1073,35 @@ def test_dedup_agreement_never_all_pairs(spark):
     assert re.search(r"SortMergeJoin \[a#\d+L, b#\d+L\].*FullOuter", plan)
 
 
+def test_event_pattern_single_keyed_agg_no_python(spark):
+    """The funnel regex must run over per-user compacted strings from
+    ONE keyed aggregate — no window over raw events, no self-join
+    chain, no Python eval."""
+    import re
+
+    plan = explain_str(q("q_win_event_pattern", spark))
+    assert "Join" not in plan and "EvalPython" not in plan
+    assert "Window" not in plan
+    # one keyed exchange (user_id) + the bounded output sort
+    assert len(re.findall(r"hashpartitioning\(", plan)) == 1
+
+
+def test_incremental_merge_delta_filter_pushed(spark):
+    """The maintenance refresh must push the ts >= cut filter to the
+    delta scan — the plan property that makes the refresh O(delta),
+    never a rescan of base history."""
+    from skyhookdb_ceph_spark.queries._util import Catalog
+    from skyhookdb_ceph_spark.queries.pipeline11 import _IVM_CUT
+
+    ev = Catalog(spark, SF).events
+    from pyspark.sql import functions as F
+
+    delta = ev.filter(
+        F.col("ts") >= F.lit(_IVM_CUT).cast("timestamp")
+    ).groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    assert has_pushed_filters(delta)
+
+
 def test_rerank_candidates_broadcast_text_never_shuffles(spark):
     """Two-stage retrieval: the candidate list must broadcast (the
     corpus side of the text fetch streams through a broadcast hash
