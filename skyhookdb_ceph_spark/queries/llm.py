@@ -60,8 +60,10 @@ def q_dedup_exact(spark, sf_dir):
 
 
 # Split into CTE body + final select so q_dedup_cluster can reuse the
-# identical pair derivation as a sub-CTE of its propagation oracle.
-FUZZY_CTES = """sh AS (
+# identical pair derivation as a sub-CTE of its propagation oracle,
+# and the signature sub-chain (sh/hsh/sig, no pairing) so
+# q_dedup_incremental can pair DELTA-vs-BASE instead of all-vs-all.
+FUZZY_SIG_CTES = """sh AS (
   -- array_to_string(list_slice(...)) mirrors Spark's concat_ws/slice
   -- exactly for docs shorter than the shingle width (a partial
   -- shingle, not NULL — round-2 advisory parity edge)
@@ -74,7 +76,9 @@ hsh AS (
 sig AS (
   SELECT doc_id, b,
     list_aggregate(list_transform(hs, h -> substr(h || h, b * 4 + 1, 16)), 'min') AS bsig
-  FROM hsh, unnest(generate_series(0, 7)) t(b)),
+  FROM hsh, unnest(generate_series(0, 7)) t(b))"""
+
+FUZZY_CTES = FUZZY_SIG_CTES + """,
 cand AS (
   SELECT DISTINCT a.doc_id AS da, c.doc_id AS db
   FROM sig a JOIN sig c ON a.b = c.b AND a.bsig = c.bsig AND a.doc_id < c.doc_id)"""

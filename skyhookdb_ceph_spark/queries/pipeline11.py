@@ -29,7 +29,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from skyhookdb_ceph_spark.operators import minhash, vectors
-from skyhookdb_ceph_spark.queries.llm import FUZZY_CTES
+from skyhookdb_ceph_spark.queries.llm import FUZZY_CTES, FUZZY_SIG_CTES
 from skyhookdb_ceph_spark.operators.stats import measured_shuffle_width
 from skyhookdb_ceph_spark.queries._util import Catalog, money, quantize
 from skyhookdb_ceph_spark.registry import query
@@ -633,3 +633,180 @@ def q_agg_incremental_merge(spark, sf_dir):
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# §2.21.8 GDPR crypto-shredding (erasure by key destruction)
+# ---------------------------------------------------------------------------
+
+_SHRED_MOD = 7
+
+_SHRED_ORACLE = f"""
+SELECT c_custkey,
+  CASE WHEN c_custkey % {_SHRED_MOD} = 0 THEN NULL ELSE c_name END
+    AS name_out,
+  CAST(CASE WHEN c_custkey % {_SHRED_MOD} = 0 THEN 1 ELSE 0 END AS INT)
+    AS shredded
+FROM customer ORDER BY c_custkey
+"""
+
+
+@query(
+    "q_gdpr_crypto_shred",
+    oracle=_SHRED_ORACLE,
+    tags=("gdpr", "scale-design"),
+)
+def q_gdpr_crypto_shred(spark, sf_dir):
+    """GDPR erasure by CRYPTO-SHREDDING — the fourth privacy primitive
+    (after delete / export / anonymize): PII columns are stored
+    encrypted under a PER-USER key; "delete user" destroys the key
+    row, after which every copy of the ciphertext — warm storage,
+    backups, replicas — is unreadable, with ZERO rewrites of the
+    100 TB fact data.  q_gdpr_delete's rewrite-the-table answer costs
+    a full-table pass per erasure batch; key destruction costs one
+    row in a keys-table.
+
+    Real crypto end-to-end: c_name is aes_encrypt-ed (GCM) under a
+    key derived deterministically per customer, the keys table then
+    drops every custkey % 7 == 0 row (the erased cohort), and the
+    readout LEFT-joins keys and try_aes_decrypt-s — NULL key or wrong
+    key yields NULL, never an error.  The keys join broadcasts
+    (keys-table is users-sized, orders below the fact data; at true
+    scale it shuffles keyed like any dim join).  The oracle pins the
+    OUTCOME contract declaratively (original value iff the key
+    survives, NULL otherwise) — DuckDB has no AES surface, so the
+    round-trip itself is what the Spark side proves.  GCM nonces make
+    ciphertexts nondeterministic per run, but decrypt(encrypt(x)) is
+    run-invariant, so the output is oracle-exact."""
+    c = Catalog(spark, sf_dir).customer.select("c_custkey", "c_name")
+    key = F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 16)
+    enc = c.select(
+        "c_custkey",
+        F.expr(
+            "aes_encrypt(c_name, substring(md5(cast(c_custkey AS string)), 1, 16))"
+        ).alias("name_ct"),
+    )
+    keys = (
+        c.select("c_custkey", key.alias("k"))
+        .filter(F.col("c_custkey") % _SHRED_MOD != 0)  # shred the cohort
+        .withColumnRenamed("c_custkey", "k_custkey")
+    )
+    out = enc.join(
+        F.broadcast(keys), enc.c_custkey == keys.k_custkey, "left"
+    )
+    dec = F.expr("try_aes_decrypt(name_ct, k)").cast("string")
+    return out.select(
+        "c_custkey",
+        dec.alias("name_out"),
+        F.when(F.col("k").isNull(), 1).otherwise(0).alias("shredded"),
+    ).orderBy("c_custkey")
+
+
+
+# ---------------------------------------------------------------------------
+# §2.21.9 incremental near-dup admission against a persisted index
+# ---------------------------------------------------------------------------
+
+_INC_MOD = 5  # doc_id % 5 == 0 -> today's delta; else the indexed base
+
+_INC_ORACLE = f"""
+WITH {FUZZY_SIG_CTES},
+cand AS (
+  SELECT DISTINCT d.doc_id AS dd, b.doc_id AS db
+  FROM sig d JOIN sig b ON d.b = b.b AND d.bsig = b.bsig
+  WHERE d.doc_id % {_INC_MOD} = 0 AND b.doc_id % {_INC_MOD} != 0),
+ver AS (
+  SELECT dd, db
+  FROM cand JOIN sh x ON x.doc_id = cand.dd JOIN sh y ON y.doc_id = cand.db
+  WHERE floor((len(list_intersect(x.shingles, y.shingles)) * 1.0
+        / len(list_distinct(x.shingles || y.shingles))) * 1000000 + 0.5)
+        / 1000000 >= 0.8),
+ag AS (SELECT dd, min(db) AS dup_of FROM ver GROUP BY dd)
+SELECT d.doc_id, ag.dup_of,
+  CAST(CASE WHEN ag.dup_of IS NOT NULL THEN 1 ELSE 0 END AS INT) AS is_dup
+FROM documents d LEFT JOIN ag ON ag.dd = d.doc_id
+WHERE d.doc_id % {_INC_MOD} = 0 ORDER BY d.doc_id
+"""
+
+
+@query(
+    "q_dedup_incremental",
+    oracle=_INC_ORACLE,
+    tags=("llm", "dedup", "scale-design"),
+)
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental near-dup ADMISSION: today's delta documents are
+    checked against a PERSISTED MinHash signature index of the base
+    corpus — the production dedup shape once a corpus exists (nobody
+    re-runs all-pairs LSH over 100 TB because one day of crawl
+    arrived; the q_agg_incremental_merge maintenance idea applied to
+    q_dedup_fuzzy).
+
+    The signature index (doc_id, band, minhash) is written ONCE,
+    bucketBy(bsig) — pre-shuffled for exactly the band equi-join that
+    admission runs (operators/bucketing.py); per refresh the work is
+    sig(delta) + a delta-vs-index equi-join + exact-Jaccard verify on
+    candidates only, where the candidate BASE docs are re-shingled
+    via a semi-join-bounded subset (candidate-sized; a production
+    index would store shingle digests alongside).  Cost per refresh:
+    O(delta + candidates), never O(corpus).  Verdict per delta doc:
+    dup_of = smallest matching base doc (deterministic), NULL = admit.
+    Oracle derives the same delta-vs-base pairing from the shared
+    FUZZY_SIG_CTES chain."""
+    from skyhookdb_ceph_spark.operators.bucketing import write_bucketed
+
+    d = Catalog(spark, sf_dir).documents
+    base = d.filter(F.col("doc_id") % _INC_MOD != 0)
+    delta = d.filter(F.col("doc_id") % _INC_MOD == 0)
+
+    # --- ingest time (amortized): persist the base signature index
+    sig_base = minhash.band_signatures(minhash.shingle_sets(base))
+    write_bucketed(sig_base, "inc_sig_index", ["bsig"], 8)
+    index = spark.table("inc_sig_index")
+
+    # --- refresh time: delta signatures vs the index
+    sh_delta = minhash.shingle_sets(delta)
+    sig_delta = minhash.band_signatures(sh_delta)
+    sd = sig_delta.selectExpr("doc_id AS dd", "b", "bsig")
+    si = index.selectExpr("doc_id AS db", "b AS b2", "bsig AS bsig2")
+    cand = (
+        sd.join(si, (sd.b == si.b2) & (sd.bsig == si.bsig2))
+        .select("dd", "db")
+        .distinct()
+    )
+    # exact verify on candidates only; base shingles recomputed for
+    # the candidate subset (semi-join bounded)
+    base_cand = base.join(
+        cand.select(F.col("db").alias("doc_id")).distinct(),
+        "doc_id",
+        "semi",
+    )
+    sh_base_cand = minhash.shingle_sets(base_cand)
+    x = sh_delta.selectExpr("doc_id AS dd", "shingles AS sx")
+    y = sh_base_cand.selectExpr("doc_id AS db", "shingles AS sy")
+    ver = (
+        cand.join(x, "dd")
+        .join(y, "db")
+        .selectExpr(
+            "dd",
+            "db",
+            "floor((cast(size(array_intersect(sx, sy)) AS double) "
+            "/ size(array_distinct(concat(sx, sy)))) * 1000000 + 0.5) "
+            "/ 1000000 AS jac",
+        )
+        .filter("jac >= 0.8")
+    )
+    ag = ver.groupBy("dd").agg(F.min("db").alias("dup_of"))
+    return (
+        delta.select("doc_id")
+        .join(ag, delta.doc_id == ag.dd, "left")
+        .select(
+            "doc_id",
+            "dup_of",
+            F.when(F.col("dup_of").isNotNull(), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("is_dup"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1102,6 +1102,28 @@ def test_incremental_merge_delta_filter_pushed(spark):
     assert has_pushed_filters(delta)
 
 
+def test_crypto_shred_keys_broadcast(spark):
+    """The keys table must reach the ciphertexts as a broadcast join
+    (users-sized dim); decryption is per-row JVM crypto — no Python,
+    no sort-merge over the fact side."""
+    plan = explain_str(q("q_gdpr_crypto_shred", spark))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "EvalPython" not in plan
+    # optimized plans print the JVM intrinsics, not the SQL names
+    assert "aesEncrypt" in plan and "aesDecrypt" in plan
+    assert "tryeval" in plan  # try_ semantics: NULL, never an error
+
+
+def test_incremental_dedup_joins_index_not_corpus(spark):
+    """Admission must be a delta-vs-index equi-join with the exact
+    verify bounded to candidates (semi-join on the base side) — no
+    cartesian, no all-pairs self-join of the full corpus."""
+    plan = explain_str(q("q_dedup_incremental", spark), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    spark.sql("DROP TABLE IF EXISTS inc_sig_index")
+
+
 def test_rerank_candidates_broadcast_text_never_shuffles(spark):
     """Two-stage retrieval: the candidate list must broadcast (the
     corpus side of the text fetch streams through a broadcast hash
