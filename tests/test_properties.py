@@ -320,3 +320,80 @@ def test_hll_error_bound_across_promotion_boundary(spark):
         )
         assert abs(direct - n) <= 0.05 * n, (n, direct)
         assert abs(union - n) <= 0.05 * n, (n, union)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.floats(min_value=-100, max_value=100, allow_nan=False),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_cusum_prefix_min_identity_model(xs):
+    """q_ts_cusum's algebraic move: the sequential recursion
+    S_t = max(0, S_{t-1} + x_t) must equal P_t - min(0, min_{i<=t} P_i)
+    where P is the prefix sum — the identity that turns a row-at-a-time
+    loop into two window functions."""
+    s_rec = 0.0
+    pref = 0.0
+    pref_min = 0.0  # min(0, running min of P)
+    for x in xs:
+        s_rec = max(0.0, s_rec + x)
+        pref += x
+        pref_min = min(pref_min, pref)
+        s_alg = pref - min(pref_min, 0.0)
+        assert abs(s_rec - s_alg) < 1e-9
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),  # key
+            st.integers(min_value=-1000, max_value=1000),  # value
+            st.booleans(),  # lands in the delta?
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_incremental_merge_equals_recompute_model(rows):
+    """q_agg_incremental_merge's algebra: merge(base (n, s), delta
+    (n, s)) must equal the full recompute for count, sum, and the avg
+    DERIVED from the merged state — for any split of rows into
+    base/delta."""
+    from collections import defaultdict
+
+    full = defaultdict(lambda: [0, 0])
+    base = defaultdict(lambda: [0, 0])
+    delta = defaultdict(lambda: [0, 0])
+    for k, v, is_delta in rows:
+        full[k][0] += 1
+        full[k][1] += v
+        (delta if is_delta else base)[k][0] += 1
+        (delta if is_delta else base)[k][1] += v
+    for k in full:
+        n = base[k][0] + delta[k][0]
+        s = base[k][1] + delta[k][1]
+        assert (n, s) == tuple(full[k])
+        assert s / n == full[k][1] / full[k][0]
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.text(alphabet="svcpe", min_size=0, max_size=40))
+def test_event_pattern_regex_cross_engine(seq):
+    """q_win_event_pattern's cross-engine claim: non-overlapping
+    leftmost matching of s[vc]*p must agree between a Python regex
+    engine (Java-regex-like backtracking, the Spark side's semantics)
+    and DuckDB's RE2 (the oracle side) on arbitrary event strings."""
+    import re
+
+    import duckdb
+
+    py = len(re.findall("s[vc]*p", seq))
+    con = duckdb.connect()
+    (db,) = con.execute(
+        "SELECT len(regexp_extract_all(?, 's[vc]*p'))", [seq]
+    ).fetchone()
+    assert py == db
