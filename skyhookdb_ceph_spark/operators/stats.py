@@ -132,3 +132,31 @@ def measured_shuffle_width(
         return None
     width = -(-n // target_rows_per_task)  # ceil
     return int(min(width, max_width))
+
+
+def measured_dim_bytes(
+    df: DataFrame,
+    string_cols: list[str],
+    fixed_bytes_per_row: int = 16,
+) -> int:
+    """Estimate a dimension's in-memory payload from a MEASURED probe:
+    one aggregate job returning row count and total string length, so
+
+        est = rows * fixed_bytes_per_row + sum(string lengths)
+
+    The static alternative — autoBroadcastJoinThreshold against file
+    statistics — sees the FULL table's on-disk size; this probe sees
+    the post-projection, post-filter dimension actually being joined,
+    which can be orders of magnitude smaller (two columns of a wide
+    table) or larger (decompressed strings) than the file stat.  One
+    aggregate-sized driver row, same cost class as the other probes."""
+    from pyspark.sql import functions as F
+
+    aggs = [F.count(F.lit(1)).alias("__n")] + [
+        F.sum(F.length(F.col(c))).alias(f"__l{i}")
+        for i, c in enumerate(string_cols)
+    ]
+    row = df.agg(*aggs).first()
+    n = int(row["__n"] or 0)
+    strlen = sum(int(row[f"__l{i}"] or 0) for i in range(len(string_cols)))
+    return n * fixed_bytes_per_row + strlen

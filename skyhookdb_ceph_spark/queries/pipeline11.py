@@ -810,3 +810,77 @@ def q_dedup_incremental(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.21.10 probe-driven broadcast-vs-shuffle join choice
+# ---------------------------------------------------------------------------
+
+_BCAST_THRESHOLD = 10 << 20  # 10 MB — the classic broadcast budget
+
+_BCAST_ORACLE = """
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+  floor((sum(o_totalprice)) * 100 + 0.5) / 100 AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+def _broadcast_probed_join(spark, sf_dir, threshold_bytes):
+    """Shared body so tests can force either branch via the threshold
+    (tiny threshold -> shuffle branch; shipped 10 MB -> broadcast)."""
+    from skyhookdb_ceph_spark.operators.stats import measured_dim_bytes
+
+    c = Catalog(spark, sf_dir)
+    o = c.orders.select("o_custkey", "o_totalprice")
+    dim = c.customer.select("c_custkey", "c_mktsegment")
+    est = measured_dim_bytes(dim, string_cols=["c_mktsegment"])
+    if est <= threshold_bytes:
+        # measured payload fits the broadcast budget: dim ships to
+        # every executor, the fact side never shuffles
+        joined = o.join(
+            F.broadcast(dim), F.col("o_custkey") == F.col("c_custkey")
+        )
+    else:
+        # measured payload too big to replicate: keyed shuffle join
+        joined = o.join(
+            dim.hint("shuffle_hash"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            money(F.sum("o_totalprice")).alias("revenue"),
+        )
+        .coalesce(1)  # 5 segments at any scale factor
+        .sortWithinPartitions("c_mktsegment")
+    )
+
+
+@query(
+    "q_join_broadcast_probed",
+    oracle=_BCAST_ORACLE,
+    tags=("join", "scale-design", "stats-driven"),
+)
+def q_join_broadcast_probed(spark, sf_dir):
+    """Broadcast-vs-shuffle join strategy chosen from a MEASURED
+    dimension payload — the fifth consumer of the measured-stats
+    machinery (agg salt, join salt, window blocks, shuffle width, now
+    join strategy).
+
+    The static alternative, autoBroadcastJoinThreshold, compares
+    against FILE statistics: the full table's on-disk size, which for
+    a two-column projection of a wide table overestimates by the
+    table's width ratio (and for decompressed strings underestimates)
+    — so real deployments routinely broadcast too little or OOM
+    broadcasting too much.  The probe (operators/stats.
+    measured_dim_bytes, one aggregate job) measures the
+    post-projection payload actually being replicated and compares it
+    to the 10 MB budget.  AQE can convert a sort-merge to broadcast at
+    RUNTIME from shuffle-stage sizes, but only after planning (and
+    partially executing) the shuffle stage — the probe decides before
+    any exchange exists, and works with AQE off (the bench profile).
+    Both branches are row-identical; the oracle is branch-invariant.
+    Plan shapes pinned both ways in tests/test_plans.py."""
+    return _broadcast_probed_join(spark, sf_dir, _BCAST_THRESHOLD)

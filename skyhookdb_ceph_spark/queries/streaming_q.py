@@ -787,3 +787,122 @@ def q_stream_full_outer_join(spark, sf_dir):
     return drain_to_memory(
         joined, output_mode="append", needs_watermark_batch=True
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming CEP: per-user event-pattern state machine (round 10)
+# ---------------------------------------------------------------------------
+
+_CEP_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("seq_len", T.IntegerType()),
+        T.StructField("n_funnels", T.IntegerType()),
+        T.StructField("has_funnel", T.IntegerType()),
+    ]
+)
+
+# accumulated (ts-micros, event_id, symbol) triples — per-user history
+# is human-bounded, so the state is KB-sized at any corpus size
+_CEP_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("ts_us", T.ArrayType(T.LongType())),
+        T.StructField("eid", T.ArrayType(T.LongType())),
+        T.StructField("sym", T.ArrayType(T.StringType())),
+    ]
+)
+
+
+def _cep_state_fn(
+    key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state
+) -> Iterator[pd.DataFrame]:
+    """Accumulate the user's (ts, event_id, symbol) history in state,
+    re-derive the funnel metrics from the SORTED history each batch —
+    emission is monotone in seq_len, so the final update is the
+    complete answer regardless of how the replay batches."""
+    import re
+
+    ts_us, eid, sym = state.get() if state.exists else ([], [], [])
+    ts_us, eid, sym = list(ts_us), list(eid), list(sym)
+    for pdf in pdfs:
+        ts_us.extend(
+            (pdf["ts"].astype("int64") // 1000).tolist()
+            if str(pdf["ts"].dtype).startswith("datetime64[ns")
+            else pdf["ts"].astype("int64").tolist()
+        )
+        eid.extend(pdf["event_id"].astype("int64").tolist())
+        sym.extend(pdf["event_type"].str[:1].tolist())
+    state.update((ts_us, eid, sym))
+    order = sorted(range(len(ts_us)), key=lambda i: (ts_us[i], eid[i]))
+    seq = "".join(sym[i] for i in order)
+    n = len(re.findall("s[vc]*p", seq))
+    yield pd.DataFrame(
+        [
+            {
+                "user_id": key[0],
+                "seq_len": len(seq),
+                "n_funnels": n,
+                "has_funnel": 1 if n > 0 else 0,
+            }
+        ]
+    )
+
+
+@query(
+    "q_stream_event_pattern",
+    oracle="""
+WITH s AS (
+  SELECT user_id,
+    string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
+  FROM events GROUP BY user_id)
+SELECT user_id, CAST(length(seq) AS INT) AS seq_len,
+  CAST(len(regexp_extract_all(seq, 's[vc]*p')) AS INT) AS n_funnels,
+  CASE WHEN len(regexp_extract_all(seq, 's[vc]*p')) > 0 THEN 1 ELSE 0 END
+    AS has_funnel
+FROM s ORDER BY user_id
+""",
+    tags=("stream", "live-stream", "scale-design"),
+)
+def q_stream_event_pattern(spark, sf_dir):
+    """Streaming CEP: q_win_event_pattern's funnel-regex state machine
+    running INCREMENTALLY over the live event replay — per-user
+    applyInPandasWithState accumulates the (ts, event_id, symbol)
+    history (KB-sized: human-bounded per key) and re-derives the
+    non-overlapping s[vc]*p count each batch.  This is the arbitrary-
+    stateful escape hatch doing what no built-in streaming window can:
+    pattern semantics spanning the user's whole history, emitted
+    continuously as events arrive.
+
+    Correctness under ANY batching: the emitted metrics are
+    recomputed from the full sorted history, so updates are monotone
+    in seq_len and the LAST update per user equals the batch answer —
+    the post-drain max_by(seq_len) collapse makes the result
+    batching-invariant rather than relying on the replay arriving in
+    one batch.  Oracle = the batch funnel query."""
+    stream = events_stream(spark, sf_dir).select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    updated = stream.groupBy("user_id").applyInPandasWithState(
+        _cep_state_fn,
+        outputStructType=_CEP_OUT_SCHEMA,
+        stateStructType=_CEP_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    sink = drain_to_memory(updated, output_mode="update", state_partitions=16)
+    final = F.max_by(
+        F.struct("seq_len", "n_funnels", "has_funnel"), F.col("seq_len")
+    ).alias("m")
+    return (
+        sink.groupBy("user_id")
+        .agg(final)
+        .select(
+            "user_id",
+            F.col("m.seq_len").alias("seq_len"),
+            F.col("m.n_funnels").alias("n_funnels"),
+            F.col("m.has_funnel").alias("has_funnel"),
+        )
+        .orderBy("user_id")
+    )

@@ -1102,6 +1102,23 @@ def test_incremental_merge_delta_filter_pushed(spark):
     assert has_pushed_filters(delta)
 
 
+def test_broadcast_probed_join_both_branches(spark):
+    """Measured-payload broadcast choice: the shipped 10 MB budget must
+    pick BroadcastHashJoin on the fixture dim; a forced 1-byte budget
+    must pick the keyed shuffle join instead — and both branches must
+    return identical rows."""
+    from skyhookdb_ceph_spark.queries.pipeline11 import (
+        _broadcast_probed_join,
+    )
+
+    bcast = _broadcast_probed_join(spark, SF, 10 << 20)
+    shuf = _broadcast_probed_join(spark, SF, 1)
+    assert "BroadcastHashJoin" in joins_used(bcast)
+    assert joins_used(shuf) & {"ShuffledHashJoin", "SortMergeJoin"}
+    assert "BroadcastHashJoin" not in joins_used(shuf)
+    assert bcast.collect() == shuf.collect()
+
+
 def test_crypto_shred_keys_broadcast(spark):
     """The keys table must reach the ciphertexts as a broadcast join
     (users-sized dim); decryption is per-row JVM crypto — no Python,
