@@ -339,6 +339,47 @@ AUDIT = {
         "agreement join is a FullOuter SortMergeJoin keyed on the id "
         "pair — pair-count-sized input, one output row."
     ),
+    "q_scan_bucket_prune": (
+        "Bucket-pruned point read (r10). Wanted: SelectedBucketsCount "
+        "strictly below the bucket total with the IN filter still "
+        "pushed — the layout, not an index, prunes the files."
+    ),
+    "q_win_event_pattern": (
+        "Event-sequence pattern match (r10). Wanted: ONE keyed "
+        "aggregate builds the per-user symbol string; the funnel "
+        "regex is per-row JVM work above it — no join chain, no "
+        "window over raw events, no Python."
+    ),
+    "q_agg_incremental_merge": (
+        "Incremental aggregate maintenance (r10). Wanted: the final "
+        "answer reads the groups-sized persisted state + a delta scan "
+        "whose ts >= cut filter is PUSHED — never a rescan of base "
+        "history."
+    ),
+    "q_gdpr_crypto_shred": (
+        "Crypto-shredding erasure (r10). Wanted: per-user keys reach "
+        "the ciphertexts as a BroadcastHashJoin; aesEncrypt/aesDecrypt "
+        "under tryeval (NULL, never an error, for the shredded "
+        "cohort); no Python, no sort-merge."
+    ),
+    "q_dedup_incremental": (
+        "Incremental near-dup admission (r10). Wanted: delta "
+        "signatures equi-join the persisted bucketed index; exact "
+        "verify bounded to candidates via a semi-join on the base "
+        "side; no cartesian anywhere."
+    ),
+    "q_join_broadcast_probed": (
+        "Measured broadcast choice (r10). Wanted at fixture scale: "
+        "the probed payload fits the 10 MB budget, so "
+        "BroadcastHashJoin with the fact side unshuffled (the "
+        "over-budget shuffle branch is plan-asserted separately in "
+        "tests/test_plans.py)."
+    ),
+    "q_vec_ivf_incremental": (
+        "Append-only IVF maintenance (r10). Wanted: the census reads "
+        "the READ-BACK partitioned layout (one scan of the appended "
+        "tree) — cell-bounded aggregate, no window, no join."
+    ),
 }
 
 
