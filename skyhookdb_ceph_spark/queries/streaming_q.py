@@ -240,7 +240,10 @@ def _user_state_fn(
     result is oracle-comparable."""
     import numpy as np
 
-    n, cents = state.get() if state.exists else (0, 0)
+    # GroupState.get is a PROPERTY in PySpark (calling the returned
+    # tuple raised TypeError on every batch >= 2 — latent until the
+    # multi-batch invariance test forced a second batch)
+    n, cents = state.get if state.exists else (0, 0)
     for pdf in pdfs:
         n += len(pdf)
         cents += int(np.floor(pdf["value"].to_numpy() * 100).sum())
@@ -822,7 +825,8 @@ def _cep_state_fn(
     complete answer regardless of how the replay batches."""
     import re
 
-    ts_us, eid, sym = state.get() if state.exists else ([], [], [])
+    # GroupState.get is a property (see _user_state_fn note)
+    ts_us, eid, sym = state.get if state.exists else ([], [], [])
     ts_us, eid, sym = list(ts_us), list(eid), list(sym)
     for pdf in pdfs:
         ts_us.extend(
@@ -845,6 +849,39 @@ def _cep_state_fn(
                 "has_funnel": 1 if n > 0 else 0,
             }
         ]
+    )
+
+
+def _event_pattern_stream(spark, sf_dir, glob="events.parquet", options=None):
+    """Shared pipeline builder so tests can force multi-batch replay
+    (file-split fixture + maxFilesPerTrigger=1) and prove the
+    batching-invariance claim."""
+    stream = events_stream(spark, sf_dir, glob=glob, options=options).select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    updated = stream.groupBy("user_id").applyInPandasWithState(
+        _cep_state_fn,
+        outputStructType=_CEP_OUT_SCHEMA,
+        stateStructType=_CEP_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    sink = drain_to_memory(updated, output_mode="update", state_partitions=16)
+    final = F.max_by(
+        F.struct("seq_len", "n_funnels", "has_funnel"), F.col("seq_len")
+    ).alias("m")
+    return (
+        sink.groupBy("user_id")
+        .agg(final)
+        .select(
+            "user_id",
+            F.col("m.seq_len").alias("seq_len"),
+            F.col("m.n_funnels").alias("n_funnels"),
+            F.col("m.has_funnel").alias("has_funnel"),
+        )
+        .orderBy("user_id")
     )
 
 
@@ -873,36 +910,12 @@ def q_stream_event_pattern(spark, sf_dir):
     pattern semantics spanning the user's whole history, emitted
     continuously as events arrive.
 
-    Correctness under ANY batching: the emitted metrics are
-    recomputed from the full sorted history, so updates are monotone
-    in seq_len and the LAST update per user equals the batch answer —
-    the post-drain max_by(seq_len) collapse makes the result
+    Correctness under ANY batching: the emitted metrics are recomputed
+    from the full sorted history, so updates are monotone in seq_len
+    and the LAST update per user equals the batch answer — the
+    post-drain max_by(seq_len) collapse makes the result
     batching-invariant rather than relying on the replay arriving in
-    one batch.  Oracle = the batch funnel query."""
-    stream = events_stream(spark, sf_dir).select(
-        "user_id", "ts", "event_id", "event_type"
-    )
-    from pyspark.sql.streaming.state import GroupStateTimeout
-
-    updated = stream.groupBy("user_id").applyInPandasWithState(
-        _cep_state_fn,
-        outputStructType=_CEP_OUT_SCHEMA,
-        stateStructType=_CEP_STATE_SCHEMA,
-        outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
-    )
-    sink = drain_to_memory(updated, output_mode="update", state_partitions=16)
-    final = F.max_by(
-        F.struct("seq_len", "n_funnels", "has_funnel"), F.col("seq_len")
-    ).alias("m")
-    return (
-        sink.groupBy("user_id")
-        .agg(final)
-        .select(
-            "user_id",
-            F.col("m.seq_len").alias("seq_len"),
-            F.col("m.n_funnels").alias("n_funnels"),
-            F.col("m.has_funnel").alias("has_funnel"),
-        )
-        .orderBy("user_id")
-    )
+    one batch (proven under forced 3-batch replay in
+    tests/test_streaming.py::test_event_pattern_multi_batch_invariant).
+    Oracle = the batch funnel query."""
+    return _event_pattern_stream(spark, sf_dir)
