@@ -989,3 +989,112 @@ def q_vec_ivf_incremental(spark, sf_dir):
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# §2.21.12 zone-map clustering advisor (runstats -> layout decision)
+# ---------------------------------------------------------------------------
+
+_ZM_LO, _ZM_HI = "1996-01-01", "1996-03-31"
+_ZM_KEY_WIDTH = 4096  # orderkey rows per physical-proxy zone
+
+
+def _zm_oracle() -> str:
+    pred = (
+        f"l_shipdate >= TIMESTAMP '{_ZM_LO}' "
+        f"AND l_shipdate <= TIMESTAMP '{_ZM_HI} 23:59:59'"
+    )
+    legs = []
+    for label, zone in (
+        ("physical_orderkey", f"CAST(floor(l_orderkey / {_ZM_KEY_WIDTH}) AS BIGINT)"),
+        ("clustered_ship_month", "CAST(date_trunc('month', l_shipdate) AS DATE)"),
+    ):
+        legs.append(f"""
+SELECT '{label}' AS layout,
+  CAST(count(*) AS BIGINT) AS zones_total,
+  CAST(sum(sel) AS BIGINT) AS zones_selected,
+  CAST(sum(sel * n) AS BIGINT) AS rows_scanned,
+  CAST(sum(sel * m) AS BIGINT) AS rows_matched,
+  CAST(sum(m) AS BIGINT) AS rows_matched_global,
+  CAST(CASE WHEN sum(sel * m) = sum(m) THEN 1 ELSE 0 END AS INT)
+    AS lossless
+FROM (
+  SELECT {zone} AS zone, count(*) AS n,
+    sum(CASE WHEN {pred} THEN 1 ELSE 0 END) AS m,
+    CASE WHEN max(l_shipdate) >= TIMESTAMP '{_ZM_LO}'
+          AND min(l_shipdate) <= TIMESTAMP '{_ZM_HI} 23:59:59'
+         THEN 1 ELSE 0 END AS sel
+  FROM lineitem GROUP BY 1) z""")
+    return " UNION ALL ".join(legs) + " ORDER BY layout"
+
+
+@query(
+    "q_scan_zonemap_advisor",
+    oracle=_zm_oracle(),
+    tags=("scan", "layout", "stats-driven", "scale-design"),
+)
+def q_scan_zonemap_advisor(spark, sf_dir):
+    """Zone-map CLUSTERING ADVISOR: measures, per candidate layout,
+    how much of the table a min/max manifest on l_shipdate would let a
+    date-range predicate SKIP — the decision input for "should this
+    table be re-clustered?" (the reference's runstats -> sort-on-write
+    loop [U: cls_tabular.cc — exec_runstats_op, SIT_IDX_RID];
+    Delta/Iceberg's file-stats pruning).
+
+    Two layouts are audited in one pass each: the physical-order proxy
+    (orderkey-range zones — how the table is laid out today) and the
+    clustered candidate (ship-month zones — what sort-on-write would
+    give).  On the fixture the verdict is stark and real: orderkey
+    zones prune NOTHING (TPC-H shipdate is uncorrelated with orderkey
+    — every zone's [min, max] spans the predicate), while ship-month
+    zones scan only the predicate's months.  The lossless column is
+    the zone-map correctness invariant re-derived in-query (selected
+    zones contain ALL matching rows, both layouts, always — a zone map
+    can over-scan but never lose).  Shape: two keyed partial
+    aggregates, zone-count-bounded, no window, no join — the manifest
+    build is exactly a runstats pass, so the advisor costs one scan
+    per candidate layout at any scale."""
+    li = Catalog(spark, sf_dir).lineitem
+    lo = F.lit(_ZM_LO).cast("timestamp")
+    hi = F.lit(f"{_ZM_HI} 23:59:59").cast("timestamp")
+    pred = (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") <= hi)
+    legs = []
+    for label, zone in (
+        (
+            "physical_orderkey",
+            F.floor(F.col("l_orderkey") / _ZM_KEY_WIDTH).cast("bigint"),
+        ),
+        (
+            "clustered_ship_month",
+            F.date_trunc("month", F.col("l_shipdate")).cast("date"),
+        ),
+    ):
+        z = li.groupBy(zone.alias("zone")).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(pred, 1).otherwise(0)).alias("m"),
+            F.when(
+                (F.max("l_shipdate") >= lo) & (F.min("l_shipdate") <= hi), 1
+            )
+            .otherwise(0)
+            .alias("sel"),
+        )
+        legs.append(
+            z.agg(
+                F.count(F.lit(1)).cast("bigint").alias("zones_total"),
+                F.sum("sel").cast("bigint").alias("zones_selected"),
+                F.sum(F.col("sel") * F.col("n"))
+                .cast("bigint")
+                .alias("rows_scanned"),
+                F.sum(F.col("sel") * F.col("m"))
+                .cast("bigint")
+                .alias("rows_matched"),
+                F.sum("m").cast("bigint").alias("rows_matched_global"),
+                F.when(
+                    F.sum(F.col("sel") * F.col("m")) == F.sum("m"), 1
+                )
+                .otherwise(0)
+                .cast("int")
+                .alias("lossless"),
+            ).select(F.lit(label).alias("layout"), "*")
+        )
+    return legs[0].unionByName(legs[1]).orderBy("layout")

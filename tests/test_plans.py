@@ -1102,6 +1102,39 @@ def test_incremental_merge_delta_filter_pushed(spark):
     assert has_pushed_filters(delta)
 
 
+def test_zonemap_advisor_two_keyed_aggs_no_window(spark):
+    """The advisor must be two keyed partial aggregates (one per
+    candidate layout) — no window, no join, no second scan per leg."""
+    import re
+
+    plan = explain_str(q("q_scan_zonemap_advisor", spark))
+    assert "Window" not in plan and "Join" not in plan
+    assert "Union" in plan
+    # one zone exchange per layout leg (the zone alias prints as
+    # _groupingexpression in the optimized plan); the final 2-row aggs
+    # collapse to SinglePartition exchanges, not keyed ones
+    assert (
+        len(
+            re.findall(
+                r"hashpartitioning\((?:zone|_groupingexpression)", plan
+            )
+        )
+        == 2
+    )
+
+
+def test_zonemap_advisor_verdict_is_lossless_and_prunes(spark):
+    """On the fixture the clustered leg must actually prune (scan <
+    table rows, matched == global) and both legs must be lossless —
+    the zone-map correctness invariant."""
+    rows = {r["layout"]: r for r in q("q_scan_zonemap_advisor", spark).collect()}
+    c, p = rows["clustered_ship_month"], rows["physical_orderkey"]
+    assert c["lossless"] == 1 and p["lossless"] == 1
+    assert c["rows_matched"] == c["rows_matched_global"]
+    assert c["rows_scanned"] < p["rows_scanned"]
+    assert c["zones_selected"] < c["zones_total"]
+
+
 def test_broadcast_probed_join_both_branches(spark):
     """Measured-payload broadcast choice: the shipped 10 MB budget must
     pick BroadcastHashJoin on the fixture dim; a forced 1-byte budget
