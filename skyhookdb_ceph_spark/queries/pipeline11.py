@@ -1098,3 +1098,112 @@ def q_scan_zonemap_advisor(spark, sf_dir):
             ).select(F.lit(label).alias("layout"), "*")
         )
     return legs[0].unionByName(legs[1]).orderBy("layout")
+
+
+# ---------------------------------------------------------------------------
+# §2.21.13 triangle counting (the third graph primitive)
+# ---------------------------------------------------------------------------
+
+_TRI_BUCKET_SEC = 600
+_TRI_CAP = 8
+
+_TRI_ORACLE = f"""
+WITH b AS (
+  SELECT DISTINCT event_type,
+    CAST(floor(epoch(ts) / {_TRI_BUCKET_SEC}) AS BIGINT) AS mn, user_id
+  FROM events),
+small AS (
+  SELECT event_type, mn FROM b GROUP BY 1, 2 HAVING count(*) <= {_TRI_CAP}),
+bs AS (SELECT b.* FROM b JOIN small USING (event_type, mn)),
+e AS (
+  SELECT DISTINCT x.user_id AS a, y.user_id AS b2
+  FROM bs x JOIN bs y
+    ON x.event_type = y.event_type AND x.mn = y.mn
+   AND x.user_id < y.user_id),
+w AS (SELECT e1.a, e1.b2 AS b, e2.b2 AS c FROM e e1 JOIN e e2 ON e1.b2 = e2.a),
+t AS (SELECT count(*) AS tri FROM w JOIN e e3 ON w.a = e3.a AND w.c = e3.b2)
+SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+  CAST((SELECT count(*) FROM w) AS BIGINT) AS n_wedges,
+  CAST(tri AS BIGINT) AS n_triangles,
+  floor((tri * 1.0 / (SELECT count(*) FROM w)) * 1000000 + 0.5) / 1000000
+    AS closure_ratio
+FROM t
+"""
+
+
+@query(
+    "q_graph_triangles",
+    oracle=_TRI_ORACLE,
+    tags=("graph", "scale-design"),
+)
+def q_graph_triangles(spark, sf_dir):
+    """Triangle counting — the third graph primitive (after connected
+    components and PageRank): the clustering-structure measure behind
+    community detection and link-spam screens.  Graph = users
+    co-occurring in a RARE (event_type, 10-minute) bucket, with the
+    q_dedup_containment fanout cap (buckets holding > 8 users emit no
+    edges) — the projection cap that keeps co-occurrence graphs
+    buildable at any corpus size (a hot bucket would otherwise emit
+    O(bucket²) edges).
+
+    The count uses the ORIENTED wedge-close algorithm: edges stored
+    once as a < b, wedges a<b<c from one self-equi-join on the middle
+    vertex, closed by a second equi-join probing the (a, c) edge —
+    every join keyed, no cartesian, wedge count bounded by
+    cap x edges.  This orientation IS the classic degree-ordering
+    trick's fixed-order variant: each triangle is counted exactly
+    once (from its smallest vertex), not 6 times.  closure_ratio =
+    triangles / wedges, the global transitivity under the same
+    orientation.  Output is ONE row; nothing corpus-sized leaves the
+    executors."""
+    ev = Catalog(spark, sf_dir).events
+    b = (
+        ev.select(
+            "event_type",
+            F.floor(F.unix_timestamp("ts") / _TRI_BUCKET_SEC)
+            .cast("bigint")
+            .alias("mn"),
+            "user_id",
+        )
+        .distinct()
+    )
+    small = (
+        b.groupBy("event_type", "mn")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .filter(F.col("sz") <= _TRI_CAP)
+        .drop("sz")
+    )
+    bs = b.join(small, ["event_type", "mn"])
+    x = bs.selectExpr("event_type", "mn", "user_id AS a")
+    y = bs.selectExpr("event_type AS et2", "mn AS mn2", "user_id AS b2")
+    e = (
+        x.join(
+            y,
+            (x.event_type == y.et2) & (x.mn == y.mn2) & (x.a < y.b2),
+        )
+        .select("a", "b2")
+        .distinct()
+    )
+    e1 = e.selectExpr("a", "b2 AS b")
+    e2 = e.selectExpr("a AS b_", "b2 AS c")
+    w = e1.join(e2, e1.b == e2.b_).select("a", "b", "c")
+    e3 = e.selectExpr("a AS a_", "b2 AS c_")
+    tri = w.join(e3, (w.a == e3.a_) & (w.c == e3.c_))
+    # three 1-row aggregates combined in ONE plan (1-row broadcast
+    # config-join precedent); ReusedExchange dedupes the shared edge
+    # subtree instead of recomputing it per count
+    ne = e.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    nw = w.agg(F.count(F.lit(1)).cast("bigint").alias("n_wedges"))
+    nt = tri.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    return (
+        ne.crossJoin(F.broadcast(nw))
+        .crossJoin(F.broadcast(nt))
+        .select(
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            quantize(
+                F.col("n_triangles") / F.col("n_wedges"), 6
+            ).alias("closure_ratio"),
+        )
+    )

@@ -1135,6 +1135,18 @@ def test_zonemap_advisor_verdict_is_lossless_and_prunes(spark):
     assert c["zones_selected"] < c["zones_total"]
 
 
+def test_triangles_all_joins_keyed(spark):
+    """Triangle counting must be pure equi-joins (bucket cap, wedge
+    build, closure probe) — no cartesian; the only nested loops are
+    the 1-row count cross-joins combining the three aggregates."""
+    import re
+
+    plan = explain_str(q("q_graph_triangles", spark), "simple")
+    assert "CartesianProduct" not in plan
+    bnl = re.findall(r"BroadcastNestedLoopJoin \w+, (\w+)", plan)
+    assert all(k == "Cross" for k in bnl) and len(bnl) == 2
+
+
 def test_broadcast_probed_join_both_branches(spark):
     """Measured-payload broadcast choice: the shipped 10 MB budget must
     pick BroadcastHashJoin on the fixture dim; a forced 1-byte budget
