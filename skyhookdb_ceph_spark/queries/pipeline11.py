@@ -1207,3 +1207,90 @@ def q_graph_triangles(spark, sf_dir):
             ).alias("closure_ratio"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.21.14 corpus drift monitor (per-source JS divergence)
+# ---------------------------------------------------------------------------
+
+_DRIFT_ORACLE = """
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+n AS (SELECT count(*) AS n FROM tok),
+cw AS (SELECT w, count(*) AS cw FROM tok GROUP BY w),
+ns AS (SELECT source, count(*) AS ns FROM tok GROUP BY source),
+csw AS (SELECT source, w, count(*) AS csw FROM tok GROUP BY source, w),
+terms AS (
+  SELECT csw.source,
+    (csw.csw * 1.0 / ns.ns) AS p, (cw.cw * 1.0 / n.n) AS q
+  FROM csw JOIN ns USING (source) JOIN cw USING (w), n),
+ag AS (
+  SELECT source,
+    sum(0.5 * p * log2(2 * p / (p + q))
+      + 0.5 * q * log2(2 * q / (p + q))) AS s_term,
+    sum(q) AS q_mass
+  FROM terms GROUP BY source)
+SELECT ag.source, CAST(ns.ns AS BIGINT) AS n_tokens,
+  floor(q_mass * 1000000 + 0.5) / 1000000 AS q_mass,
+  floor((s_term + 0.5 * (1 - q_mass)) * 1000000 + 0.5) / 1000000 AS js
+FROM ag JOIN ns ON ag.source = ns.source ORDER BY ag.source
+"""
+
+
+@query(
+    "q_text_drift_js",
+    oracle=_DRIFT_ORACLE,
+    tags=("llm", "text", "scale-design"),
+)
+def q_text_drift_js(spark, sf_dir):
+    """Corpus DRIFT monitor: Jensen-Shannon divergence of each
+    source's token distribution from the global corpus mix — the
+    distribution-shift alarm every continuously-ingesting training
+    pipeline runs (a source whose JS jumps changed its content mix;
+    q_agg_entropy and q_text_zipf describe ONE distribution, this
+    compares them).
+
+    The naive JS needs each (source, global) pair's UNION of support —
+    a per-source full-outer join over the vocabulary.  The closed form
+    used here avoids it: tokens ABSENT from a source contribute
+    exactly 0.5·q each (p=0 ⇒ the KL(q‖m) term is q·log2(2q/q)·0.5 =
+    q/2), so  JS = Σ_{w∈source} term(p,q) + 0.5·(1 − Σ_{w∈source} q)
+    — only PRESENT (source, token) rows are ever materialized.  Shape:
+    three keyed partial aggregates (per-token, per-source,
+    per-source-token), one vocab-bounded equi-join, a 1-row total
+    broadcast; output is sources-bounded.  Summation-order drift sits
+    ~7 orders below the 6-decimal quantization (term sums are
+    vocab-length chains of ~1e-3 doubles)."""
+    d = Catalog(spark, sf_dir).documents
+    tok = d.select("source", F.explode(F.split("text", " ")).alias("w"))
+    n = tok.agg(F.count(F.lit(1)).alias("n"))
+    cw = tok.groupBy("w").agg(F.count(F.lit(1)).alias("cw"))
+    ns = tok.groupBy("source").agg(F.count(F.lit(1)).alias("ns"))
+    csw = tok.groupBy("source", "w").agg(F.count(F.lit(1)).alias("csw"))
+    terms = (
+        csw.join(ns, "source")
+        .join(cw, "w")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "source",
+            (F.col("csw") / F.col("ns")).alias("p"),
+            (F.col("cw") / F.col("n")).alias("q"),
+        )
+    )
+    term = 0.5 * F.col("p") * F.log2(2 * F.col("p") / (F.col("p") + F.col("q"))) \
+        + 0.5 * F.col("q") * F.log2(2 * F.col("q") / (F.col("p") + F.col("q")))
+    ag = terms.groupBy("source").agg(
+        F.sum(term).alias("s_term"), F.sum("q").alias("q_mass")
+    )
+    return (
+        ag.join(ns, "source")
+        .select(
+            "source",
+            F.col("ns").cast("bigint").alias("n_tokens"),
+            quantize(F.col("q_mass"), 6).alias("q_mass"),
+            quantize(
+                F.col("s_term") + 0.5 * (1 - F.col("q_mass")), 6
+            ).alias("js"),
+        )
+        .orderBy("source")
+    )

@@ -94,6 +94,7 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q_vec_ivf_incremental",  # new: append-only ANN index maintenance
     "q_scan_zonemap_advisor",  # new: clustering-effectiveness audit
     "q_graph_triangles",  # new: oriented wedge-close triangle count
+    "q_text_drift_js",  # new: per-source JS-divergence drift monitor
     "q_fn_map_json",   # try_parse_json null-tolerance (ADVICE r9)
     "q_win_density_blocks",  # pmod ghost filter (ADVICE r9)
     # -- r3-era stamps displaced by the round-9 additions
@@ -109,10 +110,10 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q_stream_watermark", "q_stream_dedup", "q_stream_join",
     "q_stream_stateful", "q_stream_enrich",
     "q_text_chunk", "q_text_edit_distance", "q_text_fingerprint",
-    "q_text_keyword", "q_text_langid",
+    "q_text_keyword",
     # ---- window boundary (50) — round 11 leads with the r4-era
-    # remainder (q_text_quality, q_text_stats, q_text_tfidf,
-    # q_text_tokens,
+    # remainder (q_text_langid, q_text_quality, q_text_stats,
+    # q_text_tfidf, q_text_tokens,
     # q_sim_pairs, q_sim_knn_ivf, q_ts_asof_interp,
     # q_delta_upsert_merge, q_graph_pagerank,
     # q_tpch_q1, q_tpch_q6, q_tpch_q12, q_tpch_q14,

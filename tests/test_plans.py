@@ -1135,6 +1135,16 @@ def test_zonemap_advisor_verdict_is_lossless_and_prunes(spark):
     assert c["zones_selected"] < c["zones_total"]
 
 
+def test_drift_js_vocab_bounded_no_window(spark):
+    """The drift monitor must be keyed partial aggregates + one
+    vocab-bounded equi-join + a 1-row broadcast total — no window, no
+    full-outer support union, no Python."""
+    plan = explain_str(q("q_text_drift_js", spark), "simple")
+    assert "Window" not in plan and "EvalPython" not in plan
+    assert "FullOuter" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_triangles_all_joins_keyed(spark):
     """Triangle counting must be pure equi-joins (bucket cap, wedge
     build, closure probe) — no cartesian; the only nested loops are
