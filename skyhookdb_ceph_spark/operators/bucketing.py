@@ -50,6 +50,40 @@ def write_bucketed(
     w.format("parquet").saveAsTable(table)
 
 
+# Per-(session, prefix) name of the most recent scoped table, so a
+# re-run within one session drops its own predecessor and nothing else.
+_SESSION_SCOPED: dict[tuple[int, str], str] = {}
+
+
+def write_bucketed_scoped(
+    df: DataFrame,
+    prefix: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+) -> str:
+    """write_bucketed under a PER-RUN unique table name.
+
+    Queries that materialize a shared-catalog artifact as a side
+    effect (signature indexes, bucketed layouts) must not reuse a
+    fixed name: two sessions sharing a warehouse would clobber each
+    other mid-read (round-10 advisory).  A uuid suffix isolates runs;
+    the previous table created by THIS session under the same prefix
+    is dropped, so repeated invocations don't leak unboundedly, while
+    other sessions' tables are never touched.  Returns the name."""
+    import uuid
+
+    spark = df.sparkSession
+    key = (id(spark), prefix)
+    name = f"{prefix}_{uuid.uuid4().hex[:8]}"
+    write_bucketed(df, name, bucket_cols, n_buckets, sort_cols)
+    prev = _SESSION_SCOPED.get(key)
+    if prev and prev != name:
+        spark.sql(f"DROP TABLE IF EXISTS {prev}")
+    _SESSION_SCOPED[key] = name
+    return name
+
+
 def colocated_join(
     spark: SparkSession,
     left_table: str,

@@ -152,8 +152,11 @@ def measured_dim_bytes(
     aggregate-sized driver row, same cost class as the other probes."""
     from pyspark.sql import functions as F
 
+    # octet_length, not length: length() counts CHARACTERS, so
+    # multibyte UTF-8 strings undercount the byte payload and a dim
+    # near the broadcast budget could be misclassified (r10 advisory).
     aggs = [F.count(F.lit(1)).alias("__n")] + [
-        F.sum(F.length(F.col(c))).alias(f"__l{i}")
+        F.sum(F.octet_length(F.col(c))).alias(f"__l{i}")
         for i, c in enumerate(string_cols)
     ]
     row = df.agg(*aggs).first()

@@ -462,16 +462,18 @@ def q_scan_bucket_prune(spark, sf_dir):
     into a fixed file count).  The pushed IN-filter still applies
     within the surviving buckets.  Oracle reads the plain parquet —
     layout must never change results."""
-    from skyhookdb_ceph_spark.operators.bucketing import write_bucketed
+    from skyhookdb_ceph_spark.operators.bucketing import (
+        write_bucketed_scoped,
+    )
 
     c = Catalog(spark, sf_dir)
-    write_bucketed(
+    tbl = write_bucketed_scoped(
         c.orders.select("o_custkey", "o_totalprice"),
         "bp_orders",
         ["o_custkey"],
         _BUCKET_PRUNE_N,
     )
-    t = spark.table("bp_orders")
+    t = spark.table(tbl)
     return (
         t.filter(F.col("o_custkey").isin(*_BUCKET_PRUNE_KEYS))
         .groupBy("o_custkey")
@@ -562,7 +564,7 @@ _IVM_CUT = "2024-01-20"
 _IVM_ORACLE = """
 SELECT event_type, CAST(count(*) AS BIGINT) AS n,
   floor((sum(value)) * 1000000 + 0.5) / 1000000 AS total,
-  floor((avg(value)) * 1000000 + 0.5) / 1000000 AS avg_value
+  floor((sum(value) / count(*)) * 1000000 + 0.5) / 1000000 AS avg_value
 FROM events GROUP BY event_type ORDER BY event_type
 """
 
@@ -677,7 +679,16 @@ def q_gdpr_crypto_shred(spark, sf_dir):
     survives, NULL otherwise) — DuckDB has no AES surface, so the
     round-trip itself is what the Spark side proves.  GCM nonces make
     ciphertexts nondeterministic per run, but decrypt(encrypt(x)) is
-    run-invariant, so the output is oracle-exact."""
+    run-invariant, so the output is oracle-exact.
+
+    MODELING NOTE (round-10 advisory): the per-user key here is
+    md5(c_custkey) — re-derivable from the row itself — so this query
+    models the PLAN SHAPE of crypto-shredding (encrypted fact columns,
+    broadcast keys-table join, erasure = key-row deletion), not the
+    security guarantee.  Production keys must be random secrets held
+    only in the keys table (or a KMS); with a derivable KDF and no
+    secret salt, destroying the key row does not make ciphertext
+    unrecoverable."""
     c = Catalog(spark, sf_dir).customer.select("c_custkey", "c_name")
     key = F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 16)
     enc = c.select(
@@ -753,16 +764,20 @@ def q_dedup_incremental(spark, sf_dir):
     dup_of = smallest matching base doc (deterministic), NULL = admit.
     Oracle derives the same delta-vs-base pairing from the shared
     FUZZY_SIG_CTES chain."""
-    from skyhookdb_ceph_spark.operators.bucketing import write_bucketed
+    from skyhookdb_ceph_spark.operators.bucketing import (
+        write_bucketed_scoped,
+    )
 
     d = Catalog(spark, sf_dir).documents
     base = d.filter(F.col("doc_id") % _INC_MOD != 0)
     delta = d.filter(F.col("doc_id") % _INC_MOD == 0)
 
     # --- ingest time (amortized): persist the base signature index
+    # (per-run unique name: concurrent sessions sharing a warehouse
+    # must not clobber each other's index mid-read)
     sig_base = minhash.band_signatures(minhash.shingle_sets(base))
-    write_bucketed(sig_base, "inc_sig_index", ["bsig"], 8)
-    index = spark.table("inc_sig_index")
+    tbl = write_bucketed_scoped(sig_base, "inc_sig_index", ["bsig"], 8)
+    index = spark.table(tbl)
 
     # --- refresh time: delta signatures vs the index
     sh_delta = minhash.shingle_sets(delta)

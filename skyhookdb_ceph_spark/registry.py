@@ -61,78 +61,54 @@ _LOADED = False
 # list pins the front of the registry each round; anything not listed
 # keeps module-import order after it.
 #
-# Round-10 rotation: cumulative driver-green after r9 = 295 distinct
-# QueryIDs, zero failures in 449 checks.  The window stays REGRESSION
-# INSURANCE, new/changed-first then oldest-stamps-first: lead with the
-# two queries that have NEVER been driver-stamped (q_ts_cusum — its
-# oracle was invalid SQL until this round, the r9 verdict's top item —
-# and q_ts_autocorr, which landed after the r9 window was full), plus
-# the two r9-stamped queries whose expressions changed this round
-# (q_fn_map_json: parse_json → try_parse_json null-tolerance;
-# q_win_density_blocks: ghost filter % → pmod for negative sec).  Any
-# NEW round-10 QueryID is inserted at the head as it lands, displacing
-# the tail.  Then the two r3-era stamps the round-9 additions
-# displaced, then the r4 era (six rounds of shared-helper refactors
-# since their last external check).
+# Round-11 rotation: cumulative driver-green after r10 = 312 distinct
+# QueryIDs (every latest stamp green; 5 r1 failures all re-stamped).
+# The window stays REGRESSION INSURANCE, new/changed-first then
+# oldest-stamps-first: lead with anything round 11 added or touched
+# (q_agg_incremental_merge's ORACLE changed — avg(value) pinned to
+# sum/count(*) so a nullable value column can't silently diverge, r10
+# ADVICE; q_dedup_incremental and q_scan_bucket_prune now build their
+# catalog artifacts under per-run scoped names), then the r4-era
+# remainder (last externally checked in round 4, seven rounds of
+# shared-helper refactors ago), then the front of the r5 era.
 # Everything outside the window stays covered by
 # tests/test_correctness.py's local oracle diff regardless.
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # -- new / changed in round 10 (oracle or expression touched)
-    "q_ts_cusum",      # oracle fixed: nested window split into 2 CTEs
-    "q_ts_autocorr",   # never driver-stamped (landed post-window in r9)
-    "q_join_width_probed",  # new: probe-driven shuffle-partition count
-    "q_text_rerank",   # new: BM25 candidates -> feature rerank
-    "q_dedup_agreement",  # new: MinHash-vs-embedding dedup audit
-    "q_text_quality_cascade",  # new: two-stage quality filter
-    "q_scan_bucket_prune",  # new: bucket-pruned point read
-    "q_win_event_pattern",  # new: funnel-regex event sequences
-    "q_agg_incremental_merge",  # new: IVM state merge
-    "q_gdpr_crypto_shred",  # new: erasure by key destruction
-    "q_dedup_incremental",  # new: delta-vs-index near-dup admission
-    "q_join_broadcast_probed",  # new: measured broadcast choice
-    "q_stream_event_pattern",  # new: streaming CEP funnel
-    "q_vec_ivf_incremental",  # new: append-only ANN index maintenance
-    "q_scan_zonemap_advisor",  # new: clustering-effectiveness audit
-    "q_graph_triangles",  # new: oriented wedge-close triangle count
-    "q_text_drift_js",  # new: per-source JS-divergence drift monitor
-    "q_fn_map_json",   # try_parse_json null-tolerance (ADVICE r9)
-    "q_win_density_blocks",  # pmod ghost filter (ADVICE r9)
-    # -- r3-era stamps displaced by the round-9 additions
-    "q_fn_url_parse", "q_stream_filesink",
+    # -- new / changed in round 11 (oracle or expression touched)
+    "q_maint_recluster",  # new: advisor-driven re-cluster + re-measure
+    "q_stream_event_eviction",  # new: CEP funnel w/ bounded state
+    "q_scan_shared",  # new: N curation filters in ONE corpus pass
+    "q_agg_incremental_merge",  # oracle pinned to sum/count(*) (ADVICE)
+    "q_dedup_incremental",  # scoped per-run index table name (ADVICE)
+    "q_scan_bucket_prune",  # scoped per-run table name (ADVICE)
     # -- r4-era stamps (externally driver-checked last in round 4)
-    "q_join_asof", "q_filter_bloom", "q_agg_countmin",
-    "q_udf_pandas_scalar", "q_udaf_grouped_agg", "q_udtf",
-    "q_scan_pushdown_source", "q_transform_json", "q_transform_orc",
-    "q_sample_hash", "q_runstats", "q_fn_struct_ops",
-    "q_win_cume_dist", "q_win_first_last", "q_win_lag_lead",
-    "q_win_quartile_scalable", "q_sort_nulls",
-    "q_stream_tumbling", "q_stream_sliding", "q_stream_session",
-    "q_stream_watermark", "q_stream_dedup", "q_stream_join",
-    "q_stream_stateful", "q_stream_enrich",
-    "q_text_chunk", "q_text_edit_distance", "q_text_fingerprint",
-    "q_text_keyword",
-    # ---- window boundary (50) — round 11 leads with the r4-era
-    # remainder (q_text_langid, q_text_quality, q_text_stats,
-    # q_text_tfidf, q_text_tokens,
-    # q_sim_pairs, q_sim_knn_ivf, q_ts_asof_interp,
-    # q_delta_upsert_merge, q_graph_pagerank,
-    # q_tpch_q1, q_tpch_q6, q_tpch_q12, q_tpch_q14,
-    # q_multimodal_binary, q_multimodal_json,
-    # q_subquery_exists, q_subquery_in, q_subquery_scalar,
-    # q_text_minhash_cluster) plus anything round-10 additions
-    # displaced, then the r5 era: q_dedup_prefix, q_ts_ewma,
-    # q_text_zipf, q_dedup_casefold, q_dedup_tombstone, q_agg_argmax,
-    # q_agg_benford, q_agg_bool, q_agg_funnel, q_agg_regression,
-    # q_agg_retention_bitmap, q_agg_skyline, q_agg_histogram_eqdepth,
-    # q_feat_hashing, q_fn_string_adv, q_fn_try_cast, q_fn_unpivot,
-    # q_gdpr_delete, q_join_bucketed, q_join_dpp, q_join_scd2,
-    # q_join_spatial_grid, q_sim_knn_multiprobe, q_sort_pagination,
-    # q_sql_cte/values/named_window, q_stats_constraints,
+    "q_text_langid", "q_text_quality", "q_text_stats",
+    "q_text_tfidf", "q_text_tokens",
+    "q_sim_pairs", "q_sim_knn_ivf", "q_ts_asof_interp",
+    "q_delta_upsert_merge", "q_graph_pagerank",
+    "q_tpch_q1", "q_tpch_q6", "q_tpch_q12", "q_tpch_q14",
+    "q_multimodal_binary", "q_multimodal_json",
+    "q_subquery_exists", "q_subquery_in", "q_subquery_scalar",
+    "q_text_minhash_cluster",
+    # -- r5-era stamps (front of the list; remainder next round)
+    "q_dedup_prefix", "q_ts_ewma", "q_text_zipf",
+    "q_dedup_casefold", "q_dedup_tombstone", "q_agg_argmax",
+    "q_agg_benford", "q_agg_bool", "q_agg_funnel",
+    "q_agg_regression", "q_agg_retention_bitmap", "q_agg_skyline",
+    "q_agg_histogram_eqdepth", "q_feat_hashing", "q_fn_string_adv",
+    "q_fn_try_cast", "q_fn_unpivot", "q_gdpr_delete",
+    "q_join_bucketed", "q_join_dpp", "q_join_scd2",
+    "q_join_spatial_grid", "q_sim_knn_multiprobe", "q_sort_pagination",
+    # ---- window boundary (50) — round 12 leads with the r5-era
+    # remainder: q_sql_cte/values/named_window, q_stats_constraints,
     # q_stats_profile, q_text_bigram_lm/bpe_merge/html_strip/
     # proximity, q_tpch_q4/q7/q8/q13/q15/q17/q18/q19/q22,
     # q_ts_anomaly, q_ts_rollup_two_level, q_vec_ivf_build,
     # q_win_islands/nth_value/retention_cohort, q_scan_partition_prune,
-    # q_multimodal_audio_windows, q_tpch_q2 tail.
+    # q_multimodal_audio_windows, q_tpch_q2; then the r6 era
+    # (q_agg_weighted_avg, q_join_range_bucket, q_join_stats_driven,
+    # q_sample_length_biased, q_vec_pq_code, q_multimodal_decode,
+    # q_win_gaps, q_data_mix, q_data_split, q_agg_median_exact, ...).
 )
 
 
@@ -159,6 +135,7 @@ def load_all() -> dict[str, QuerySpec]:
             pipeline9,
             pipeline10,
             pipeline11,
+            pipeline12,
             scans,
             setops,
             sorts,

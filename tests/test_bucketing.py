@@ -64,4 +64,4 @@ def test_bucket_prune_selects_only_matching_buckets(spark):
     assert m, "bucket pruning must be visible in the scan"
     assert int(m.group(1)) < int(m.group(2))
     assert re.search(r"PushedFilters: \[In\(o_custkey", plan)
-    spark.sql("DROP TABLE IF EXISTS bp_orders")
+    # scoped per-run table names clean themselves up (bucketing.py)

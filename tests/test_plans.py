@@ -1193,7 +1193,7 @@ def test_incremental_dedup_joins_index_not_corpus(spark):
     plan = explain_str(q("q_dedup_incremental", spark), "simple")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    spark.sql("DROP TABLE IF EXISTS inc_sig_index")
+    # scoped per-run table names clean themselves up (bucketing.py)
 
 
 def test_rerank_candidates_broadcast_text_never_shuffles(spark):
