@@ -919,3 +919,181 @@ def q_stream_event_pattern(spark, sf_dir):
     tests/test_streaming.py::test_event_pattern_multi_batch_invariant).
     Oracle = the batch funnel query."""
     return _event_pattern_stream(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Streaming CEP with watermark-gated state EVICTION (round 11)
+# ---------------------------------------------------------------------------
+
+# pending (post-eviction) history + committed counters — the state the
+# eviction rule keeps bounded: open-partial suffix + watermark window,
+# never the user's full history
+_CEPE_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("ts_us", T.ArrayType(T.LongType())),
+        T.StructField("eid", T.ArrayType(T.LongType())),
+        T.StructField("sym", T.ArrayType(T.StringType())),
+        T.StructField("cum_len", T.LongType()),
+        T.StructField("cum_funnels", T.LongType()),
+    ]
+)
+
+
+def _make_cep_evict_fn(state_log: str | None = None):
+    """Build the eviction-variant state fn; state_log (tests only)
+    appends one `user,pending_len,cum_len` line per (batch, user) so
+    the bounded-state claim is observable from outside the operator."""
+
+    def fn(key, pdfs, state):
+        import bisect
+        import re
+
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        if state.exists:
+            # GroupState.get is a property (see _user_state_fn note)
+            ts_us, eid, sym, cum_len, cum_funnels = state.get
+            ts_us, eid, sym = list(ts_us), list(eid), list(sym)
+        else:
+            ts_us, eid, sym, cum_len, cum_funnels = [], [], [], 0, 0
+        for pdf in pdfs:
+            new_us = (
+                (pdf["ts"].astype("int64") // 1000)
+                if str(pdf["ts"].dtype).startswith("datetime64[ns")
+                else pdf["ts"].astype("int64")
+            )
+            # ENFORCED late-drop: rows below the watermark are
+            # discarded here, not assumed away — measured on this
+            # engine, applyInPandasWithState does NOT filter late
+            # input itself, and a sub-watermark arrival interleaving
+            # below already-committed history would corrupt the
+            # counters.  This makes the operator's watermark contract
+            # (late beyond `delay` is dropped) explicit and safe.
+            ok = new_us >= wm_us
+            ts_us.extend(new_us[ok].tolist())
+            eid.extend(pdf["event_id"].astype("int64")[ok].tolist())
+            sym.extend(pdf["event_type"].str[:1][ok].tolist())
+        order = sorted(range(len(ts_us)), key=lambda i: (ts_us[i], eid[i]))
+        ts_us = [ts_us[i] for i in order]
+        eid = [eid[i] for i in order]
+        sym = [sym[i] for i in order]
+        seq = "".join(sym)
+        # --- watermark-gated eviction: everything below the watermark
+        # is FROZEN (later arrivals below it are dropped as late by the
+        # operator itself), so completed funnels there can be committed
+        # to counters and their events discarded.  The only frozen
+        # chars that must survive are the trailing OPEN partial match
+        # (an `s[vc]*` run contiguous to the boundary — the one run a
+        # post-boundary char can still complete; any earlier `s` is
+        # blocked by a non-[vc] char before the boundary forever).
+        b = bisect.bisect_left(ts_us, wm_us)
+        fseq = seq[:b]
+        ms = list(re.finditer("s[vc]*p", fseq))
+        e = ms[-1].end() if ms else 0
+        k = b - 1
+        while k >= e and fseq[k] in "vc":
+            k -= 1
+        j = k if (k >= e and fseq[k] == "s") else b
+        cum_funnels += len(ms)  # every match ends <= e <= j
+        cum_len += j
+        ts_us, eid, sym = ts_us[j:], eid[j:], sym[j:]
+        state.update((ts_us, eid, sym, cum_len, cum_funnels))
+        if state_log:
+            with open(state_log, "a") as f:
+                f.write(f"{key[0]},{len(ts_us)},{cum_len}\n")
+        n = cum_funnels + len(re.findall("s[vc]*p", seq[j:]))
+        yield pd.DataFrame(
+            [
+                {
+                    "user_id": key[0],
+                    "seq_len": cum_len + len(ts_us),
+                    "n_funnels": n,
+                    "has_funnel": 1 if n > 0 else 0,
+                }
+            ]
+        )
+
+    return fn
+
+
+def _event_eviction_stream(
+    spark,
+    sf_dir,
+    glob="events.parquet",
+    options=None,
+    delay="30 minutes",
+    state_log=None,
+):
+    """Shared builder: watermark on ts (the eviction clock AND the
+    late-data contract — events later than `delay` out of order are
+    dropped, standard streaming semantics), then the evicting CEP
+    state machine, then the same max_by(seq_len) monotone collapse."""
+    stream = (
+        events_stream(spark, sf_dir, glob=glob, options=options)
+        .select("user_id", "ts", "event_id", "event_type")
+        .withWatermark("ts", delay)
+    )
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    updated = stream.groupBy("user_id").applyInPandasWithState(
+        _make_cep_evict_fn(state_log),
+        outputStructType=_CEP_OUT_SCHEMA,
+        stateStructType=_CEPE_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    sink = drain_to_memory(updated, output_mode="update", state_partitions=16)
+    final = F.max_by(
+        F.struct("seq_len", "n_funnels", "has_funnel"), F.col("seq_len")
+    ).alias("m")
+    return (
+        sink.groupBy("user_id")
+        .agg(final)
+        .select(
+            "user_id",
+            F.col("m.seq_len").alias("seq_len"),
+            F.col("m.n_funnels").alias("n_funnels"),
+            F.col("m.has_funnel").alias("has_funnel"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "q_stream_event_eviction",
+    oracle="""
+WITH s AS (
+  SELECT user_id,
+    string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
+  FROM events GROUP BY user_id)
+SELECT user_id, CAST(length(seq) AS INT) AS seq_len,
+  CAST(len(regexp_extract_all(seq, 's[vc]*p')) AS INT) AS n_funnels,
+  CASE WHEN len(regexp_extract_all(seq, 's[vc]*p')) > 0 THEN 1 ELSE 0 END
+    AS has_funnel
+FROM s ORDER BY user_id
+""",
+    tags=("stream", "live-stream", "scale-design"),
+)
+def q_stream_event_eviction(spark, sf_dir):
+    """q_stream_event_pattern hardened against STATE GROWTH: the
+    funnel counter's per-user history is truncated under the event-
+    time watermark — completed funnels below the watermark commit to
+    (cum_len, cum_funnels) counters and their events are DISCARDED;
+    the only sub-watermark events kept are the trailing open partial
+    match (`s[vc]*` contiguous to the boundary), which a future event
+    can still complete.  State per user is therefore bounded by
+    (open-partial span + watermark window), not lifetime history —
+    q_stream_event_pattern's accumulate-forever state grows O(events/
+    user) by design, which an adversarial key (a bot replaying 10^6
+    events) turns into an OOM; here the same replay plateaus (proven:
+    tests/test_streaming.py::test_event_eviction_state_plateaus —
+    1M single-user events, 6 forced batches, pending state stays
+    under a constant while cum_len reaches 1M).
+
+    Eviction safety is the watermark CONTRACT: frozen events can
+    never interleave with future arrivals (later-than-delay rows are
+    dropped as late by the stateful operator itself), so committed
+    counts are final.  Output and oracle are identical to
+    q_stream_event_pattern — eviction must never change the answer,
+    only the state bound (multi-batch equivalence also pinned in
+    tests)."""
+    return _event_eviction_stream(spark, sf_dir)

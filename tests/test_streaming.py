@@ -41,6 +41,135 @@ def test_stream_drain_is_repeatable(spark, sf_small):
     assert out1 == out2 > 0
 
 
+def _write_time_ordered_chunks(df, d, n_chunks, order_cols=("ts", "event_id")):
+    """Split events into n time-ordered parquet files chunk0..chunkN —
+    the replay shape where a watermark drops nothing (each batch's
+    events are strictly later than the previous batch's)."""
+    import math
+
+    rows = df.orderBy(*order_cols).collect()
+    per = math.ceil(len(rows) / n_chunks)
+    spark = df.sparkSession
+    for i in range(n_chunks):
+        chunk = rows[i * per : (i + 1) * per]
+        if chunk:
+            spark.createDataFrame(chunk, df.schema).coalesce(
+                1
+            ).write.parquet(f"{d}/c{i}", mode="overwrite")
+    import glob as g
+    import os
+    import shutil
+    import time
+
+    # pin strictly increasing mod times: the file source admits files
+    # in (modTime, path) order, and same-tick copies have been
+    # OBSERVED arriving out of order — which a watermarked stream
+    # rightly treats as late data
+    now = time.time()
+    for i, f in enumerate(sorted(g.glob(f"{d}/c*/part-*.parquet"))):
+        dst = f"{d}/chunk{i}.parquet"
+        shutil.copy(f, dst)
+        os.utime(dst, (now + i * 10, now + i * 10))
+    return d
+
+
+def test_event_eviction_multi_batch_matches_batch_answer(
+    spark, sf_small, tmp_path
+):
+    """Eviction must never change the ANSWER, only the state bound:
+    a forced 3-batch time-ordered replay through the evicting state fn
+    must equal the batch funnel query exactly."""
+    from skyhookdb_ceph_spark.queries.pipeline11 import q_win_event_pattern
+    from skyhookdb_ceph_spark.queries.streaming_q import (
+        _event_eviction_stream,
+    )
+    from skyhookdb_ceph_spark.queries._util import Catalog
+
+    d = str(tmp_path / "ev_ord")
+    _write_time_ordered_chunks(Catalog(spark, sf_small).events, d, 3)
+    multi = sorted(
+        map(
+            tuple,
+            _event_eviction_stream(
+                spark,
+                d,
+                glob="chunk*.parquet",
+                options={"maxFilesPerTrigger": "1"},
+                delay="1 minute",
+            ).collect(),
+        )
+    )
+    batch = sorted(map(tuple, q_win_event_pattern(spark, sf_small).collect()))
+    assert multi == batch and len(batch) > 0
+
+
+def test_event_eviction_state_plateaus(spark, tmp_path):
+    """The bounded-state claim under adversarial replay: ONE user
+    replays 1M events (the accumulate-forever twin would hold all 1M
+    in its per-key state by the final batch); with watermark-gated
+    eviction the pending state must PLATEAU at a constant (open
+    partial + watermark window) while the committed counters keep
+    growing to the full history."""
+    import pandas as pd
+
+    from skyhookdb_ceph_spark.queries.streaming_q import (
+        _event_eviction_stream,
+    )
+
+    n = 1_000_000
+    base = pd.Timestamp("2024-01-01")
+    ev = pd.DataFrame(
+        {
+            "event_id": pd.array(range(n), dtype="int64"),
+            "ts": base + pd.to_timedelta(range(n), unit="s"),
+            "user_id": pd.array([1] * n, dtype="int64"),
+            "event_type": [
+                ("signup", "view", "purchase")[i % 3] for i in range(n)
+            ],
+            "value": [0.0] * n,
+            "props": ["{}"] * n,
+        }
+    )
+    d = tmp_path / "ev_adversarial"
+    d.mkdir()
+    per = -(-n // 6)  # ceil: the last chunk keeps the remainder
+    for i in range(6):
+        ev.iloc[i * per : (i + 1) * per].to_parquet(
+            d / f"chunk{i}.parquet", index=False
+        )
+    log = str(tmp_path / "state_log.csv")
+    out = _event_eviction_stream(
+        spark,
+        str(d),
+        glob="chunk*.parquet",
+        options={"maxFilesPerTrigger": "1"},
+        delay="1 minute",
+        state_log=log,
+    ).collect()
+    # answer exact: one funnel per (signup, view, purchase) triple
+    assert [tuple(r) for r in out] == [(1, n, n // 3, 1)]
+    sizes = [
+        (int(p), int(c))
+        for _, p, c in (
+            line.split(",") for line in open(log).read().splitlines()
+        )
+    ]
+    assert len(sizes) == 6  # one state commit per forced batch
+    pending = [p for p, _ in sizes]
+    # batch 1 has no watermark yet (wm=0 -> nothing frozen): pending =
+    # the whole first chunk.  Every LATER batch must have evicted down
+    # to (watermark window ~60 events + one chunk's post-wm tail) —
+    # the plateau.  Without eviction pending would grow by ~166k/batch.
+    assert pending[0] >= per
+    plateau = per + 128  # one in-flight chunk + watermark window
+    assert all(p <= plateau for p in pending[1:])
+    # no growth trend (±small jitter from chunk-boundary symbol
+    # alignment; without eviction this would grow by ~167k per batch)
+    assert max(pending[3:]) <= max(pending[1:3]) + 8
+    # committed counters keep absorbing the evicted history
+    assert sizes[-1][1] + pending[-1] == n
+
+
 def test_event_pattern_multi_batch_invariant(spark, sf_small, tmp_path):
     """q_stream_event_pattern's batching-invariance claim: split the
     fixture into 3 files and force one file per micro-batch — the
