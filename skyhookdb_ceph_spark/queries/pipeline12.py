@@ -198,3 +198,79 @@ def q_maint_recluster(spark, sf_dir):
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# §2.22.2 multi-query shared-scan execution (N filters, ONE corpus pass)
+# ---------------------------------------------------------------------------
+
+_SHARED_FILTERS_SQL = {
+    "all_docs": "TRUE",
+    "lang_en": "lang = 'en'",
+    "long_doc": "n_chars >= 300",
+    "short_doc": "n_chars < 100",
+    "has_digit": "regexp_matches(text, '[0-9]')",
+}
+
+
+def _shared_oracle() -> str:
+    legs = []
+    for name, pred in _SHARED_FILTERS_SQL.items():
+        legs.append(f"""
+SELECT '{name}' AS filter,
+  CAST(count(*) FILTER (WHERE {pred}) AS BIGINT) AS n_docs,
+  CAST(coalesce(sum(n_chars) FILTER (WHERE {pred}), 0) AS BIGINT)
+    AS total_chars,
+  floor((coalesce(sum(n_chars) FILTER (WHERE {pred}), 0) * 1.0
+        / greatest(count(*) FILTER (WHERE {pred}), 1)) * 1000000 + 0.5)
+        / 1000000 AS avg_chars
+FROM documents""")
+    return " UNION ALL ".join(legs) + " ORDER BY filter"
+
+
+@query(
+    "q_scan_shared",
+    oracle=_shared_oracle(),
+    tags=("scan", "llm", "scale-design"),
+)
+def q_scan_shared(spark, sf_dir):
+    """Multi-query SHARED-SCAN execution: five curation screens
+    (language share, length bands, digit boilerplate, the global
+    census) computed in ONE pass over the corpus — the inversion of
+    the reference's one-query-per-request dispatch [U: run-query.cc]
+    that a training-data pipeline needs: at 100 TB the SCAN is the
+    cost, and N screens run naively read the table N times.
+
+    operators/shared_scan.shared_filter_profile folds every filter
+    into conditional aggregates inside one global aggregate: the plan
+    has exactly ONE `Scan parquet` node (plan-asserted,
+    tests/test_shared_scan.py) and whole-stage codegen evaluates all
+    predicates per row in a single pass — adding a screen adds two
+    agg buffers, never a scan.  Measured at sf0.1: BASELINE.md §L.2
+    (1-pass vs 5-pass).  The oracle is DuckDB's own shared-scan form
+    (FILTER clauses over one table); the Spark avg derives from the
+    merged (sum, count) with an explicit empty-filter guard so both
+    engines agree on zero-match screens."""
+    from skyhookdb_ceph_spark.operators.shared_scan import (
+        shared_filter_profile,
+    )
+
+    d = Catalog(spark, sf_dir).documents
+    filters = {
+        "all_docs": F.lit(True),
+        "lang_en": F.col("lang") == "en",
+        "long_doc": F.col("n_chars") >= 300,
+        "short_doc": F.col("n_chars") < 100,
+        "has_digit": F.col("text").rlike("[0-9]"),
+    }
+    prof = shared_filter_profile(d, filters, F.col("n_chars"))
+    return prof.select(
+        "filter",
+        F.col("n_rows").alias("n_docs"),
+        F.col("total_value").alias("total_chars"),
+        quantize(
+            F.col("total_value")
+            / F.greatest(F.col("n_rows"), F.lit(1)),
+            6,
+        ).alias("avg_chars"),
+    ).orderBy("filter")
