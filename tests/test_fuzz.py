@@ -1,0 +1,56 @@
+"""Differential fuzz corpus: 500 seeded random query plans rendered as
+BOTH a DataFrame program and DuckDB SQL must agree (SURVEY §5 — the
+reference's --use-cls on/off cross-check generalized from 312 fixed
+points to a sampled space).
+
+The corpus is the seed range [0, 500) of tools/fuzz_differential.py's
+generator: predicate trees over every fixture column type with
+NULL-boundary injection (nullif/CASE-derived columns), group-by and
+aggregate combos (count/count-distinct/sum/min/max/avg with typed
+NULL-coalescing), join shapes (inner/left/semi/anti via EXISTS), and
+window frames (ranking, lag/lead, cumulative ROWS, bounded-ROWS min).
+Any divergence is shrunk (query-level reductions) and dumped as a JSON
+repro under tools/fuzz_failures/.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tools.fuzz_differential import gen_case, run
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.mark.slow
+def test_differential_fuzz_corpus_agrees(spark):
+    failures = run(
+        n=500, seed0=0, sf_dir=SF, spark=spark, progress_every=0
+    )
+    assert failures == [], f"divergent seeds: {[s for s, _ in failures]}"
+
+
+def test_generator_is_deterministic(spark):
+    """Seeded repro is the whole point: the same seed must render the
+    same SQL text every time.  (spark fixture: expression building
+    needs an active session for Column construction.)"""
+    a, b = gen_case(42), gen_case(42)
+    assert a.kind == b.kind
+    # spec SQL fragments are embedded in rendered Ex objects; compare
+    # the DuckDB-side rendering via a throwaway session-less check on
+    # the spec's own strings where present
+    def frag(c):
+        s = c.spec
+        parts = []
+        for attr in ("pred", "lpred", "rpred"):
+            e = getattr(s, attr, None)
+            if e is not None:
+                parts.append(e.sql)
+        for lst in ("derived", "keys"):
+            for item in getattr(s, lst, []) or []:
+                parts.append(item[1].sql)
+        for a_ in getattr(s, "aggs", []) or []:
+            parts.append(a_.sql)
+        return parts
+
+    assert frag(a) == frag(b)

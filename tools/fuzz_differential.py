@@ -1,0 +1,923 @@
+#!/usr/bin/env python
+"""Randomized DIFFERENTIAL query fuzzer: Spark vs DuckDB.
+
+The 312 fixed registry queries are regression insurance; they can no
+longer FIND unknown bugs.  This generator samples a SPACE of queries —
+predicate trees over every fixture column type (with NULL boundaries
+injected via nullif-derived columns), group-by/aggregate combos, join
+shapes (inner/left/semi/anti), and window frames — and renders each
+case TWICE from one spec: as a PySpark DataFrame program and as
+ANSI-ish DuckDB SQL.  Results are diffed with the same canon machinery
+the correctness gate uses (tools/verify_local.canon_df).  This is the
+reference's own two-engine differential idea [U: src/progly/
+run-query.cc — the --use-cls on/off cross-check] generalized from
+fixed points to a sampled space.
+
+Determinism rules (the oracle-parity house rules, §BASELINE):
+- every aggregate alias identical on both sides;
+- double sums/avgs quantized via floor(x*10^d + 0.5)/10^d;
+- nullable aggregates coalesced to typed defaults on BOTH sides (so
+  all-NULL groups can't flip pandas dtype kinds between engines);
+- ORDER BY ... LIMIT only over a total order (unique key appended);
+- no engine-specific functions — the rendered subset is the
+  intersection dialect (||, substr, nullif, coalesce, year/month/day,
+  LIKE, BETWEEN, IN, IS [NOT] NULL, IS NOT DISTINCT FROM).
+
+Usage:
+    python tools/fuzz_differential.py [--n 500] [--seed0 0]
+        [--sf /root/testdata/sf0.001] [--stop-on-fail]
+
+Exit 1 if any case diverges; failing cases are shrunk (query-level
+reductions) and dumped as JSON repros under tools/fuzz_failures/.
+"""
+
+from __future__ import annotations
+
+import json
+import random
+import sys
+from dataclasses import dataclass, field, replace
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# column catalog (types + literal pools measured from the fixtures)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class Col:
+    name: str
+    typ: str  # i / f / s / t
+    lits: tuple = ()
+    like: tuple = ()  # LIKE patterns (string cols)
+    sumq: int = 4  # quantize digits for sums/avgs of this column
+
+
+@dataclass(frozen=True)
+class Table:
+    name: str
+    cols: tuple[Col, ...]
+    unique: tuple[str, ...]  # total-order tiebreak key
+    lowcard: tuple[str, ...]  # group/partition candidates
+
+    def col(self, name: str) -> Col:
+        return next(c for c in self.cols if c.name == name)
+
+    def by_typ(self, typ: str) -> list[Col]:
+        return [c for c in self.cols if c.typ == typ]
+
+
+CATALOG: dict[str, Table] = {
+    t.name: t
+    for t in [
+        Table(
+            "lineitem",
+            (
+                Col("l_orderkey", "i", (1, 7, 500, 1200, 6000)),
+                Col("l_partkey", "i", (1, 50, 900)),
+                Col("l_suppkey", "i", (1, 5, 60)),
+                Col("l_linenumber", "i", (1, 2, 4, 7)),
+                Col("l_quantity", "f", (1.0, 10.0, 25.0, 49.0)),
+                Col(
+                    "l_extendedprice",
+                    "f",
+                    (1000.0, 17500.5, 60000.0),
+                    sumq=2,
+                ),
+                Col("l_discount", "f", (0.0, 0.04, 0.08), sumq=6),
+                Col("l_tax", "f", (0.0, 0.03, 0.07), sumq=6),
+                Col("l_returnflag", "s", ("A", "N", "R"), ("A%", "_")),
+                Col("l_linestatus", "s", ("O", "F"), ("O%",)),
+                Col(
+                    "l_shipdate",
+                    "t",
+                    (
+                        "1995-06-01 00:00:00",
+                        "1997-01-01 00:00:00",
+                        "1999-12-31 23:59:59",
+                    ),
+                ),
+            ),
+            # NO unique key: the synthetic fixture duplicates
+            # (l_orderkey, l_linenumber) pairs (measured — 1161 dups at
+            # sf0.001), so lineitem is excluded from order-sensitive
+            # shapes (ROWS-frame windows, ORDER+LIMIT): a non-total
+            # order makes row_number/cumsum legitimately
+            # engine-divergent, a harness false alarm, not a bug
+            # (found by seed 35 of this fuzzer's first run).
+            (),
+            ("l_returnflag", "l_linestatus"),
+        ),
+        Table(
+            "orders",
+            (
+                Col("o_orderkey", "i", (1, 44, 1500, 5999)),
+                Col("o_custkey", "i", (1, 70, 149, 1400)),
+                Col("o_orderstatus", "s", ("O", "F", "P"), ("F%",)),
+                Col("o_totalprice", "f", (5000.0, 150000.25), sumq=2),
+                Col(
+                    "o_orderdate",
+                    "t",
+                    ("1995-07-04 00:00:00", "1998-02-11 00:00:00"),
+                ),
+                Col(
+                    "o_orderpriority",
+                    "s",
+                    ("1-URGENT", "3-MEDIUM", "5-LOW"),
+                    ("1-%", "%GH%"),
+                ),
+            ),
+            ("o_orderkey",),
+            ("o_orderstatus", "o_orderpriority"),
+        ),
+        Table(
+            "customer",
+            (
+                Col("c_custkey", "i", (1, 77, 800)),
+                Col("c_name", "s", (), ("Customer#%", "%1%")),
+                Col("c_nationkey", "i", (0, 7, 24)),
+                Col("c_acctbal", "f", (-500.0, 0.0, 4500.75), sumq=2),
+                Col(
+                    "c_mktsegment",
+                    "s",
+                    ("BUILDING", "AUTOMOBILE", "FURNITURE"),
+                    ("B%", "%URE"),
+                ),
+            ),
+            ("c_custkey",),
+            ("c_mktsegment", "c_nationkey"),
+        ),
+        Table(
+            "part",
+            (
+                Col("p_partkey", "i", (1, 33, 1900)),
+                Col("p_name", "s", (), ("%li%", "a%")),
+                Col("p_brand", "s", ("Brand#9", "Brand#13"), ("Brand#1%",)),
+                Col("p_size", "i", (1, 15, 49)),
+                Col("p_retailprice", "f", (905.0, 950.5), sumq=2),
+            ),
+            ("p_partkey",),
+            ("p_brand", "p_size"),
+        ),
+        Table(
+            "events",
+            (
+                Col("event_id", "i", (5, 4000, 9000)),
+                Col(
+                    "ts",
+                    "t",
+                    ("2024-01-05 00:00:00", "2024-01-20 12:00:00"),
+                ),
+                Col("user_id", "i", (0, 25, 90, 148)),
+                Col(
+                    "event_type",
+                    "s",
+                    ("click", "view", "purchase", "error"),
+                    ("c%", "%e%"),
+                ),
+                Col("value", "f", (0.5, 120.0, 480.0), sumq=4),
+            ),
+            ("event_id",),
+            ("event_type", "user_id"),
+        ),
+        Table(
+            "documents",
+            (
+                Col("doc_id", "i", (1, 100, 400)),
+                Col("text", "s", (), ("%the%", "%a%")),
+                Col("lang", "s", ("en", "de", "zh", "fr"), ("e%",)),
+                Col("source", "s", ("src0", "src7", "src15"), ("src1%",)),
+                Col("n_chars", "i", (60, 150, 300, 500)),
+            ),
+            ("doc_id",),
+            ("lang", "source"),
+        ),
+    ]
+}
+
+JOINS = [
+    ("lineitem", "orders", "l_orderkey", "o_orderkey"),
+    ("orders", "customer", "o_custkey", "c_custkey"),
+    ("lineitem", "part", "l_partkey", "p_partkey"),
+]
+
+_SPARK_T = {"i": "bigint", "f": "double", "s": "string", "t": "timestamp"}
+_DUCK_T = {"i": "BIGINT", "f": "DOUBLE", "s": "VARCHAR", "t": "TIMESTAMP"}
+
+
+# ---------------------------------------------------------------------------
+# expression pairs: (spark Column, duckdb SQL string, type)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class Ex:
+    sp: Column
+    sql: str
+    typ: str
+
+
+def lit_ex(val, typ: str) -> Ex:
+    if val is None:
+        return Ex(
+            F.lit(None).cast(_SPARK_T[typ]),
+            f"CAST(NULL AS {_DUCK_T[typ]})",
+            typ,
+        )
+    if typ == "s":
+        return Ex(F.lit(val), "'" + str(val).replace("'", "''") + "'", "s")
+    if typ == "t":
+        return Ex(F.lit(val).cast("timestamp"), f"TIMESTAMP '{val}'", "t")
+    if typ == "f":
+        return Ex(F.lit(float(val)), repr(float(val)), "f")
+    return Ex(F.lit(int(val)), str(int(val)), "i")
+
+
+def col_ex(c: Col) -> Ex:
+    return Ex(F.col(c.name), c.name, c.typ)
+
+
+def _q(e: Ex, digits: int) -> Ex:
+    scale = 10**digits
+    return Ex(
+        F.floor(e.sp * scale + F.lit(0.5)) / scale,
+        f"floor(({e.sql}) * {scale} + 0.5) / {scale}",
+        "f",
+    )
+
+
+# ---------------------------------------------------------------------------
+# generators
+# ---------------------------------------------------------------------------
+
+
+def gen_scalar(rng: random.Random, t: Table, depth: int = 2) -> Ex:
+    """A typed scalar expression over t's columns (NULL-injecting
+    forms included)."""
+    base_cols = list(t.cols)
+    c = rng.choice(base_cols)
+    e = col_ex(c)
+    if depth <= 0:
+        return e
+    kind = rng.random()
+    if kind < 0.22 and c.typ in "if" and c.lits:
+        # nullif: the NULL-boundary injector
+        v = lit_ex(rng.choice(c.lits), c.typ)
+        return Ex(
+            F.when(e.sp == v.sp, F.lit(None)).otherwise(e.sp),
+            f"nullif({e.sql}, {v.sql})",
+            c.typ,
+        )
+    if kind < 0.38 and c.typ in "if" and c.lits:
+        v = lit_ex(rng.choice(c.lits), c.typ)
+        op = rng.choice(["+", "-", "*"])
+        if op == "*":
+            v = lit_ex(rng.choice([2, 3]), "i" if c.typ == "i" else "f")
+        sp = {"+": e.sp + v.sp, "-": e.sp - v.sp, "*": e.sp * v.sp}[op]
+        return Ex(sp, f"({e.sql} {op} {v.sql})", c.typ)
+    if kind < 0.5 and c.typ == "s":
+        p = rng.randint(1, 3)
+        n = rng.randint(1, 4)
+        return Ex(
+            F.substring(e.sp, p, n), f"substr({e.sql}, {p}, {n})", "s"
+        )
+    if kind < 0.58 and c.typ == "s":
+        fn = rng.choice(["upper", "lower", "length"])
+        if fn == "length":
+            return Ex(
+                F.length(e.sp).cast("bigint"),
+                f"CAST(length({e.sql}) AS BIGINT)",
+                "i",
+            )
+        return Ex(getattr(F, fn)(e.sp), f"{fn}({e.sql})", "s")
+    if kind < 0.68 and c.typ == "t":
+        fn = rng.choice(["year", "month", "day"])
+        return Ex(
+            getattr(F, fn)(e.sp).cast("bigint"),
+            f"CAST({fn}({e.sql}) AS BIGINT)",
+            "i",
+        )
+    if kind < 0.76 and c.typ in "if":
+        return Ex(F.abs(e.sp), f"abs({e.sql})", c.typ)
+    if kind < 0.86:
+        # CASE WHEN pred THEN col END — NULL for non-matching rows
+        pred = gen_pred(rng, t, depth - 1)
+        return Ex(
+            F.when(pred.sp, e.sp),
+            f"CASE WHEN {pred.sql} THEN {e.sql} END",
+            c.typ,
+        )
+    if c.typ in "if" and c.lits:
+        # coalesce over a nullif — NULL created then healed
+        v = lit_ex(rng.choice(c.lits), c.typ)
+        d = lit_ex(rng.choice(c.lits), c.typ)
+        return Ex(
+            F.coalesce(
+                F.when(e.sp == v.sp, F.lit(None)).otherwise(e.sp), d.sp
+            ),
+            f"coalesce(nullif({e.sql}, {v.sql}), {d.sql})",
+            c.typ,
+        )
+    return e
+
+
+def gen_pred(rng: random.Random, t: Table, depth: int = 2) -> Ex:
+    """A boolean predicate tree over t."""
+    if depth > 0 and rng.random() < 0.45:
+        a = gen_pred(rng, t, depth - 1)
+        b = gen_pred(rng, t, depth - 1)
+        if rng.random() < 0.5:
+            return Ex(a.sp & b.sp, f"({a.sql} AND {b.sql})", "b")
+        return Ex(a.sp | b.sp, f"({a.sql} OR {b.sql})", "b")
+    if depth > 0 and rng.random() < 0.12:
+        a = gen_pred(rng, t, depth - 1)
+        return Ex(~a.sp, f"(NOT {a.sql})", "b")
+    e = gen_scalar(rng, t, depth=1)
+    r = rng.random()
+    if r < 0.12:
+        neg = rng.random() < 0.5
+        return Ex(
+            e.sp.isNull() if not neg else e.sp.isNotNull(),
+            f"({e.sql} IS {'NOT ' if neg else ''}NULL)",
+            "b",
+        )
+    # literal pool of the expression's type, from any column of t
+    pool = [c for c in t.cols if c.typ == e.typ and c.lits]
+    if not pool:
+        return Ex(e.sp.isNotNull(), f"({e.sql} IS NOT NULL)", "b")
+    src = rng.choice(pool)
+    if r < 0.24 and e.typ in "ifts":
+        lo, hi = sorted(rng.sample(list(src.lits), 2)) if len(
+            src.lits
+        ) >= 2 else (src.lits[0], src.lits[0])
+        lo_e, hi_e = lit_ex(lo, e.typ), lit_ex(hi, e.typ)
+        return Ex(
+            e.sp.between(lo_e.sp, hi_e.sp),
+            f"({e.sql} BETWEEN {lo_e.sql} AND {hi_e.sql})",
+            "b",
+        )
+    if r < 0.36:
+        vals = rng.sample(list(src.lits), min(len(src.lits), rng.randint(1, 3)))
+        exs = [lit_ex(v, e.typ) for v in vals]
+        return Ex(
+            e.sp.isin(*[x.sp for x in exs]),
+            f"({e.sql} IN ({', '.join(x.sql for x in exs)}))",
+            "b",
+        )
+    if r < 0.44 and e.typ == "s" and src.like:
+        pat = rng.choice(src.like)
+        return Ex(e.sp.like(pat), f"({e.sql} LIKE '{pat}')", "b")
+    if r < 0.52:
+        v = lit_ex(rng.choice(src.lits), e.typ)
+        return Ex(
+            e.sp.eqNullSafe(v.sp),
+            f"({e.sql} IS NOT DISTINCT FROM {v.sql})",
+            "b",
+        )
+    op = rng.choice(["=", "<>", "<", "<=", ">", ">="])
+    v = lit_ex(rng.choice(src.lits), e.typ)
+    sp = {
+        "=": e.sp == v.sp,
+        "<>": e.sp != v.sp,
+        "<": e.sp < v.sp,
+        "<=": e.sp <= v.sp,
+        ">": e.sp > v.sp,
+        ">=": e.sp >= v.sp,
+    }[op]
+    return Ex(sp, f"({e.sql} {op} {v.sql})", "b")
+
+
+@dataclass
+class AggEx:
+    alias: str
+    sp: Column
+    sql: str
+    numeric_int: bool = False  # count/sum-of-int: safe HAVING target
+
+
+def gen_agg(rng: random.Random, t: Table, alias: str) -> AggEx:
+    """One aggregate with typed-default coalescing on BOTH sides (an
+    all-NULL group must not flip pandas dtype kinds between engines)."""
+    kind = rng.choice(
+        ["count_star", "count", "count_distinct", "sum", "min", "max", "avg"]
+    )
+    if kind == "count_star":
+        return AggEx(
+            alias,
+            F.count(F.lit(1)).cast("bigint").alias(alias),
+            f"CAST(count(*) AS BIGINT) AS {alias}",
+            numeric_int=True,
+        )
+    arg = gen_scalar(rng, t, depth=rng.randint(0, 2))
+    if kind == "count":
+        return AggEx(
+            alias,
+            F.count(arg.sp).cast("bigint").alias(alias),
+            f"CAST(count({arg.sql}) AS BIGINT) AS {alias}",
+            numeric_int=True,
+        )
+    if kind == "count_distinct":
+        return AggEx(
+            alias,
+            F.count_distinct(arg.sp).cast("bigint").alias(alias),
+            f"CAST(count(DISTINCT {arg.sql}) AS BIGINT) AS {alias}",
+            numeric_int=True,
+        )
+    if kind in ("min", "max"):
+        dflt = {
+            "i": lit_ex(0, "i"),
+            "f": lit_ex(0.0, "f"),
+            "s": lit_ex("", "s"),
+            "t": lit_ex("1970-01-01 00:00:00", "t"),
+        }[arg.typ]
+        spf = F.min(arg.sp) if kind == "min" else F.max(arg.sp)
+        return AggEx(
+            alias,
+            F.coalesce(spf, dflt.sp).alias(alias),
+            f"coalesce({kind}({arg.sql}), {dflt.sql}) AS {alias}",
+        )
+    if arg.typ == "s" or arg.typ == "t":
+        # sum/avg need numerics; fall back to count
+        return AggEx(
+            alias,
+            F.count(arg.sp).cast("bigint").alias(alias),
+            f"CAST(count({arg.sql}) AS BIGINT) AS {alias}",
+            numeric_int=True,
+        )
+    digits = 4
+    # price-magnitude sums quantize coarser (summation-order drift)
+    base_cols = {c.name for c in t.cols if c.sumq == 2}
+    if any(n in arg.sql for n in base_cols):
+        digits = 2
+    if kind == "sum" and arg.typ == "i":
+        return AggEx(
+            alias,
+            F.coalesce(F.sum(arg.sp), F.lit(0)).cast("bigint").alias(alias),
+            f"CAST(coalesce(sum({arg.sql}), 0) AS BIGINT) AS {alias}",
+            numeric_int=True,
+        )
+    fn = "sum" if kind == "sum" else "avg"
+    spf = F.sum(arg.sp) if kind == "sum" else F.avg(arg.sp)
+    scale = 10**digits
+    return AggEx(
+        alias,
+        F.coalesce(
+            F.floor(spf * scale + F.lit(0.5)) / scale, F.lit(0.0)
+        ).alias(alias),
+        f"coalesce(floor(({fn}({arg.sql})) * {scale} + 0.5) / {scale}, 0.0)"
+        f" AS {alias}",
+    )
+
+
+# ---------------------------------------------------------------------------
+# query specs (shrinkable) + renderers
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class FilterSpec:
+    table: str
+    derived: list[tuple[str, Ex]]
+    pred: Ex | None
+    out: list[str]  # base column names
+    order_limit: tuple[list[str], int] | None
+
+
+@dataclass
+class AggSpec:
+    table: str
+    pred: Ex | None
+    keys: list[tuple[str, Ex]]  # (alias, expr)
+    aggs: list[AggEx]
+    having: tuple[str, str, float] | None  # (alias, op, lit)
+
+
+@dataclass
+class JoinSpec:
+    left: str
+    right: str
+    lkey: str
+    rkey: str
+    how: str  # inner / left / semi / anti
+    lpred: Ex | None
+    rpred: Ex | None
+    group: str | None  # group col (left side)
+    aggs: list[AggEx]
+
+
+@dataclass
+class WindowSpec:
+    table: str
+    pred: Ex | None
+    part: str
+    order: list[tuple[str, bool]]  # (col, asc) — unique key appended
+    funcs: list[tuple[str, str, str | None, int | None]]
+    # (alias, kind, argcol, frame_k)
+
+
+@dataclass
+class Case:
+    seed: int
+    kind: str
+    spec: object
+
+
+def gen_case(seed: int) -> Case:
+    rng = random.Random(seed)
+    kind = rng.choice(["filter", "agg", "agg", "join", "window"])
+    if kind == "filter":
+        t = CATALOG[rng.choice(list(CATALOG))]
+        derived = [
+            (f"d{i}", gen_scalar(rng, t, depth=2))
+            for i in range(rng.randint(0, 2))
+        ]
+        pred = gen_pred(rng, t, depth=2) if rng.random() < 0.9 else None
+        out = rng.sample(
+            [c.name for c in t.cols], rng.randint(1, min(4, len(t.cols)))
+        )
+        order_limit = None
+        if rng.random() < 0.35 and t.unique:
+            keys = rng.sample(out, min(len(out), rng.randint(1, 2)))
+            for u in t.unique:
+                if u not in keys:
+                    keys.append(u)
+                if u not in out:
+                    out.append(u)
+            order_limit = (keys, rng.choice([5, 20, 100]))
+        spec = FilterSpec(t.name, derived, pred, out, order_limit)
+    elif kind == "agg":
+        t = CATALOG[rng.choice(list(CATALOG))]
+        pred = gen_pred(rng, t, depth=2) if rng.random() < 0.7 else None
+        keys = []
+        for i in range(rng.randint(0, 2)):
+            if rng.random() < 0.6:
+                c = t.col(rng.choice(t.lowcard))
+                keys.append((f"k{i}", col_ex(c)))
+            else:
+                keys.append((f"k{i}", gen_scalar(rng, t, depth=1)))
+        aggs = [
+            gen_agg(rng, t, f"a{i}") for i in range(rng.randint(1, 4))
+        ]
+        having = None
+        int_aggs = [a.alias for a in aggs if a.numeric_int]
+        if keys and int_aggs and rng.random() < 0.3:
+            having = (
+                rng.choice(int_aggs),
+                rng.choice([">", ">=", "<"]),
+                rng.choice([1, 3, 10]),
+            )
+        spec = AggSpec(t.name, pred, keys, aggs, having)
+    elif kind == "join":
+        left, right, lkey, rkey = JOINS[rng.randrange(len(JOINS))]
+        lt, rt = CATALOG[left], CATALOG[right]
+        how = rng.choice(["inner", "inner", "left", "semi", "anti"])
+        lpred = gen_pred(rng, lt, depth=1) if rng.random() < 0.7 else None
+        rpred = gen_pred(rng, rt, depth=1) if rng.random() < 0.7 else None
+        group = rng.choice(lt.lowcard) if rng.random() < 0.6 else None
+        # aggregates draw from the LEFT table only (semi/anti expose
+        # no right columns; keeping one arm simple keeps it correct)
+        aggs = [gen_agg(rng, lt, f"a{i}") for i in range(rng.randint(1, 3))]
+        spec = JoinSpec(left, right, lkey, rkey, how, lpred, rpred, group, aggs)
+    else:
+        # window shapes need a TOTAL order: unique-keyed tables only
+        t = CATALOG[rng.choice(["events", "orders", "documents"])]
+        pred = gen_pred(rng, t, depth=1) if rng.random() < 0.6 else None
+        part = rng.choice(t.lowcard)
+        oc = rng.choice([c.name for c in t.cols if c.typ in "ift"])
+        order = [(oc, rng.random() < 0.7)]
+        for u in t.unique:
+            if u != oc:
+                order.append((u, True))
+        funcs = []
+        numerics = [c.name for c in t.cols if c.typ in "if"]
+        for i in range(rng.randint(1, 3)):
+            k = rng.choice(
+                ["row_number", "rank", "dense_rank", "lag", "lead",
+                 "cumsum", "rows_min"]
+            )
+            arg = rng.choice(numerics) if k not in (
+                "row_number", "rank", "dense_rank"
+            ) else None
+            frame_k = rng.choice([1, 3, 10]) if k == "rows_min" else None
+            funcs.append((f"w{i}", k, arg, frame_k))
+        spec = WindowSpec(t.name, pred, part, order, funcs)
+    return Case(seed, kind, spec)
+
+
+# --- renderers -------------------------------------------------------------
+
+
+def _base_df(spark, sf_dir: str, table: str) -> DataFrame:
+    from skyhookdb_ceph_spark.catalog import Catalog
+
+    return getattr(Catalog(spark, sf_dir), table)
+
+
+def render(case: Case, spark, sf_dir: str) -> tuple[DataFrame, str]:
+    s = case.spec
+    if case.kind == "filter":
+        t = CATALOG[s.table]
+        df = _base_df(spark, sf_dir, s.table)
+        sel_sql = list(dict.fromkeys(s.out))
+        df_cols = [F.col(c) for c in sel_sql]
+        for name, ex in s.derived:
+            df_cols.append(ex.sp.alias(name))
+        proj = df
+        if s.pred is not None:
+            proj = proj.filter(s.pred.sp)
+        proj = proj.select(*df_cols)
+        sql_cols = sel_sql + [
+            f"{ex.sql} AS {name}" for name, ex in s.derived
+        ]
+        sql = f"SELECT {', '.join(sql_cols)} FROM {s.table}"
+        if s.pred is not None:
+            sql += f" WHERE {s.pred.sql}"
+        if s.order_limit:
+            keys, n = s.order_limit
+            proj = proj.orderBy(*[F.col(k).asc() for k in keys]).limit(n)
+            sql += f" ORDER BY {', '.join(keys)} LIMIT {n}"
+        return proj, sql
+    if case.kind == "agg":
+        df = _base_df(spark, sf_dir, s.table)
+        if s.pred is not None:
+            df = df.filter(s.pred.sp)
+        if s.keys:
+            out = df.groupBy(
+                *[ex.sp.alias(a) for a, ex in s.keys]
+            ).agg(*[a.sp for a in s.aggs])
+            key_sql = [f"{ex.sql} AS {a}" for a, ex in s.keys]
+            grp = ", ".join(ex.sql for _, ex in s.keys)
+            sql = (
+                f"SELECT {', '.join(key_sql + [a.sql for a in s.aggs])} "
+                f"FROM {s.table}"
+                + (f" WHERE {s.pred.sql}" if s.pred is not None else "")
+                + f" GROUP BY {grp}"
+            )
+        else:
+            out = df.agg(*[a.sp for a in s.aggs])
+            sql = (
+                f"SELECT {', '.join(a.sql for a in s.aggs)} FROM {s.table}"
+                + (f" WHERE {s.pred.sql}" if s.pred is not None else "")
+            )
+        if s.having:
+            alias, op, lit = s.having
+            out = out.filter(F.expr(f"{alias} {op} {lit}"))
+            sql = f"SELECT * FROM ({sql}) h WHERE {alias} {op} {lit}"
+        return out, sql
+    if case.kind == "join":
+        lt = CATALOG[s.left]
+        ldf = _base_df(spark, sf_dir, s.left)
+        rdf = _base_df(spark, sf_dir, s.right)
+        if s.lpred is not None:
+            ldf = ldf.filter(s.lpred.sp)
+        if s.rpred is not None:
+            rdf = rdf.filter(s.rpred.sp)
+        cond = F.col(s.lkey) == F.col(s.rkey)
+        joined = ldf.join(rdf, cond, s.how)
+        gcols = [s.group] if s.group else []
+        if gcols:
+            out = joined.groupBy(*gcols).agg(*[a.sp for a in s.aggs])
+        else:
+            out = joined.agg(*[a.sp for a in s.aggs])
+        lw = f" WHERE {s.lpred.sql}" if s.lpred is not None else ""
+        rw = f" WHERE {s.rpred.sql}" if s.rpred is not None else ""
+        lsub = f"(SELECT * FROM {s.left}{lw}) L"
+        rsub = f"(SELECT * FROM {s.right}{rw}) R"
+        if s.how in ("semi", "anti"):
+            neg = "NOT " if s.how == "anti" else ""
+            frm = (
+                f"{lsub} WHERE {neg}EXISTS (SELECT 1 FROM {rsub} "
+                f"WHERE R.{s.rkey} = L.{s.lkey})"
+            )
+        else:
+            jt = "JOIN" if s.how == "inner" else "LEFT JOIN"
+            frm = f"{lsub} {jt} {rsub} ON L.{s.lkey} = R.{s.rkey}"
+        cols = gcols + [a.sql for a in s.aggs]
+        sql = f"SELECT {', '.join(cols)} FROM {frm}"
+        if gcols:
+            sql += f" GROUP BY {', '.join(gcols)}"
+        return out, sql
+    # window
+    t = CATALOG[s.table]
+    df = _base_df(spark, sf_dir, s.table)
+    if s.pred is not None:
+        df = df.filter(s.pred.sp)
+    ob = [F.col(c).asc() if asc else F.col(c).desc() for c, asc in s.order]
+    ob_sql = ", ".join(f"{c} {'ASC' if asc else 'DESC'}" for c, asc in s.order)
+    w = Window.partitionBy(s.part).orderBy(*ob)
+    out_cols = [F.col(c) for c in t.unique] + [F.col(s.part)]
+    sql_cols = list(t.unique) + [s.part]
+    for alias, kind, arg, frame_k in s.funcs:
+        if kind in ("row_number", "rank", "dense_rank"):
+            sp = getattr(F, kind)().over(w).cast("bigint")
+            sq = f"CAST({kind}() OVER (PARTITION BY {s.part} ORDER BY {ob_sql}) AS BIGINT)"
+        elif kind in ("lag", "lead"):
+            sp = getattr(F, kind)(F.col(arg), 1).over(w).cast("double")
+            sq = (
+                f"CAST({kind}({arg}, 1) OVER (PARTITION BY {s.part} "
+                f"ORDER BY {ob_sql}) AS DOUBLE)"
+            )
+        elif kind == "cumsum":
+            wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            scale = 10**4
+            sp = F.floor(
+                F.sum(F.col(arg)).over(wf) * scale + F.lit(0.5)
+            ) / scale
+            sq = (
+                f"floor((sum({arg}) OVER (PARTITION BY {s.part} ORDER BY "
+                f"{ob_sql} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))"
+                f" * {scale} + 0.5) / {scale}"
+            )
+        else:  # rows_min
+            wf = w.rowsBetween(-frame_k, Window.currentRow)
+            sp = F.min(F.col(arg)).over(wf).cast("double")
+            sq = (
+                f"CAST(min({arg}) OVER (PARTITION BY {s.part} ORDER BY "
+                f"{ob_sql} ROWS BETWEEN {frame_k} PRECEDING AND CURRENT ROW)"
+                f" AS DOUBLE)"
+            )
+        out_cols.append(sp.alias(alias))
+        sql_cols.append(f"{sq} AS {alias}")
+    out = df.select(*out_cols)
+    sql = f"SELECT {', '.join(sql_cols)} FROM {s.table}"
+    if s.pred is not None:
+        sql += f" WHERE {s.pred.sql}"
+    return out, sql
+
+
+# ---------------------------------------------------------------------------
+# runner + shrinker
+# ---------------------------------------------------------------------------
+
+
+def compare(case: Case, spark, con, sf_dir: str) -> str | None:
+    """None if Spark and DuckDB agree; else a problem description."""
+    from tools.verify_local import canon_df
+
+    try:
+        df, sql = render(case, spark, sf_dir)
+    except Exception as exc:  # noqa: BLE001
+        return f"render raised {type(exc).__name__}: {exc}"
+    try:
+        sdf = df.toPandas()
+    except Exception as exc:  # noqa: BLE001
+        return f"spark raised {type(exc).__name__}: {exc}"
+    try:
+        odf = con.execute(sql).fetchdf()
+    except Exception as exc:  # noqa: BLE001
+        return f"duckdb raised {type(exc).__name__}: {exc}"
+    s_cols, _s_kinds, s_rows = canon_df(sdf)
+    o_cols, _o_kinds, o_rows = canon_df(odf)
+    if s_cols != o_cols:
+        return f"cols spark={s_cols} duckdb={o_cols}"
+    if len(s_rows) != len(o_rows):
+        return f"rowcount spark={len(s_rows)} duckdb={len(o_rows)}"
+    if s_rows != o_rows:
+        i = next(i for i, (a, b) in enumerate(zip(s_rows, o_rows)) if a != b)
+        return f"values differ at sorted row {i}: spark={s_rows[i]} duckdb={o_rows[i]}"
+    return None
+
+
+def _reductions(case: Case):
+    """Query-level shrink candidates (drop one optional part)."""
+    s = case.spec
+    outs = []
+    if case.kind == "filter":
+        if s.pred is not None:
+            outs.append(replace(s, pred=None))
+        if s.order_limit:
+            outs.append(replace(s, order_limit=None))
+        for i in range(len(s.derived)):
+            outs.append(
+                replace(s, derived=s.derived[:i] + s.derived[i + 1 :])
+            )
+        if len(s.out) > 1:
+            for i in range(len(s.out)):
+                outs.append(replace(s, out=s.out[:i] + s.out[i + 1 :]))
+    elif case.kind == "agg":
+        if s.pred is not None:
+            outs.append(replace(s, pred=None))
+        if s.having:
+            outs.append(replace(s, having=None))
+        for i in range(len(s.keys)):
+            outs.append(replace(s, keys=s.keys[:i] + s.keys[i + 1 :]))
+        if len(s.aggs) > 1:
+            for i in range(len(s.aggs)):
+                if s.having and s.aggs[i].alias == s.having[0]:
+                    continue
+                outs.append(replace(s, aggs=s.aggs[:i] + s.aggs[i + 1 :]))
+    elif case.kind == "join":
+        if s.lpred is not None:
+            outs.append(replace(s, lpred=None))
+        if s.rpred is not None:
+            outs.append(replace(s, rpred=None))
+        if s.group:
+            outs.append(replace(s, group=None))
+        if len(s.aggs) > 1:
+            for i in range(len(s.aggs)):
+                outs.append(replace(s, aggs=s.aggs[:i] + s.aggs[i + 1 :]))
+    else:
+        if s.pred is not None:
+            outs.append(replace(s, pred=None))
+        if len(s.funcs) > 1:
+            for i in range(len(s.funcs)):
+                outs.append(replace(s, funcs=s.funcs[:i] + s.funcs[i + 1 :]))
+    return [Case(case.seed, case.kind, o) for o in outs]
+
+
+def shrink(case: Case, spark, con, sf_dir: str, problem: str) -> Case:
+    """Greedy reduction: keep applying any single drop that still
+    reproduces A divergence (not necessarily the same string)."""
+    cur = case
+    changed = True
+    while changed:
+        changed = False
+        for cand in _reductions(cur):
+            if compare(cand, spark, con, sf_dir) is not None:
+                cur = cand
+                changed = True
+                break
+    return cur
+
+
+def run(
+    n: int = 500,
+    seed0: int = 0,
+    sf_dir: str = "/root/testdata/sf0.001",
+    stop_on_fail: bool = False,
+    spark=None,
+    progress_every: int = 100,
+) -> list[tuple[int, str]]:
+    """Run n seeded cases; returns [(seed, problem)] for divergences."""
+    import duckdb
+
+    from skyhookdb_ceph_spark.catalog import TABLES
+    from skyhookdb_ceph_spark.session import get_spark
+
+    if spark is None:
+        spark = get_spark(app_name="fuzz_differential", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    failures = []
+    for seed in range(seed0, seed0 + n):
+        case = gen_case(seed)
+        problem = compare(case, spark, con, sf_dir)
+        if problem is not None:
+            small = shrink(case, spark, con, sf_dir, problem)
+            sproblem = compare(small, spark, con, sf_dir)
+            _df, ssql = (None, "<render failed>")
+            try:
+                _df, ssql = render(small, spark, sf_dir)
+            except Exception:  # noqa: BLE001
+                pass
+            out_dir = Path(__file__).parent / "fuzz_failures"
+            out_dir.mkdir(exist_ok=True)
+            repro = {
+                "seed": seed,
+                "kind": case.kind,
+                "problem": problem,
+                "shrunk_problem": sproblem,
+                "shrunk_sql": ssql,
+            }
+            (out_dir / f"seed_{seed}.json").write_text(
+                json.dumps(repro, indent=2)
+            )
+            print(f"DIVERGE seed={seed} [{case.kind}] {problem}")
+            print(f"  shrunk: {sproblem}\n  sql: {ssql}")
+            failures.append((seed, problem))
+            if stop_on_fail:
+                break
+        elif progress_every and (seed - seed0 + 1) % progress_every == 0:
+            print(f"... {seed - seed0 + 1}/{n} green")
+    return failures
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    n, seed0, sf_dir, stop = 500, 0, "/root/testdata/sf0.001", False
+    it = iter(args)
+    for a in it:
+        if a == "--n":
+            n = int(next(it))
+        elif a == "--seed0":
+            seed0 = int(next(it))
+        elif a == "--sf":
+            sf_dir = next(it)
+        elif a == "--stop-on-fail":
+            stop = True
+    failures = run(n, seed0, sf_dir, stop)
+    print(f"\n{n - len(failures)}/{n} agree")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
