@@ -134,6 +134,53 @@ def build_gate(
     return gate
 
 
+def box_state() -> dict:
+    """Co-tenancy self-audit at gate start (r10 verdict item 7 —
+    §K.1 showed an overlapping pytest run silently 7×'d a headline
+    scan).  Two independent signals: /proc/loadavg (what ELSE the box
+    is running) and a short single-thread busy-spin calibration (how
+    fast THIS process actually executes right now — contention shows
+    up as a lower rate even when loadavg lags)."""
+    try:
+        with open("/proc/loadavg") as f:
+            load = [float(x) for x in f.read().split()[:3]]
+    except OSError:
+        load = [-1.0, -1.0, -1.0]
+    t_end = time.perf_counter() + 0.5
+    ops = 0
+    x = 1.0001
+    while time.perf_counter() < t_end:
+        for _ in range(10000):
+            x = (x * 1.0000001) % 2.0
+        ops += 10000
+    return {
+        "loadavg": load,
+        "ncpu": os.cpu_count() or 1,
+        "spin_mops": round(ops / 0.5 / 1e6, 2),
+    }
+
+
+def certify_gate(box: dict) -> tuple[bool, str | None]:
+    """Refusal rule (documented in BASELINE.md §L.3): a headline gate
+    run is certified only when the 1-minute loadavg is below a quarter
+    of the cores (floor 2.0) at bench start.  Above that, the record
+    still ships — the driver needs its JSON — but carries
+    gate_certified=false so nobody re-baselines on a co-tenant-noised
+    number (the §K.1 failure mode)."""
+    limit = max(2.0, 0.25 * box["ncpu"])
+    load1 = box["loadavg"][0]
+    if load1 < 0:
+        return True, None  # no /proc — nothing to refuse on
+    if load1 > limit:
+        return (
+            False,
+            f"loadavg1={load1} > {limit:.1f} (0.25*ncpu): co-tenant "
+            "load at gate start; rerun on a quiet box before "
+            "comparing headline numbers (BASELINE.md §K.1/§L.3)",
+        )
+    return True, None
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf_name = os.path.basename(sf_dir.rstrip("/"))
@@ -141,6 +188,9 @@ def main() -> int:
         sf = float(sf_name.replace("sf", ""))
     except ValueError:
         sf = None
+
+    box = box_state()
+    certified, refusal = certify_gate(box)
 
     t0 = time.perf_counter()
     # Small-data profile: AQE's per-stage materialization + re-planning
@@ -263,6 +313,8 @@ def main() -> int:
         "aqe_off": True,  # bench profile; correctness gate runs AQE-on
         "global_windows_all": win_global,  # incl. allowlisted (audit)
         "headline_samples": headline_samples,  # sorted; median gated
+        "box_state": box,
+        "gate_certified": certified,
     }
     if errors:
         full_record["errors"] = errors
@@ -301,6 +353,12 @@ def main() -> int:
         "gate": build_gate(headline_times, headline_samples, floor),
         "gate_stat": "median_of_3",
         "gate_floor_self_measured": True,
+        # co-tenancy self-audit: loadavg + busy-spin calibration at
+        # gate start; certified=false means the headline numbers are
+        # NOT comparable across rounds (box was loaded — §K.1)
+        "box_state": box,
+        "gate_certified": certified,
+        **({"gate_refusal_reason": refusal} if refusal else {}),
         "sf": sf,
         "startup_sec": round(startup, 2),
         "floor_sec": round(floor, 4),

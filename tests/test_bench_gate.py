@@ -115,3 +115,20 @@ def test_window_allowlist_matches_audited_registry(spark):
         sorted(found - bench.WINDOW_ALLOWLIST),
         sorted(bench.WINDOW_ALLOWLIST - found),
     )
+
+
+def test_box_state_and_certification_rule():
+    """The co-tenancy refusal rule (BASELINE.md §L.3): loaded box ->
+    uncertified record; quiet box -> certified, no reason."""
+    from bench import box_state, certify_gate
+
+    b = box_state()
+    assert b["ncpu"] >= 1 and b["spin_mops"] > 0
+    assert len(b["loadavg"]) == 3
+    ok, reason = certify_gate({"loadavg": [1.0, 0, 0], "ncpu": 32})
+    assert ok and reason is None
+    bad, why = certify_gate({"loadavg": [20.0, 0, 0], "ncpu": 32})
+    assert not bad and "loadavg1" in why
+    # no /proc -> nothing to refuse on
+    ok2, _ = certify_gate({"loadavg": [-1.0, -1.0, -1.0], "ncpu": 32})
+    assert ok2
