@@ -70,7 +70,14 @@ def _normalize_schema(schema):
 
 
 class RowGroupPartition(InputPartition):
-    def __init__(self, path: str, row_group: int, filters: list[Filter]):
+    def __init__(
+        self,
+        path: str,
+        row_group: int,
+        filters: list[Filter],
+        lo: int | None = None,
+        hi: int | None = None,
+    ):
         self.path = path
         self.row_group = row_group
         # the predicate vector ships WITH the partition (the query_op
@@ -79,6 +86,14 @@ class RowGroupPartition(InputPartition):
         # is skipped entirely on filterless plans) is prevented by the
         # fresh-relation contract in read_skyhook().
         self.filters = filters
+        # optional ROW SLICE within the group (min_splits mode): Spark's
+        # scan-parallelism unit is the row group, so a file with fewer
+        # groups than cores serializes all downstream per-row work —
+        # slicing trades tiny redundant footer/decode IO for parallel
+        # compute.  None = whole group (the at-scale path: a 100 TB
+        # table has orders more groups than cores and never slices).
+        self.lo = lo
+        self.hi = hi
 
 
 def _to_arrow_expr(f: Filter):
@@ -141,7 +156,7 @@ def _stats_can_match(f: Filter, stats) -> bool:
 
 
 class SkyhookReader(DataSourceReader):
-    def __init__(self, path: str, pushdown: bool = True):
+    def __init__(self, path: str, pushdown: bool = True, min_splits: int = 1):
         self.path = path
         # the reference exposes pushdown as a PER-QUERY flag
         # (--use-cls on/off [U: run-query.cc]); so do we — an A/B knob,
@@ -149,6 +164,11 @@ class SkyhookReader(DataSourceReader):
         # spark.sql.python.filterPushdown.enabled does NOT reach the
         # planning worker — verified empirically.)
         self.pushdown = pushdown
+        # minimum scan partitions: when the file has fewer row groups
+        # than this, groups are sliced into row ranges so CPU-heavy
+        # downstream work (JSON parse, UDFs) parallelizes without a
+        # shuffle (BASELINE.md §L.4 — the q_fn_map_json lever)
+        self.min_splits = max(1, min_splits)
         self.accepted: list[Filter] = []
 
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
@@ -191,6 +211,26 @@ class SkyhookReader(DataSourceReader):
                         break
             if keep:
                 parts.append(RowGroupPartition(self.path, rg, accepted))
+        if parts and len(parts) < self.min_splits:
+            # slice surviving groups into row ranges (post-prune, so a
+            # stats-skipped group is never resurrected); each slice
+            # re-decodes its group but parallelizes per-row compute
+            per = -(-self.min_splits // len(parts))
+            sliced = []
+            for p in parts:
+                n = md.row_group(p.row_group).num_rows
+                step = -(-n // per)
+                for lo in range(0, n, step):
+                    sliced.append(
+                        RowGroupPartition(
+                            p.path,
+                            p.row_group,
+                            p.filters,
+                            lo,
+                            min(lo + step, n),
+                        )
+                    )
+            parts = sliced
         LAST_PLAN_STATS.update(
             total=md.num_row_groups,
             planned=len(parts),
@@ -215,6 +255,8 @@ class SkyhookReader(DataSourceReader):
         import pyarrow.parquet as pq
 
         table = pq.ParquetFile(partition.path).read_row_group(partition.row_group)
+        if partition.lo is not None:
+            table = table.slice(partition.lo, partition.hi - partition.lo)
         expr = None
         for f in partition.filters:
             e = _to_arrow_expr(f)
@@ -252,6 +294,7 @@ class SkyhookDataSource(DataSource):
         return SkyhookReader(
             self.options["path"],
             pushdown=self.options.get("pushdown", "true").lower() == "true",
+            min_splits=int(self.options.get("min_splits", "1")),
         )
 
     def streamReader(self, schema) -> "SkyhookStreamReader":

@@ -261,3 +261,48 @@ def test_stream_reader_targets_only_overlapping_row_groups(tmp_path):
     # 100/7 chunks are ~14-15 rows: no slice may have decoded all 10
     # groups (that would be the old whole-object read).
     assert all(len(g) <= 3 for g in seen_groups)
+
+
+def test_min_splits_slices_single_row_group(spark, sf_small):
+    """min_splits mode (BASELINE.md §L.4): a single-row-group file
+    must plan as N row-slice partitions — parallel downstream per-row
+    compute with no shuffle — and return EXACTLY the rows of the
+    plain read (slicing must never duplicate or drop)."""
+    import skyhookdb_ceph_spark.sources.skyhook_source as src
+
+    src.register(spark)
+    path = f"{sf_small}/documents.parquet"
+    plain = (
+        spark.read.format("skyhook").option("path", path).load()
+    )
+    sliced = (
+        spark.read.format("skyhook")
+        .option("path", path)
+        .option("min_splits", "8")
+        .load()
+    )
+    assert sliced.rdd.getNumPartitions() >= 8 > plain.rdd.getNumPartitions()
+    a = sorted(map(tuple, plain.select("doc_id", "n_chars").collect()))
+    b = sorted(map(tuple, sliced.select("doc_id", "n_chars").collect()))
+    assert a == b and len(a) > 0
+
+
+def test_min_splits_slices_after_pruning(spark, sf_small):
+    """Slicing happens AFTER row-group stats pruning — a pushed filter
+    must still prune, and the sliced scan must agree with the plain
+    filtered read."""
+    import skyhookdb_ceph_spark.sources.skyhook_source as src
+
+    src.register(spark)
+    path = f"{sf_small}/documents.parquet"
+    sliced = (
+        spark.read.format("skyhook")
+        .option("path", path)
+        .option("min_splits", "6")
+        .load()
+        .filter("n_chars >= 300")
+    )
+    plain = spark.read.parquet(path).filter("n_chars >= 300")
+    a = sorted(map(tuple, plain.select("doc_id").collect()))
+    b = sorted(map(tuple, sliced.select("doc_id").collect()))
+    assert a == b and len(a) > 0
