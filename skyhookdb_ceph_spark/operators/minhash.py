@@ -22,7 +22,16 @@ from pyspark.sql import DataFrame
 from skyhookdb_ceph_spark.operators import ensure_parallelism
 
 K_SHINGLE = 3  # words per shingle
-N_BANDS = 8  # bands = independent min-hash functions
+N_BANDS = 8  # LSH bands (candidate = collision in ANY band)
+# Min-hash ROWS per band: a band collides only when ALL r row-minima
+# agree, so P(candidate | Jaccard s) = 1 - (1 - s^r)^b.  r=1 (the
+# round-4..10 shape) thresholds that S-curve at ~(1/b)^(1/1) = 0.125 —
+# at 100× fixture rows the sf10 smoke measured mid-similarity pairs
+# (J≈0.3, correctly REJECTED by the exact verify) flooding the
+# candidate join ~k² until the verify spill exceeded the disk
+# (BASELINE.md §L.1).  r=4, b=8 moves the threshold to ~0.59:
+# recall@J=0.8 = 1-(1-0.41)^8 = 98.5%, candidates@J=0.32 cut 12×.
+N_ROWS = 4
 
 
 def shingle_expr(text_col: str, k: int = K_SHINGLE) -> str:
@@ -89,28 +98,39 @@ def shingle_sets(
 
 
 def band_signatures(sh: DataFrame, n_bands: int = N_BANDS, id_col: str = "doc_id") -> DataFrame:
-    """One min-hash signature per (doc, band).
+    """One BANDED min-hash signature per (doc, band): the
+    concatenation of N_ROWS independent row-minima — two docs collide
+    in a band only when every row agrees (the standard (b, r) LSH
+    construction; see N_ROWS for the S-curve).
 
-    Each shingle is md5-hashed ONCE; band b's hash function is a
-    rotation of that digest (the 16-hex window at offset 4b of
-    digest||digest) — n_bands distinct hash families for the cost of
-    one md5 per shingle (8x fewer digests than hashing per band, the
-    dominant cost of the pipeline).  The min-hash collision argument
-    only needs each band's function to rank shingles uniformly, which
-    the rotated windows do."""
+    Each shingle is md5-hashed ONCE; row (b, j)'s hash function is a
+    rotation of that digest (the 8-hex window at offset b*N_ROWS+j of
+    digest||digest) — b×r distinct hash families for the cost of one
+    md5 per shingle (the dominant cost of the pipeline).  The min-hash
+    collision argument only needs each row's function to rank shingles
+    uniformly, which the rotated windows do (adjacent windows differ
+    in their leading character, which decides almost every
+    comparison)."""
     # Explode the shingle set once, hash each shingle once, and take
-    # the per-band minimum as n_bands grouped MIN aggregates — the
-    # values equal the array_min(transform(...)) form exactly (min
+    # the per-row minimum as n_bands*N_ROWS grouped MIN aggregates —
+    # the values equal the array_min(transform(...)) form exactly (min
     # commutes), but everything stays in whole-stage codegen instead
-    # of n_bands x n_shingles interpreted lambdas per document.
+    # of interpreted lambdas per document.
     from pyspark.sql import functions as F
 
     ex = sh.selectExpr(id_col, "explode(shingles) AS s").selectExpr(
         id_col, "md5(s) AS h"
     )
     aggs = [
-        F.min(
-            F.expr(f"substring(concat(h, h), {b * 4 + 1}, 16)")
+        F.concat(
+            *[
+                F.min(
+                    F.expr(
+                        f"substring(concat(h, h), {b * N_ROWS + j + 1}, 8)"
+                    )
+                )
+                for j in range(N_ROWS)
+            ]
         ).alias(f"b{b}")
         for b in range(n_bands)
     ]
@@ -158,8 +178,21 @@ def jaccard_pairs(
     cand = candidate_pairs(band_signatures(sh, n_bands, id_col), id_col)
     x = sh.selectExpr(f"{id_col} AS da", "shingles AS sx")
     y = sh.selectExpr(f"{id_col} AS db", "shingles AS sy")
+    # merge hints: the verify joins must NEVER broadcast the
+    # shingle-set side — it is corpus-sized, and Catalyst's size
+    # estimate for the derived subtree undershoots so badly that at
+    # 100× fixture rows it picked BroadcastHashJoin and the driver
+    # OOMed ("Not enough memory to build and broadcast", round 11,
+    # BASELINE.md §L.1).  SortMergeJoin over shuffle_hash: the SHJ
+    # hash build of the candidate side ALSO died at sf10 ("Can't
+    # acquire ... bytes to build hash relation" — 32 concurrent
+    # builds sharing one local heap), while SMJ sorts both sides and
+    # SPILLS — the only strategy whose memory is bounded regardless
+    # of candidate skew.
     return (
-        cand.join(x, "da")
+        cand.hint("merge")
+        .join(x, "da")
+        .hint("merge")
         .join(y, "db")
         .selectExpr(
             "da AS doc_a",

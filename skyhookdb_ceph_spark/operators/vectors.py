@@ -210,8 +210,16 @@ def bucketed_pairs(emb: DataFrame, id_col: str = "vec_id") -> DataFrame:
     )
     ea = emb.selectExpr(f"{id_col} AS ida", "embedding AS ea")
     eb = emb.selectExpr(f"{id_col} AS idb", "embedding AS eb")
+    # merge hints: never broadcast the embedding side of the re-join
+    # — it is corpus-sized (the same Catalyst under-estimate that
+    # OOMed the MinHash verify join at 100× fixture rows), and the
+    # shuffle_hash build of the candidate side also exhausted the
+    # shared local heap at sf10; SortMergeJoin spills instead of
+    # dying (BASELINE.md §L.1)
     return (
-        cand.join(ea, cand.va == ea.ida)
+        cand.hint("merge")
+        .join(ea, cand.va == ea.ida)
+        .hint("merge")
         .join(eb, cand.vb == eb.idb)
         .select("va", "vb", "ea", "eb")
     )

@@ -74,8 +74,15 @@ FUZZY_SIG_CTES = """sh AS (
 hsh AS (
   SELECT doc_id, list_transform(shingles, s -> md5(s)) AS hs FROM sh),
 sig AS (
+  -- banded (b=8, r=4) signature: concat of 4 row-minima per band —
+  -- collision needs ALL rows equal (oracle twin of
+  -- operators/minhash.band_signatures, incl. the same 8-hex rotated
+  -- digest windows)
   SELECT doc_id, b,
-    list_aggregate(list_transform(hs, h -> substr(h || h, b * 4 + 1, 16)), 'min') AS bsig
+    list_aggregate(list_transform(hs, h -> substr(h || h, b * 4 + 1, 8)), 'min')
+    || list_aggregate(list_transform(hs, h -> substr(h || h, b * 4 + 2, 8)), 'min')
+    || list_aggregate(list_transform(hs, h -> substr(h || h, b * 4 + 3, 8)), 'min')
+    || list_aggregate(list_transform(hs, h -> substr(h || h, b * 4 + 4, 8)), 'min') AS bsig
   FROM hsh, unnest(generate_series(0, 7)) t(b))"""
 
 FUZZY_CTES = FUZZY_SIG_CTES + """,

@@ -776,7 +776,29 @@ def q_dedup_incremental(spark, sf_dir):
     # (per-run unique name: concurrent sessions sharing a warehouse
     # must not clobber each other's index mid-read)
     sig_base = minhash.band_signatures(minhash.shingle_sets(base))
-    tbl = write_bucketed_scoped(sig_base, "inc_sig_index", ["bsig"], 8)
+    # bucket count scaled from a MEASURED row probe (the sixth
+    # consumer of the stats machinery): a FIXED 8 buckets serializes
+    # both the index write and the band join onto 8 tasks once the
+    # corpus outgrows them — the sf10 scaling smoke measured the last
+    # decade going superlinear before this (BASELINE.md §L.1).  The
+    # probe counts BASE DOCS (a cheap column-pruned scan), not the
+    # signature frame — probing sig_base would recompute the whole
+    # shingling subtree once just to count it.  Each doc emits
+    # N_BANDS=8 signatures, so 12.5k docs/bucket ≈ 100k sigs/bucket.
+    from skyhookdb_ceph_spark.operators.stats import (
+        measured_shuffle_width,
+    )
+
+    n_buckets = max(
+        8,
+        measured_shuffle_width(
+            base.select("doc_id"), 12_500, max_width=256
+        )
+        or 8,
+    )
+    tbl = write_bucketed_scoped(
+        sig_base, "inc_sig_index", ["bsig"], n_buckets
+    )
     index = spark.table(tbl)
 
     # --- refresh time: delta signatures vs the index
@@ -784,8 +806,14 @@ def q_dedup_incremental(spark, sf_dir):
     sig_delta = minhash.band_signatures(sh_delta)
     sd = sig_delta.selectExpr("doc_id AS dd", "b", "bsig")
     si = index.selectExpr("doc_id AS db", "b AS b2", "bsig AS bsig2")
+    # merge hint: at fixture scale Catalyst would broadcast the delta
+    # signatures, which at 100× rows is a driver OOM (§L.1); the merge
+    # join rides the index's bucketBy(bsig) layout exchange-free on
+    # the index side while the delta side shuffles O(delta)
     cand = (
-        sd.join(si, (sd.b == si.b2) & (sd.bsig == si.bsig2))
+        sd.join(
+            si.hint("merge"), (sd.b == si.b2) & (sd.bsig == si.bsig2)
+        )
         .select("dd", "db")
         .distinct()
     )
@@ -799,8 +827,14 @@ def q_dedup_incremental(spark, sf_dir):
     sh_base_cand = minhash.shingle_sets(base_cand)
     x = sh_delta.selectExpr("doc_id AS dd", "shingles AS sx")
     y = sh_base_cand.selectExpr("doc_id AS db", "shingles AS sy")
+    # merge: never broadcast a shingle-set side (delta shingles are
+    # O(delta) but a 100 TB day's delta still dwarfs driver memory),
+    # and SMJ spills where a shuffle_hash build would exhaust the
+    # heap (same fix as operators/minhash.jaccard_pairs, §L.1)
     ver = (
-        cand.join(x, "dd")
+        cand.hint("merge")
+        .join(x, "dd")
+        .hint("merge")
         .join(y, "db")
         .selectExpr(
             "dd",
@@ -1217,8 +1251,17 @@ def q_graph_triangles(spark, sf_dir):
             "n_edges",
             "n_wedges",
             "n_triangles",
+            # NULL when the graph has no wedges (found by the sf10
+            # scaling smoke: at 100× event density EVERY bucket
+            # exceeds the fanout cap, the capped graph goes empty, and
+            # an unguarded ratio raises DIVIDE_BY_ZERO under ANSI —
+            # matches DuckDB, where x/0 is NULL)
             quantize(
-                F.col("n_triangles") / F.col("n_wedges"), 6
+                F.when(
+                    F.col("n_wedges") > 0,
+                    F.col("n_triangles") / F.col("n_wedges"),
+                ),
+                6,
             ).alias("closure_ratio"),
         )
     )

@@ -871,8 +871,12 @@ WITH sh AS (
 hsh AS (
   SELECT doc_id, list_transform(shingles, s -> md5(s)) AS hs FROM sh),
 sig AS (
+  -- banded (b=8, r=4) signature, oracle twin of band_signatures
   SELECT doc_id, b,
-    list_aggregate(list_transform(hs, h -> substr(h || h, b * 4 + 1, 16)), 'min') AS bsig
+    list_aggregate(list_transform(hs, h -> substr(h || h, b * 4 + 1, 8)), 'min')
+    || list_aggregate(list_transform(hs, h -> substr(h || h, b * 4 + 2, 8)), 'min')
+    || list_aggregate(list_transform(hs, h -> substr(h || h, b * 4 + 3, 8)), 'min')
+    || list_aggregate(list_transform(hs, h -> substr(h || h, b * 4 + 4, 8)), 'min') AS bsig
   FROM hsh, unnest(generate_series(0, 7)) t(b)),
 buckets AS (
   SELECT b, bsig, CAST(count(*) AS BIGINT) AS bucket_size
