@@ -111,6 +111,20 @@ def band_signatures(sh: DataFrame, n_bands: int = N_BANDS, id_col: str = "doc_id
     uniformly, which the rotated windows do (adjacent windows differ
     in their leading character, which decides almost every
     comparison)."""
+    g = band_minima_wide(sh, n_bands, id_col)
+    stack = ", ".join(f"{b}, b{b}" for b in range(n_bands))
+    return g.selectExpr(
+        id_col, f"stack({n_bands}, {stack}) AS (b, bsig)"
+    )
+
+
+def band_minima_wide(
+    sh: DataFrame, n_bands: int = N_BANDS, id_col: str = "doc_id"
+) -> DataFrame:
+    """Wide form of band_signatures: one row per doc with columns
+    b0..b{n_bands-1}.  Used stacked for the LSH bucket join and wide by
+    the recall audit (the per-pair catch flag is an OR over the band
+    columns — pure codegen, no extra shuffle)."""
     # Explode the shingle set once, hash each shingle once, and take
     # the per-row minimum as n_bands*N_ROWS grouped MIN aggregates —
     # the values equal the array_min(transform(...)) form exactly (min
@@ -134,11 +148,7 @@ def band_signatures(sh: DataFrame, n_bands: int = N_BANDS, id_col: str = "doc_id
         ).alias(f"b{b}")
         for b in range(n_bands)
     ]
-    g = ex.groupBy(id_col).agg(*aggs)
-    stack = ", ".join(f"{b}, b{b}" for b in range(n_bands))
-    return g.selectExpr(
-        id_col, f"stack({n_bands}, {stack}) AS (b, bsig)"
-    )
+    return ex.groupBy(id_col).agg(*aggs)
 
 
 def candidate_pairs(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -204,4 +214,111 @@ def jaccard_pairs(
             "/ size(array_distinct(concat(sx, sy)))) * 1000000 + 0.5) / 1000000 AS jac",
         )
         .filter(f"jac >= {threshold}")
+    )
+
+
+def recall_curve(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    audit_docs: int = 5000,
+) -> DataFrame:
+    """MEASURED recall of the production (b=8, r=4) banded LSH, per
+    exact-Jaccard band — the audit every dedup stack owes its users
+    after changing detector parameters (this repo changed r=1 -> r=4 in
+    round 11; the 98.5%-recall@J=0.8 claim was analytic until now).
+
+    Ground truth cannot be all-pairs at scale, so it is what production
+    recall audits use: a PERMISSIVE reference detector — r=1 bands from
+    an INDEPENDENT hash family (salted md5), S-curve threshold ~1/b =
+    0.125 — over a deterministic, corpus-scaled doc sample (doc_id %
+    max(1, n//audit_docs) == 0, ~audit_docs docs at any corpus size;
+    the whole fixture at fixture scale).  Exact Jaccard is computed on
+    the reference candidates only; `caught` = the production bands
+    collide (an OR over the 8 wide signature columns, no second LSH
+    join).  Low-J bands measure the S-curve floor (recall ~ 0), the
+    J>=0.8 bands the operating point (recall ~ 1).
+
+    Columns: j_band (floor(jac*10)/10), truth_pairs, caught_pairs,
+    recall.  100 TB: sample is O(audit_docs) regardless of corpus; the
+    only joins are the reference band equi-join and doc-keyed feature
+    lookups; never all-pairs.
+    """
+    from pyspark import StorageLevel
+    from pyspark.sql import functions as F
+
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs_audit"))
+    sample = (
+        docs.crossJoin(F.broadcast(n_docs))
+        .filter(
+            f"{id_col} % greatest(1, CAST(floor(n_docs_audit / {audit_docs}.0) "
+            "AS BIGINT)) = 0"
+        )
+        .drop("n_docs_audit")
+    )
+    sh = shingle_sets(sample, text_col, id_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    # reference detector: r=1, b=8 minima of an independent salted
+    # family — candidates down to J ~ 0.05 by the 1-(1-J)^8 curve, so
+    # the audit sees the S-curve's floor as well as its shoulder
+    rex = sh.selectExpr(id_col, "explode(shingles) AS s").selectExpr(
+        id_col, "md5(concat('r1|', s)) AS h"
+    )
+    rsig = rex.groupBy(id_col).agg(
+        *[
+            F.min(F.expr(f"substring(concat(h, h), {b * 4 + 1}, 8)")).alias(
+                f"r{b}"
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    stack = ", ".join(f"{b}, r{b}" for b in range(N_BANDS))
+    rlong = rsig.selectExpr(
+        id_col, f"stack({N_BANDS}, {stack}) AS (b, bsig)"
+    )
+    cand = candidate_pairs(rlong, id_col)
+    # per-doc features for the verify side: shingle set (exact J) +
+    # the 8 production band signatures (catch flag) — joined ONCE per
+    # pair side; merge hints for the same reason as jaccard_pairs
+    feat = sh.join(band_minima_wide(sh, N_BANDS, id_col), id_col)
+    x = feat.selectExpr(
+        f"{id_col} AS da",
+        "shingles AS sx",
+        *[f"b{b} AS ab{b}" for b in range(N_BANDS)],
+    )
+    y = feat.selectExpr(
+        f"{id_col} AS db",
+        "shingles AS sy",
+        *[f"b{b} AS cb{b}" for b in range(N_BANDS)],
+    )
+    caught = " OR ".join(f"ab{b} = cb{b}" for b in range(N_BANDS))
+    pairs = (
+        cand.hint("merge")
+        .join(x, "da")
+        .hint("merge")
+        .join(y, "db")
+        .selectExpr(
+            "floor((cast(size(array_intersect(sx, sy)) AS double) "
+            "/ size(array_distinct(concat(sx, sy)))) * 1000000 + 0.5) "
+            "/ 1000000 AS jac",
+            f"CASE WHEN {caught} THEN 1 ELSE 0 END AS caught",
+        )
+    )
+    return (
+        pairs.groupBy(F.expr("floor(jac * 10) / 10").alias("j_band"))
+        .agg(
+            F.count(F.lit(1)).alias("truth_pairs"),
+            F.sum("caught").alias("caught_pairs"),
+        )
+        .selectExpr(
+            "j_band",
+            "truth_pairs",
+            "caught_pairs",
+            # cast: a bare 1.0 literal parses as DECIMAL in Spark SQL
+            # (object dtype in pandas) — double division like the oracle
+            "floor(cast(caught_pairs AS double) / truth_pairs * 1000000 "
+            "+ 0.5) / 1000000 AS recall",
+        )
+        .orderBy("j_band")
     )

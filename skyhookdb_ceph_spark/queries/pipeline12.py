@@ -274,3 +274,217 @@ def q_scan_shared(spark, sf_dir):
             6,
         ).alias("avg_chars"),
     ).orderBy("filter")
+
+
+# ---------------------------------------------------------------------------
+# §2.22.4 exact-substring span dedup (the Lee et al. 2022 preprocessing)
+# ---------------------------------------------------------------------------
+
+_SS_K = 32  # duplicated-substring window, chars (the "50 token" knob)
+
+
+def _substring_oracle() -> str:
+    k = _SS_K
+    return f"""WITH d AS (
+  SELECT doc_id, text, length(text) AS n FROM documents
+  WHERE text IS NOT NULL AND length(text) >= {k}),
+pos AS (
+  SELECT doc_id, n, i, substr(text, CAST(i AS INT), {k}) AS g
+  FROM d, unnest(generate_series(1, n - {k - 1})) t(i)),
+-- duplicated {k}-gram = any second occurrence anywhere in the corpus
+-- (including the same document: self-repetition is also removable)
+df AS (SELECT g FROM pos GROUP BY g HAVING count(*) > 1),
+dup AS (SELECT p.doc_id, p.n, p.i FROM pos p JOIN df USING (g)),
+-- interval merge via running max of span ends: a new span starts when
+-- this position clears the furthest end seen so far by >1 char
+brk AS (
+  SELECT doc_id, n, i,
+    CASE WHEN i > coalesce(max(i + {k - 1}) OVER (
+      PARTITION BY doc_id ORDER BY i
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+    THEN 1 ELSE 0 END AS b
+  FROM dup),
+grp AS (
+  SELECT doc_id, n, i,
+    sum(b) OVER (PARTITION BY doc_id ORDER BY i) AS gid
+  FROM brk),
+spans AS (
+  SELECT doc_id, any_value(n) AS n, min(i) AS s, max(i) + {k - 1} AS e
+  FROM grp GROUP BY doc_id, gid)
+SELECT doc_id, count(*) AS n_spans,
+  CAST(sum(e - s + 1) AS BIGINT) AS dup_chars,
+  floor(sum(e - s + 1) * 1.0 / any_value(n) * 1000000 + 0.5) / 1000000
+    AS dup_frac
+FROM spans GROUP BY doc_id"""
+
+
+@query(
+    "q_dedup_substring",
+    oracle=_substring_oracle(),
+    tags=("llm", "dedup", "scale-design"),
+)
+def q_dedup_substring(spark, sf_dir):
+    """EXACT-SUBSTRING span dedup — per doc, the maximal character
+    spans covered by any 32-char window that occurs MORE THAN ONCE in
+    the corpus (Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better": remove any 50-token substring appearing
+    twice; their suffix array re-expressed as relational ops).  Catches
+    verbatim boilerplate pasted INSIDE otherwise-unique documents,
+    which whole-doc MinHash resemblance misses and containment only
+    catches when one doc is mostly inside the other.
+
+    Plan: explode stride-1 32-gram positions -> xxhash64 each window
+    (the shuffle carries 8-byte hashes + (doc, pos), never text) ->
+    global df via groupBy (partial aggregation absorbs hot boilerplate
+    grams map-side) -> inner equi-join positions back to the df>1 set
+    -> per-doc interval merge (running-max window over positions, gap
+    > 1 char starts a new span) -> per-doc span census.  Never
+    all-pairs: output is linear in duplicated positions; the window is
+    doc-bounded.  At 100 TB the hot-gram join skew is AQE's skew-join
+    case and each position matches exactly one df row.  Oracle groups
+    by the raw window text where Spark groups by xxhash64 (collision
+    odds ~n^2/2^65 — the q_dedup_exact precedent).
+
+    Output: doc_id, n_spans, dup_chars, dup_frac (dup coverage of the
+    doc, 1e-6-quantized)."""
+    from pyspark.sql import Window
+
+    k = _SS_K
+    d = (
+        Catalog(spark, sf_dir)
+        .documents.filter(f"text IS NOT NULL AND length(text) >= {k}")
+        .selectExpr("doc_id", "text", "length(text) AS n")
+    )
+    pos = d.select(
+        "doc_id",
+        "n",
+        F.expr(f"explode(sequence(1, n - {k - 1}))").alias("i"),
+        F.col("text"),
+    ).select(
+        "doc_id",
+        "n",
+        "i",
+        F.expr(f"xxhash64(substring(text, i, {k}))").alias("g"),
+    )
+    dup_grams = (
+        pos.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter("cnt > 1")
+        .select("g")
+    )
+    dup = pos.join(dup_grams, "g").select("doc_id", "n", "i")
+    w = Window.partitionBy("doc_id").orderBy("i")
+    prev_end = (
+        F.max(F.col("i") + (k - 1))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    )
+    brk = dup.withColumn(
+        "b",
+        F.when(
+            F.col("i") > F.coalesce(prev_end, F.lit(-1)) + 1, 1
+        ).otherwise(0),
+    )
+    grp = brk.withColumn("gid", F.sum("b").over(w))
+    spans = grp.groupBy("doc_id", "gid").agg(
+        F.first("n").alias("n"),
+        F.min("i").alias("s"),
+        (F.max("i") + (k - 1)).alias("e"),
+    )
+    return spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).alias("dup_chars"),
+        quantize(
+            F.sum(F.col("e") - F.col("s") + 1) / F.first("n"), 6
+        ).alias("dup_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.22.5 measured LSH recall curve (auditing the r=1 -> r=4 change)
+# ---------------------------------------------------------------------------
+
+
+def _recall_oracle() -> str:
+    # DuckDB twin of operators/minhash.recall_curve: same corpus-scaled
+    # sample, same salted r=1 reference family, same (8,4) production
+    # bands (the FUZZY_SIG_CTES math in wide form), same quantization.
+    wide_cols = ",\n    ".join(
+        " || ".join(
+            f"list_aggregate(list_transform(hs, h -> "
+            f"substr(h || h, {b * 4 + j + 1}, 8)), 'min')"
+            for j in range(4)
+        )
+        + f" AS b{b}"
+        for b in range(8)
+    )
+    caught = " OR ".join(f"a.b{b} = c.b{b}" for b in range(8))
+    return f"""WITH nn AS (
+  SELECT greatest(1, CAST(floor(count(*) / 5000.0) AS BIGINT)) AS m
+  FROM documents),
+d AS (
+  SELECT doc_id, text FROM documents, nn
+  WHERE doc_id % m = 0),
+sh AS (
+  SELECT doc_id, list_distinct(list_transform(
+    generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+    i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')))
+    AS shingles
+  FROM d WHERE text IS NOT NULL),
+rh AS (
+  SELECT doc_id, list_transform(shingles, s -> md5('r1|' || s)) AS hs
+  FROM sh),
+rsig AS (
+  SELECT doc_id, b,
+    list_aggregate(list_transform(hs, h -> substr(h || h, b * 4 + 1, 8)),
+      'min') AS rsig
+  FROM rh, unnest(generate_series(0, 7)) t(b)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS da, c.doc_id AS db
+  FROM rsig a JOIN rsig c
+    ON a.b = c.b AND a.rsig = c.rsig AND a.doc_id < c.doc_id),
+ph AS (
+  SELECT doc_id, list_transform(shingles, s -> md5(s)) AS hs FROM sh),
+pw AS (
+  SELECT doc_id,
+    {wide_cols}
+  FROM ph),
+j AS (
+  SELECT
+    floor((len(list_intersect(x.shingles, y.shingles)) * 1.0
+      / len(list_distinct(x.shingles || y.shingles))) * 1000000 + 0.5)
+      / 1000000 AS jac,
+    CASE WHEN {caught} THEN 1 ELSE 0 END AS caught
+  FROM cand
+  JOIN sh x ON x.doc_id = cand.da
+  JOIN sh y ON y.doc_id = cand.db
+  JOIN pw a ON a.doc_id = cand.da
+  JOIN pw c ON c.doc_id = cand.db)
+SELECT floor(jac * 10) / 10 AS j_band,
+  count(*) AS truth_pairs,
+  CAST(sum(caught) AS BIGINT) AS caught_pairs,
+  floor(sum(caught) * 1.0 / count(*) * 1000000 + 0.5) / 1000000 AS recall
+FROM j GROUP BY 1 ORDER BY 1"""
+
+
+@query(
+    "q_dedup_minhash_recall",
+    oracle=_recall_oracle(),
+    tags=("llm", "dedup", "audit", "scale-design"),
+)
+def q_dedup_minhash_recall(spark, sf_dir):
+    """MEASURED recall of the production (b=8, r=4) banded MinHash
+    LSH per exact-Jaccard band — the audit owed after round 11 changed
+    the detector from r=1 to r=4 on analytic S-curve math alone.
+    Ground truth = a PERMISSIVE r=1 reference detector from an
+    independent salted hash family over a deterministic corpus-scaled
+    doc sample (~5000 docs at any corpus size), the shape production
+    recall audits actually use when exact all-pairs is impossible.
+    Low-J bands measure the S-curve floor (recall ~0 — those pairs are
+    candidate-join poison the r=4 change exists to reject), the
+    J>=0.8 bands the operating point (recall ~1).  See
+    operators/minhash.recall_curve for the 100 TB argument (sample is
+    O(5000) regardless of corpus; never all-pairs)."""
+    from skyhookdb_ceph_spark.operators import minhash
+
+    d = Catalog(spark, sf_dir).documents
+    return minhash.recall_curve(d)

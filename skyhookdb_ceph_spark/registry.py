@@ -78,9 +78,18 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q_maint_recluster",  # new: advisor-driven re-cluster + re-measure
     "q_stream_event_eviction",  # new: CEP funnel w/ bounded state
     "q_scan_shared",  # new: N curation filters in ONE corpus pass
+    "q_dedup_substring",  # new: exact-substring span dedup
+    "q_dedup_minhash_recall",  # new: measured LSH recall curve
     "q_agg_incremental_merge",  # oracle pinned to sum/count(*) (ADVICE)
-    "q_dedup_incremental",  # scoped per-run index table name (ADVICE)
+    "q_dedup_incremental",  # scoped per-run name + banded (8,4) sigs
     "q_scan_bucket_prune",  # scoped per-run table name (ADVICE)
+    # the banded r=1 -> r=4 MinHash change (BASELINE.md §L.1) rewrote
+    # band_signatures + every consumer's oracle; the vectors.py merge
+    # hints changed q_dedup_embed/q_mine_hardneg's plans — all rotate
+    # in as changed-this-round
+    "q_dedup_fuzzy", "q_dedup_cluster", "q_dedup_agreement",
+    "q_dedup_embed", "q_mine_hardneg",
+    "q_graph_triangles",  # closure_ratio NULL-guarded (x/0 parity)
     # -- r4-era stamps (externally driver-checked last in round 4)
     "q_text_langid", "q_text_quality", "q_text_stats",
     "q_text_tfidf", "q_text_tokens",
@@ -96,11 +105,12 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q_agg_benford", "q_agg_bool", "q_agg_funnel",
     "q_agg_regression", "q_agg_retention_bitmap", "q_agg_skyline",
     "q_agg_histogram_eqdepth", "q_feat_hashing", "q_fn_string_adv",
-    "q_fn_try_cast", "q_fn_unpivot", "q_gdpr_delete",
-    "q_join_bucketed", "q_join_dpp", "q_join_scd2",
-    "q_join_spatial_grid", "q_sim_knn_multiprobe", "q_sort_pagination",
+    "q_fn_try_cast",
     # ---- window boundary (50) — round 12 leads with the r5-era
-    # remainder: q_sql_cte/values/named_window, q_stats_constraints,
+    # remainder: q_fn_unpivot, q_gdpr_delete, q_join_bucketed,
+    # q_join_dpp, q_join_scd2, q_join_spatial_grid,
+    # q_sim_knn_multiprobe, q_sort_pagination,
+    # q_sql_cte/values/named_window, q_stats_constraints,
     # q_stats_profile, q_text_bigram_lm/bpe_merge/html_strip/
     # proximity, q_tpch_q4/q7/q8/q13/q15/q17/q18/q19/q22,
     # q_ts_anomaly, q_ts_rollup_two_level, q_vec_ivf_build,

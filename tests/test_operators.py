@@ -113,3 +113,64 @@ def test_guard_global_window_enforces_dimension_scale(spark):
         assert guard_global_window(small, max_rows=10) is small
     finally:
         del os.environ["SPARK_GRAFT_ALLOW_GLOBAL_WINDOW"]
+
+
+def test_recall_curve_perfect_at_identical_zero_at_disjoint(spark):
+    """recall_curve on a corpus of verbatim duplicates + unrelated
+    docs: the J=1.0 band must exist with recall 1.0 (identical docs
+    share every row-minimum, so every production band collides), and
+    no truth pair may be lost from the reference detector's view of
+    identical docs (r=1 bands also all collide)."""
+    from skyhookdb_ceph_spark.operators.minhash import recall_curve
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=base) for i in range(4)]
+        + [
+            Row(doc_id=10 + i, text=f"completely unrelated text number {i} "
+                                    f"with distinct words alpha{i} beta{i}")
+            for i in range(4)
+        ]
+    )
+    rows = {r["j_band"]: r for r in recall_curve(docs).collect()}
+    assert rows[1.0]["truth_pairs"] == 6  # C(4,2) verbatim pairs
+    assert rows[1.0]["caught_pairs"] == 6
+    assert rows[1.0]["recall"] == 1.0
+
+
+def test_substring_spans_merge_overlapping_windows(spark):
+    """q_dedup_substring's interval merge: a 40-char duplicated block
+    shared by two docs yields ONE maximal span of >= 40 chars in each,
+    not 9 overlapping 32-char spans; a doc with no duplicated window
+    yields no row."""
+    from skyhookdb_ceph_spark.registry import load_all
+    import tempfile, os
+
+    import string
+
+    shared = "X" * 5 + "the exact same forty characters block!!" + "Y" * 5
+    # 52+ chars with no repeated 32-gram (alphabet walk, no cycles)
+    unique = " ".join(string.ascii_lowercase) + " " + string.digits
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="prefix one " + shared + " suffix one....."),
+            Row(doc_id=1, text="other start " + shared + " other end....."),
+            Row(doc_id=2, text="z q j x v w k " * 10),  # SELF-repetition
+            Row(doc_id=3, text=unique),
+        ]
+    ).withColumn("lang", F.lit("en")).withColumn("source", F.lit("t")) \
+     .withColumn("n_chars", F.length("text"))
+    with tempfile.TemporaryDirectory() as tmp:
+        docs.write.parquet(os.path.join(tmp, "documents.parquet"))
+        out = {
+            r["doc_id"]: r
+            for r in load_all()["q_dedup_substring"]
+            .fn(spark, tmp)
+            .collect()
+        }
+    # 2 is flagged too: within-doc repetition counts as a second
+    # occurrence (Lee et al. remove those as well); 3 never appears
+    assert set(out) == {0, 1, 2}
+    for i in (0, 1):
+        assert out[i]["n_spans"] == 1
+        assert out[i]["dup_chars"] >= 50  # the whole shared block merged

@@ -1211,3 +1211,25 @@ def test_rerank_candidates_broadcast_text_never_shuffles(spark):
     assert parts, "expected keyed exchanges in the BM25 stage"
     for args in parts:
         assert "text#" not in args
+
+
+def test_dedup_substring_never_all_pairs(spark):
+    """Exact-substring spans: positions meet the duplicated-gram set
+    on a hash equi-join (one match per position); all-pairs shapes
+    must never appear, the df count partial-aggregates map-side, and
+    the scan reads only the referenced columns (doc_id, text)."""
+    plan = explain_str(q("q_dedup_substring", spark))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("HashAggregate") >= 2
+    read = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "lang" not in read and "source" not in read
+
+
+def test_dedup_minhash_recall_never_all_pairs(spark):
+    """The recall audit's ground truth is the PERMISSIVE r=1 band
+    equi-join over the corpus-scaled sample, never an exact all-pairs
+    cross join; the only nested-loop-free exception is the broadcast
+    of the 1-row corpus count that sets the sample modulus."""
+    plan = explain_str(q("q_dedup_minhash_recall", spark))
+    assert "CartesianProduct" not in plan
