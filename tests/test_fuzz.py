@@ -7,8 +7,12 @@ The corpus is the seed range [0, 500) of tools/fuzz_differential.py's
 generator: predicate trees over every fixture column type with
 NULL-boundary injection (nullif/CASE-derived columns), group-by and
 aggregate combos (count/count-distinct/sum/min/max/avg with typed
-NULL-coalescing), join shapes (inner/left/semi/anti via EXISTS), and
-window frames (ranking, lag/lead, cumulative ROWS, bounded-ROWS min).
+NULL-coalescing), join shapes (inner/left/semi/anti via EXISTS),
+window frames (ranking, lag/lead, cumulative ROWS, bounded-ROWS min),
+set operations (UNION/EXCEPT/INTERSECT x ALL/DISTINCT over filtered
+legs of one table), and nested two-level aggregation (outer
+min/max/count over any per-group result; sum/avg only over integer
+inner results, where re-summation order cannot drift).
 Any divergence is shrunk (query-level reductions) and dumped as a JSON
 repro under tools/fuzz_failures/.
 """

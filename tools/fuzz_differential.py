@@ -1,11 +1,13 @@
 #!/usr/bin/env python
 """Randomized DIFFERENTIAL query fuzzer: Spark vs DuckDB.
 
-The 312 fixed registry queries are regression insurance; they can no
+The fixed registry queries are regression insurance; they can no
 longer FIND unknown bugs.  This generator samples a SPACE of queries —
 predicate trees over every fixture column type (with NULL boundaries
 injected via nullif-derived columns), group-by/aggregate combos, join
-shapes (inner/left/semi/anti), and window frames — and renders each
+shapes (inner/left/semi/anti), window frames, set operations
+(UNION/EXCEPT/INTERSECT, ALL and DISTINCT), and nested two-level
+aggregation (re-aggregating per-group results) — and renders each
 case TWICE from one spec: as a PySpark DataFrame program and as
 ANSI-ish DuckDB SQL.  Results are diffed with the same canon machinery
 the correctness gate uses (tools/verify_local.canon_df).  This is the
@@ -398,6 +400,8 @@ class AggEx:
     sp: Column
     sql: str
     numeric_int: bool = False  # count/sum-of-int: safe HAVING target
+    otyp: str = "f"  # output type (i/f/s/t) — outer aggs need it for
+    # typed NULL-coalescing when re-aggregating (agg2 shapes)
 
 
 def gen_agg(rng: random.Random, t: Table, alias: str) -> AggEx:
@@ -412,6 +416,7 @@ def gen_agg(rng: random.Random, t: Table, alias: str) -> AggEx:
             F.count(F.lit(1)).cast("bigint").alias(alias),
             f"CAST(count(*) AS BIGINT) AS {alias}",
             numeric_int=True,
+            otyp="i",
         )
     arg = gen_scalar(rng, t, depth=rng.randint(0, 2))
     if kind == "count":
@@ -420,6 +425,7 @@ def gen_agg(rng: random.Random, t: Table, alias: str) -> AggEx:
             F.count(arg.sp).cast("bigint").alias(alias),
             f"CAST(count({arg.sql}) AS BIGINT) AS {alias}",
             numeric_int=True,
+            otyp="i",
         )
     if kind == "count_distinct":
         return AggEx(
@@ -427,6 +433,7 @@ def gen_agg(rng: random.Random, t: Table, alias: str) -> AggEx:
             F.count_distinct(arg.sp).cast("bigint").alias(alias),
             f"CAST(count(DISTINCT {arg.sql}) AS BIGINT) AS {alias}",
             numeric_int=True,
+            otyp="i",
         )
     if kind in ("min", "max"):
         dflt = {
@@ -440,6 +447,7 @@ def gen_agg(rng: random.Random, t: Table, alias: str) -> AggEx:
             alias,
             F.coalesce(spf, dflt.sp).alias(alias),
             f"coalesce({kind}({arg.sql}), {dflt.sql}) AS {alias}",
+            otyp=arg.typ,
         )
     if arg.typ == "s" or arg.typ == "t":
         # sum/avg need numerics; fall back to count
@@ -448,6 +456,7 @@ def gen_agg(rng: random.Random, t: Table, alias: str) -> AggEx:
             F.count(arg.sp).cast("bigint").alias(alias),
             f"CAST(count({arg.sql}) AS BIGINT) AS {alias}",
             numeric_int=True,
+            otyp="i",
         )
     digits = 4
     # price-magnitude sums quantize coarser (summation-order drift)
@@ -460,6 +469,7 @@ def gen_agg(rng: random.Random, t: Table, alias: str) -> AggEx:
             F.coalesce(F.sum(arg.sp), F.lit(0)).cast("bigint").alias(alias),
             f"CAST(coalesce(sum({arg.sql}), 0) AS BIGINT) AS {alias}",
             numeric_int=True,
+            otyp="i",
         )
     fn = "sum" if kind == "sum" else "avg"
     spf = F.sum(arg.sp) if kind == "sum" else F.avg(arg.sp)
@@ -521,15 +531,48 @@ class WindowSpec:
 
 
 @dataclass
+class SetOpSpec:
+    table: str
+    out: list[str]  # shared projection (same table both legs)
+    op: str  # union_all/union/except_all/except/intersect_all/intersect
+    lpred: Ex | None
+    rpred: Ex | None
+
+
+@dataclass
+class Agg2Spec:
+    table: str
+    pred: Ex | None
+    key: str  # level-1 group col (lowcard)
+    inner: list[AggEx]
+    outer: list[tuple[str, str, str]]  # (alias, fn, inner alias or "*")
+
+
+@dataclass
 class Case:
     seed: int
     kind: str
     spec: object
 
 
+# outer re-aggregation functions by inner output type: min/max work on
+# any orderable type; sum/avg only where re-summation is exact (ints)
+# or already quantized per-group would NOT be order-stable (so doubles
+# get min/max/count only — summing quantized doubles across groups in
+# engine-dependent order can drift in the last ulp)
+_OUTER_FNS = {
+    "i": ("min", "max", "sum", "avg", "count"),
+    "f": ("min", "max", "count"),
+    "s": ("min", "max", "count"),
+    "t": ("min", "max", "count"),
+}
+
+
 def gen_case(seed: int) -> Case:
     rng = random.Random(seed)
-    kind = rng.choice(["filter", "agg", "agg", "join", "window"])
+    kind = rng.choice(
+        ["filter", "agg", "agg", "join", "window", "setop", "agg2"]
+    )
     if kind == "filter":
         t = CATALOG[rng.choice(list(CATALOG))]
         derived = [
@@ -583,6 +626,32 @@ def gen_case(seed: int) -> Case:
         # no right columns; keeping one arm simple keeps it correct)
         aggs = [gen_agg(rng, lt, f"a{i}") for i in range(rng.randint(1, 3))]
         spec = JoinSpec(left, right, lkey, rkey, how, lpred, rpred, group, aggs)
+    elif kind == "setop":
+        t = CATALOG[rng.choice(list(CATALOG))]
+        out = rng.sample(
+            [c.name for c in t.cols], rng.randint(1, min(3, len(t.cols)))
+        )
+        op = rng.choice(
+            ["union_all", "union", "except_all", "except",
+             "intersect_all", "intersect"]
+        )
+        lpred = gen_pred(rng, t, depth=1) if rng.random() < 0.85 else None
+        rpred = gen_pred(rng, t, depth=1) if rng.random() < 0.85 else None
+        spec = SetOpSpec(t.name, out, op, lpred, rpred)
+    elif kind == "agg2":
+        t = CATALOG[rng.choice(list(CATALOG))]
+        pred = gen_pred(rng, t, depth=1) if rng.random() < 0.6 else None
+        key = rng.choice(t.lowcard)
+        inner = [gen_agg(rng, t, f"i{j}") for j in range(rng.randint(1, 3))]
+        outer = []
+        for j in range(rng.randint(1, 3)):
+            if rng.random() < 0.2:
+                outer.append((f"o{j}", "count", "*"))
+                continue
+            src = rng.choice(inner)
+            fn = rng.choice(_OUTER_FNS[src.otyp])
+            outer.append((f"o{j}", fn, src.alias))
+        spec = Agg2Spec(t.name, pred, key, inner, outer)
     else:
         # window shapes need a TOTAL order: unique-keyed tables only
         t = CATALOG[rng.choice(["events", "orders", "documents"])]
@@ -701,6 +770,89 @@ def render(case: Case, spark, sf_dir: str) -> tuple[DataFrame, str]:
         sql = f"SELECT {', '.join(cols)} FROM {frm}"
         if gcols:
             sql += f" GROUP BY {', '.join(gcols)}"
+        return out, sql
+    if case.kind == "setop":
+        df = _base_df(spark, sf_dir, s.table)
+        l = df.filter(s.lpred.sp) if s.lpred is not None else df
+        r = df.filter(s.rpred.sp) if s.rpred is not None else df
+        l, r = l.select(*s.out), r.select(*s.out)
+        out = {
+            "union_all": lambda: l.unionByName(r),
+            "union": lambda: l.unionByName(r).distinct(),
+            "except_all": lambda: l.exceptAll(r),
+            "except": lambda: l.subtract(r),
+            "intersect_all": lambda: l.intersectAll(r),
+            "intersect": lambda: l.intersect(r),
+        }[s.op]()
+        sql_op = {
+            "union_all": "UNION ALL",
+            "union": "UNION",
+            "except_all": "EXCEPT ALL",
+            "except": "EXCEPT",
+            "intersect_all": "INTERSECT ALL",
+            "intersect": "INTERSECT",
+        }[s.op]
+        lw = f" WHERE {s.lpred.sql}" if s.lpred is not None else ""
+        rw = f" WHERE {s.rpred.sql}" if s.rpred is not None else ""
+        cols = ", ".join(s.out)
+        sql = (
+            f"(SELECT {cols} FROM {s.table}{lw}) {sql_op} "
+            f"(SELECT {cols} FROM {s.table}{rw})"
+        )
+        return out, sql
+    if case.kind == "agg2":
+        df = _base_df(spark, sf_dir, s.table)
+        if s.pred is not None:
+            df = df.filter(s.pred.sp)
+        inner_df = df.groupBy(s.key).agg(*[a.sp for a in s.inner])
+        otyp_of = {a.alias: a.otyp for a in s.inner}
+        dflts = {
+            "i": lit_ex(0, "i"),
+            "f": lit_ex(0.0, "f"),
+            "s": lit_ex("", "s"),
+            "t": lit_ex("1970-01-01 00:00:00", "t"),
+        }
+        o_sp, o_sql = [], []
+        for alias, fn, src in s.outer:
+            if src == "*" or fn == "count":
+                arg = F.lit(1) if src == "*" else F.col(src)
+                a_sql = "*" if src == "*" else src
+                o_sp.append(F.count(arg).cast("bigint").alias(alias))
+                o_sql.append(f"CAST(count({a_sql}) AS BIGINT) AS {alias}")
+            elif fn == "sum":  # int inner only (see _OUTER_FNS)
+                o_sp.append(
+                    F.coalesce(F.sum(src), F.lit(0))
+                    .cast("bigint")
+                    .alias(alias)
+                )
+                o_sql.append(
+                    f"CAST(coalesce(sum({src}), 0) AS BIGINT) AS {alias}"
+                )
+            elif fn == "avg":  # int inner only — one division, exact sum
+                o_sp.append(
+                    F.coalesce(
+                        F.floor(F.avg(src) * 1000000 + F.lit(0.5)) / 1000000,
+                        F.lit(0.0),
+                    ).alias(alias)
+                )
+                o_sql.append(
+                    f"coalesce(floor((avg({src})) * 1000000 + 0.5) "
+                    f"/ 1000000, 0.0) AS {alias}"
+                )
+            else:  # min / max over any orderable inner output
+                d = dflts[otyp_of[src]]
+                spf = F.min(F.col(src)) if fn == "min" else F.max(F.col(src))
+                o_sp.append(F.coalesce(spf, d.sp).alias(alias))
+                o_sql.append(
+                    f"coalesce({fn}({src}), {d.sql}) AS {alias}"
+                )
+        out = inner_df.agg(*o_sp)
+        w = f" WHERE {s.pred.sql}" if s.pred is not None else ""
+        inner_sql = (
+            f"SELECT {s.key}, {', '.join(a.sql for a in s.inner)} "
+            f"FROM {s.table}{w} GROUP BY {s.key}"
+        )
+        sql = f"SELECT {', '.join(o_sql)} FROM ({inner_sql}) g"
         return out, sql
     # window
     t = CATALOG[s.table]
@@ -821,6 +973,28 @@ def _reductions(case: Case):
         if len(s.aggs) > 1:
             for i in range(len(s.aggs)):
                 outs.append(replace(s, aggs=s.aggs[:i] + s.aggs[i + 1 :]))
+    elif case.kind == "setop":
+        if s.lpred is not None:
+            outs.append(replace(s, lpred=None))
+        if s.rpred is not None:
+            outs.append(replace(s, rpred=None))
+        if s.op != "union_all":
+            outs.append(replace(s, op="union_all"))
+        if len(s.out) > 1:
+            for i in range(len(s.out)):
+                outs.append(replace(s, out=s.out[:i] + s.out[i + 1 :]))
+    elif case.kind == "agg2":
+        if s.pred is not None:
+            outs.append(replace(s, pred=None))
+        if len(s.outer) > 1:
+            for i in range(len(s.outer)):
+                outs.append(replace(s, outer=s.outer[:i] + s.outer[i + 1 :]))
+        referenced = {src for _, _, src in s.outer}
+        if len(s.inner) > 1:
+            for i in range(len(s.inner)):
+                if s.inner[i].alias in referenced:
+                    continue
+                outs.append(replace(s, inner=s.inner[:i] + s.inner[i + 1 :]))
     else:
         if s.pred is not None:
             outs.append(replace(s, pred=None))
