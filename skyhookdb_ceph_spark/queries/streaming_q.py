@@ -1097,3 +1097,117 @@ def q_stream_event_eviction(spark, sf_dir):
     only the state bound (multi-batch equivalence also pinned in
     tests)."""
     return _event_eviction_stream(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# §2.22 round-11 wave: streaming near-dup ADMISSION (LSH at ingest)
+# ---------------------------------------------------------------------------
+
+
+def _stream_dedup_lsh_oracle() -> str:
+    from skyhookdb_ceph_spark.queries.llm import FUZZY_SIG_CTES
+
+    jac = (
+        "floor((len(list_intersect(x.shingles, y.shingles)) * 1.0"
+        " / len(list_distinct(x.shingles || y.shingles))) * 1000000 + 0.5)"
+        " / 1000000"
+    )
+    return f"""WITH {FUZZY_SIG_CTES},
+cand AS (
+  SELECT d.doc_id AS da, e.doc_id AS db, d.b
+  FROM sig d JOIN sig e ON d.b = e.b AND d.bsig = e.bsig
+  WHERE d.doc_id % 2 = 1 AND e.doc_id % 2 = 0)
+SELECT da, db, b, {jac} AS jac
+FROM cand JOIN sh x ON x.doc_id = cand.da JOIN sh y ON y.doc_id = cand.db
+WHERE {jac} >= 0.8"""
+
+
+@query(
+    "q_stream_dedup_lsh",
+    oracle=_stream_dedup_lsh_oracle(),
+    tags=("stream", "llm", "dedup", "live-stream", "scale-design"),
+)
+def q_stream_dedup_lsh(spark, sf_dir):
+    """STREAMING near-dup admission — the LSH gate at INGEST time, the
+    streaming twin of q_dedup_incremental: newly-arriving documents
+    (odd doc_ids, replayed through readStream) are checked against a
+    STATIC signature index of the admitted corpus (even doc_ids) and
+    every (delta, base, band) collision that survives exact-Jaccard
+    >= 0.8 is emitted as a rejection pair, per micro-batch, with ZERO
+    streaming state: the whole pipeline is projections + stream-static
+    equi-joins + a filter, so append mode needs no watermark and no
+    state store at any scale.
+
+    100 TB shape: the static side is exactly the persisted bucketBy
+    signature index q_dedup_incremental maintains (here built inline —
+    corpus-sized ONCE, never per batch); per micro-batch cost is
+    O(delta + candidates).  The stream side derives its banded (8,4)
+    signatures via array lambdas (one md5 per shingle, then 32 rotated
+    window minima over the hashed array) because the batch side's
+    explode+window formulation is not available on streams — same
+    values as operators/minhash.band_signatures by construction, and
+    the DuckDB oracle is the shared FUZZY_SIG_CTES chain.
+
+    Output: da (delta doc), db (admitted base doc), b (colliding
+    band), jac.  A delta doc is REJECTED iff any row names it."""
+    return _dedup_lsh_pipeline(spark, sf_dir)
+
+
+def _dedup_lsh_pipeline(spark, sf_dir, n_files=1, options=None):
+    """Shared builder so tests can force multi-batch replay
+    (n_files + maxFilesPerTrigger=1) and prove the zero-state claim:
+    any batching of the delta must emit the identical pair set."""
+    import os
+
+    from skyhookdb_ceph_spark.operators import minhash
+
+    docs = Catalog(spark, sf_dir).documents
+    base = docs.filter("doc_id % 2 = 0")
+    base_sh = minhash.shingle_sets(base)
+    base_sig = minhash.band_signatures(base_sh).selectExpr(
+        "doc_id AS db", "CAST(b AS BIGINT) AS b", "bsig"
+    )
+    base_y = base_sh.selectExpr("doc_id AS db", "shingles AS sy")
+
+    tmp = tempfile.mkdtemp(prefix="skyhook_stream_lsh_")
+    try:
+        delta = docs.filter("doc_id % 2 = 1").repartition(n_files)
+        delta.write.mode("overwrite").parquet(os.path.join(tmp, "delta"))
+        reader = spark.readStream.schema(delta.schema)
+        for k, v in (options or {}).items():
+            reader = reader.option(k, v)
+        stream = reader.parquet(os.path.join(tmp, "delta")).filter(
+            "text IS NOT NULL"
+        )
+        ssh = stream.selectExpr(
+            "doc_id AS da",
+            minhash.shingle_expr("text") + " AS sx",
+        ).selectExpr("da", "sx", "transform(sx, s -> md5(s)) AS hs")
+        band_cols = [
+            "concat("
+            + ", ".join(
+                "array_min(transform(hs, h -> "
+                f"substring(concat(h, h), {b * minhash.N_ROWS + j + 1}, 8)))"
+                for j in range(minhash.N_ROWS)
+            )
+            + f") AS b{b}"
+            for b in range(minhash.N_BANDS)
+        ]
+        stack = ", ".join(f"{b}, b{b}" for b in range(minhash.N_BANDS))
+        sig_s = ssh.selectExpr("da", "sx", *band_cols).selectExpr(
+            "da",
+            "sx",
+            f"stack({minhash.N_BANDS}, {stack}) AS (b, bsig)",
+        ).selectExpr("da", "sx", "CAST(b AS BIGINT) AS b", "bsig")
+        cand = sig_s.join(base_sig, ["b", "bsig"])
+        ver = cand.join(base_y, "db").selectExpr(
+            "da",
+            "db",
+            "b",
+            "floor((cast(size(array_intersect(sx, sy)) AS double)"
+            " / size(array_distinct(concat(sx, sy)))) * 1000000 + 0.5)"
+            " / 1000000 AS jac",
+        ).filter("jac >= 0.8")
+        return drain_to_memory(ver, output_mode="append")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -258,3 +258,24 @@ def test_stateful_state_fn_survives_multi_batch(spark, sf_small, tmp_path):
         )
     )
     assert got == want and len(want) > 0
+
+
+def test_dedup_lsh_multi_batch_matches_single_batch(spark):
+    """q_stream_dedup_lsh claims ZERO streaming state (projections +
+    stream-static joins only), so ANY batching of the delta must emit
+    the identical rejection-pair set.  Force 4 delta files at one file
+    per trigger and compare to the single-batch drain."""
+    from skyhookdb_ceph_spark.queries.streaming_q import _dedup_lsh_pipeline
+
+    sf = "/root/testdata/sf0.001"
+    one = sorted(
+        tuple(r) for r in _dedup_lsh_pipeline(spark, sf).collect()
+    )
+    many = sorted(
+        tuple(r)
+        for r in _dedup_lsh_pipeline(
+            spark, sf, n_files=4, options={"maxFilesPerTrigger": "1"}
+        ).collect()
+    )
+    assert one == many
+    assert len(one) > 0  # fixture near-dups must actually exercise the gate
