@@ -22,9 +22,26 @@ Closing the r10 verdict's action items:
    training-data pipeline runs MANY quality screens over the SAME
    pass — q_stats_profile generalized to arbitrary predicate sets).
 
+Late wave (after the sf10 banded-MinHash hardening):
+
+4. q_dedup_substring — exact-substring span dedup (Lee et al. 2022's
+   "remove any 50-token substring appearing twice" preprocessing,
+   suffix-array semantics re-expressed relationally).
+
+5. q_dedup_minhash_recall — MEASURED recall curve of the (8,4)
+   banded LSH vs a permissive independent-family reference detector;
+   the audit owed after the r=1 -> r=4 change shipped on analytic
+   math alone.
+
+6. q_transform_strip_dup_spans — the ACTION twin of 4: remove every
+   duplicated span and return the cleaned corpus (the recluster
+   audit->action pattern applied to dedup).
+
 House rules unchanged: identical aliases both sides, deterministic
 everything, no all-pairs, no corpus-sized collect() — driver-side
-materializations are verdict-table-sized (2-N rows).
+materializations are verdict-table-sized (2-N rows) except the two
+deliberate corpus-shaped TRANSFORM outputs (strip_dup_spans), which
+a deployment writes back to storage instead of collecting.
 """
 
 from __future__ import annotations
@@ -283,9 +300,11 @@ def q_scan_shared(spark, sf_dir):
 _SS_K = 32  # duplicated-substring window, chars (the "50 token" knob)
 
 
-def _substring_oracle() -> str:
+# spans CTE chain shared by the q_dedup_substring audit and the
+# q_transform_strip_dup_spans action (identical span derivation)
+def _spans_ctes() -> str:
     k = _SS_K
-    return f"""WITH d AS (
+    return f"""d AS (
   SELECT doc_id, text, length(text) AS n FROM documents
   WHERE text IS NOT NULL AND length(text) >= {k}),
 pos AS (
@@ -310,7 +329,11 @@ grp AS (
   FROM brk),
 spans AS (
   SELECT doc_id, any_value(n) AS n, min(i) AS s, max(i) + {k - 1} AS e
-  FROM grp GROUP BY doc_id, gid)
+  FROM grp GROUP BY doc_id, gid)"""
+
+
+def _substring_oracle() -> str:
+    return f"""WITH {_spans_ctes()}
 SELECT doc_id, count(*) AS n_spans,
   CAST(sum(e - s + 1) AS BIGINT) AS dup_chars,
   floor(sum(e - s + 1) * 1.0 / any_value(n) * 1000000 + 0.5) / 1000000
@@ -318,35 +341,10 @@ SELECT doc_id, count(*) AS n_spans,
 FROM spans GROUP BY doc_id"""
 
 
-@query(
-    "q_dedup_substring",
-    oracle=_substring_oracle(),
-    tags=("llm", "dedup", "scale-design"),
-)
-def q_dedup_substring(spark, sf_dir):
-    """EXACT-SUBSTRING span dedup — per doc, the maximal character
-    spans covered by any 32-char window that occurs MORE THAN ONCE in
-    the corpus (Lee et al. 2022, "Deduplicating Training Data Makes
-    Language Models Better": remove any 50-token substring appearing
-    twice; their suffix array re-expressed as relational ops).  Catches
-    verbatim boilerplate pasted INSIDE otherwise-unique documents,
-    which whole-doc MinHash resemblance misses and containment only
-    catches when one doc is mostly inside the other.
-
-    Plan: explode stride-1 32-gram positions -> xxhash64 each window
-    (the shuffle carries 8-byte hashes + (doc, pos), never text) ->
-    global df via groupBy (partial aggregation absorbs hot boilerplate
-    grams map-side) -> inner equi-join positions back to the df>1 set
-    -> per-doc interval merge (running-max window over positions, gap
-    > 1 char starts a new span) -> per-doc span census.  Never
-    all-pairs: output is linear in duplicated positions; the window is
-    doc-bounded.  At 100 TB the hot-gram join skew is AQE's skew-join
-    case and each position matches exactly one df row.  Oracle groups
-    by the raw window text where Spark groups by xxhash64 (collision
-    odds ~n^2/2^65 — the q_dedup_exact precedent).
-
-    Output: doc_id, n_spans, dup_chars, dup_frac (dup coverage of the
-    doc, 1e-6-quantized)."""
+def _dup_spans(spark, sf_dir):
+    """(doc_id, n, s, e) — maximal duplicated-substring spans, the
+    Spark twin of _spans_ctes(); shared by the q_dedup_substring audit
+    and the q_transform_strip_dup_spans action."""
     from pyspark.sql import Window
 
     k = _SS_K
@@ -366,13 +364,25 @@ def q_dedup_substring(spark, sf_dir):
         "i",
         F.expr(f"xxhash64(substring(text, i, {k}))").alias("g"),
     )
-    dup_grams = (
-        pos.groupBy("g")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+    # Gram frequency via a COUNT window over the gram key, not
+    # groupBy+join-back: the join form computes the position subtree
+    # TWICE (once per consumer) and builds a ~distinct-gram-sized
+    # partial-agg hash map per task — measured GC-thrash + a
+    # superlinear decade at 30x fixture rows (56 s @10x -> 224 s @30x).
+    # The window form scans once, shuffles the (doc,n,i,g) rows once on
+    # g, and counts inside the sort — sort-based, spill-bounded memory.
+    # 8.4/56/224 s became 3.0/22/70 s at 1x/10x/30x (BASELINE.md §L.6)
+    # — at-or-below linear across both decades.  Trade: a globally hot
+    # gram sorts in one partition (where the join form's map-side
+    # combine would absorb it) — acceptable because the downstream
+    # interval merge only needs the dup FLAG, and a hot gram's rows
+    # are pure sequential sort input, not a hash map.
+    w_g = Window.partitionBy("g")
+    dup = (
+        pos.withColumn("cnt", F.count(F.lit(1)).over(w_g))
         .filter("cnt > 1")
-        .select("g")
+        .select("doc_id", "n", "i")
     )
-    dup = pos.join(dup_grams, "g").select("doc_id", "n", "i")
     w = Window.partitionBy("doc_id").orderBy("i")
     prev_end = (
         F.max(F.col("i") + (k - 1))
@@ -385,12 +395,44 @@ def q_dedup_substring(spark, sf_dir):
         ).otherwise(0),
     )
     grp = brk.withColumn("gid", F.sum("b").over(w))
-    spans = grp.groupBy("doc_id", "gid").agg(
+    return grp.groupBy("doc_id", "gid").agg(
         F.first("n").alias("n"),
         F.min("i").alias("s"),
         (F.max("i") + (k - 1)).alias("e"),
     )
-    return spans.groupBy("doc_id").agg(
+
+
+@query(
+    "q_dedup_substring",
+    oracle=_substring_oracle(),
+    tags=("llm", "dedup", "scale-design"),
+)
+def q_dedup_substring(spark, sf_dir):
+    """EXACT-SUBSTRING span dedup — per doc, the maximal character
+    spans covered by any 32-char window that occurs MORE THAN ONCE in
+    the corpus (Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better": remove any 50-token substring appearing
+    twice; their suffix array re-expressed as relational ops).  Catches
+    verbatim boilerplate pasted INSIDE otherwise-unique documents,
+    which whole-doc MinHash resemblance misses and containment only
+    catches when one doc is mostly inside the other.
+
+    Plan: explode stride-1 32-gram positions -> xxhash64 each window
+    (the shuffle carries 8-byte hashes + (doc, pos), never text) ->
+    gram frequency via a COUNT window over the gram key (ONE scan, ONE
+    corpus-sized shuffle, sort-based so memory is spill-bounded; see
+    the inline comment for the measured rejection of the
+    groupBy+join-back form) -> per-doc interval merge (running-max
+    window over positions, gap > 1 char starts a new span) -> per-doc
+    span census.  Never all-pairs: output is linear in duplicated
+    positions; both windows are key-bounded.  Measured at-or-below
+    linear to 30x fixture rows (BASELINE.md §L.6).  Oracle groups by
+    the raw window text where Spark groups by xxhash64 (collision
+    odds ~n^2/2^65 — the q_dedup_exact precedent).
+
+    Output: doc_id, n_spans, dup_chars, dup_frac (dup coverage of the
+    doc, 1e-6-quantized)."""
+    return _dup_spans(spark, sf_dir).groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_spans"),
         F.sum(F.col("e") - F.col("s") + 1).alias("dup_chars"),
         quantize(
@@ -488,3 +530,89 @@ def q_dedup_minhash_recall(spark, sf_dir):
 
     d = Catalog(spark, sf_dir).documents
     return minhash.recall_curve(d)
+
+
+# ---------------------------------------------------------------------------
+# §2.22.6 strip duplicated spans — the ACTION twin of q_dedup_substring
+# ---------------------------------------------------------------------------
+
+
+def _strip_oracle() -> str:
+    # Per-character expansion: keep every position not covered by a
+    # span, string_agg back in order.  O(corpus chars) rows — fine for
+    # an oracle; the Spark side folds the (tiny) span list instead.
+    return f"""WITH {_spans_ctes()},
+alldocs AS (
+  SELECT doc_id, text, length(text) AS n FROM documents
+  WHERE text IS NOT NULL),
+chars AS (
+  SELECT a.doc_id, i, substr(a.text, CAST(i AS INT), 1) AS c
+  FROM alldocs a, unnest(generate_series(1, a.n)) t(i)),
+kept AS (
+  SELECT ch.doc_id, ch.i, ch.c FROM chars ch
+  WHERE NOT EXISTS (
+    SELECT 1 FROM spans sp
+    WHERE sp.doc_id = ch.doc_id AND ch.i BETWEEN sp.s AND sp.e))
+SELECT a.doc_id,
+  coalesce(k.clean_text, '') AS clean_text,
+  CAST(a.n - coalesce(k.kept_chars, 0) AS BIGINT) AS removed_chars
+FROM alldocs a LEFT JOIN (
+  SELECT doc_id, string_agg(c, '' ORDER BY i) AS clean_text,
+    count(*) AS kept_chars
+  FROM kept GROUP BY doc_id) k USING (doc_id)"""
+
+
+@query(
+    "q_transform_strip_dup_spans",
+    oracle=_strip_oracle(),
+    tags=("llm", "dedup", "transform", "scale-design"),
+)
+def q_transform_strip_dup_spans(spark, sf_dir):
+    """The ACTION twin of q_dedup_substring: actually REMOVE every
+    duplicated 32-char span from every document (Lee et al. 2022's
+    cleaning step — they delete ALL occurrences of a duplicated
+    window, including the first), returning the cleaned corpus.  The
+    q_maint_recluster pattern applied to dedup: the audit says WHERE
+    the boilerplate is, this op produces the corpus without it.
+
+    Plan: _dup_spans (shared with the audit — spans are maximal,
+    non-overlapping, sorted) -> collect the per-doc span list (tiny:
+    bounded by doc length / 32) -> one aggregate() fold per doc
+    rebuilds the residual string from the gaps between spans — pure
+    whole-stage-codegen string ops, one pass per doc, no per-char
+    explosion.  Docs with no duplicated span pass through unchanged
+    via the left join.  At 100 TB this is a map-shaped transform
+    (write back to storage, never collect); the only shuffles are the
+    audit's own (gram df + doc-keyed merge).  Oracle rebuilds the
+    residual per-character (string_agg over uncovered positions) —
+    same answer, oracle-only cost.
+
+    Output: doc_id, clean_text, removed_chars."""
+    spans = _dup_spans(spark, sf_dir)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.expr("array_sort(collect_list(struct(s, e)))").alias("sp")
+    )
+    docs = (
+        Catalog(spark, sf_dir)
+        .documents.filter("text IS NOT NULL")
+        .selectExpr("doc_id", "text", "length(text) AS n")
+    )
+    joined = docs.join(per_doc, "doc_id", "left")
+    # fold the span list: state = (next uncovered position, accumulated
+    # clean text); each span appends the gap before it and jumps past
+    # it; finish() appends the tail after the last span
+    fold = (
+        "aggregate("
+        "  coalesce(sp, array()),"
+        "  struct(1 AS pos, '' AS acc),"
+        "  (st, x) -> struct("
+        "    CAST(x.e + 1 AS INT) AS pos,"
+        "    concat(st.acc, substring(text, st.pos, x.s - st.pos)) AS acc),"
+        "  st -> concat(st.acc, substring(text, st.pos, n - st.pos + 1))"
+        ")"
+    )
+    return joined.selectExpr(
+        "doc_id",
+        f"{fold} AS clean_text",
+        "CAST(n - length(" + fold + ") AS BIGINT) AS removed_chars",
+    )

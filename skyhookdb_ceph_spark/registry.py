@@ -81,6 +81,7 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q_dedup_substring",  # new: exact-substring span dedup
     "q_dedup_minhash_recall",  # new: measured LSH recall curve
     "q_stream_dedup_lsh",  # new: streaming LSH admission gate
+    "q_transform_strip_dup_spans",  # new: span-removal action twin
     "q_agg_incremental_merge",  # oracle pinned to sum/count(*) (ADVICE)
     "q_dedup_incremental",  # scoped per-run name + banded (8,4) sigs
     "q_scan_bucket_prune",  # scoped per-run table name (ADVICE)
@@ -105,9 +106,10 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q_dedup_casefold", "q_dedup_tombstone", "q_agg_argmax",
     "q_agg_benford", "q_agg_bool", "q_agg_funnel",
     "q_agg_regression", "q_agg_retention_bitmap", "q_agg_skyline",
-    "q_agg_histogram_eqdepth", "q_feat_hashing", "q_fn_string_adv",
+    "q_agg_histogram_eqdepth", "q_feat_hashing",
     # ---- window boundary (50) — round 12 leads with the r5-era
-    # remainder: q_fn_try_cast, q_fn_unpivot, q_gdpr_delete, q_join_bucketed,
+    # remainder: q_fn_string_adv, q_fn_try_cast, q_fn_unpivot,
+    # q_gdpr_delete, q_join_bucketed,
     # q_join_dpp, q_join_scd2, q_join_spatial_grid,
     # q_sim_knn_multiprobe, q_sort_pagination,
     # q_sql_cte/values/named_window, q_stats_constraints,

@@ -174,3 +174,39 @@ def test_substring_spans_merge_overlapping_windows(spark):
     for i in (0, 1):
         assert out[i]["n_spans"] == 1
         assert out[i]["dup_chars"] >= 50  # the whole shared block merged
+
+
+def test_strip_dup_spans_removes_shared_block_keeps_unique(spark):
+    """The action twin: the duplicated block disappears from BOTH its
+    hosts (all occurrences removed, Lee et al. semantics), the unique
+    affixes survive byte-exact, and a doc with no duplicated window
+    passes through unchanged."""
+    from skyhookdb_ceph_spark.registry import load_all
+    import tempfile, os, string
+
+    shared = "X" * 5 + "the exact same forty characters block!!" + "Y" * 5
+    unique = " ".join(string.ascii_lowercase) + " " + string.digits
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="prefix one " + shared + " suffix one....."),
+            Row(doc_id=1, text="other start " + shared + " other end....."),
+            Row(doc_id=3, text=unique),
+        ]
+    ).withColumn("lang", F.lit("en")).withColumn("source", F.lit("t")) \
+     .withColumn("n_chars", F.length("text"))
+    with tempfile.TemporaryDirectory() as tmp:
+        docs.write.parquet(os.path.join(tmp, "documents.parquet"))
+        out = {
+            r["doc_id"]: r
+            for r in load_all()["q_transform_strip_dup_spans"]
+            .fn(spark, tmp)
+            .collect()
+        }
+    assert "forty characters" not in out[0]["clean_text"]
+    assert "forty characters" not in out[1]["clean_text"]
+    # the flanking spaces are part of the duplicated substring too
+    # (both hosts read " <block> "), so the maximal span removes them
+    assert out[0]["clean_text"] == "prefix onesuffix one....."
+    assert out[0]["removed_chars"] == len(shared) + 2
+    assert out[3]["clean_text"] == unique
+    assert out[3]["removed_chars"] == 0

@@ -28,7 +28,12 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from skyhookdb_ceph_spark.registry import load_all  # noqa: E402
 from skyhookdb_ceph_spark.session import get_spark  # noqa: E402
 
-FLAGSHIPS = ["q_dedup_substring", "q_dedup_minhash_recall"]
+FLAGSHIPS = [
+    "q_dedup_substring",
+    "q_dedup_minhash_recall",
+    "q_stream_dedup_lsh",  # static index build is corpus-sized (linear);
+    # per-batch stream work is delta-sized
+]
 
 DIRS = [
     "/root/testdata/sf0.1",
