@@ -371,8 +371,10 @@ def _dup_spans(spark, sf_dir):
     # superlinear decade at 30x fixture rows (56 s @10x -> 224 s @30x).
     # The window form scans once, shuffles the (doc,n,i,g) rows once on
     # g, and counts inside the sort — sort-based, spill-bounded memory.
-    # 8.4/56/224 s became 3.0/22/70 s at 1x/10x/30x (BASELINE.md §L.6)
-    # — at-or-below linear across both decades.  Trade: a globally hot
+    # 8.4/56/224 s became 3.0/22/70/312 s at 1x/10x/30x/100x
+    # (BASELINE.md §L.6) — at-or-below linear to 30x; the 100x decade
+    # is single-box shuffle spill (constant-memory regime, the thing
+    # this plan buys — v1 died there), not plan shape.  Trade: a hot
     # gram sorts in one partition (where the join form's map-side
     # combine would absorb it) — acceptable because the downstream
     # interval merge only needs the dup FLAG, and a hot gram's rows
@@ -603,7 +605,9 @@ def q_transform_strip_dup_spans(spark, sf_dir):
     # it; finish() appends the tail after the last span
     fold = (
         "aggregate("
-        "  coalesce(sp, array()),"
+        # typed empty array: a bare array() is array<string> and only
+        # works here via implicit coercion — pin the element struct
+        "  coalesce(sp, CAST(array() AS array<struct<s: int, e: int>>)),"
         "  struct(1 AS pos, '' AS acc),"
         "  (st, x) -> struct("
         "    CAST(x.e + 1 AS INT) AS pos,"
