@@ -397,3 +397,87 @@ def test_event_pattern_regex_cross_engine(seq):
         "SELECT len(regexp_extract_all(?, 's[vc]*p'))", [seq]
     ).fetchone()
     assert py == db
+
+
+def _py_dup_spans(texts: dict[int, str], k: int = 32):
+    """Pure-Python third implementation of the q_dedup_substring
+    contract (independent of both the Spark plan and the DuckDB
+    oracle): per doc, maximal merged spans of positions whose k-gram
+    occurs >1 time in the corpus (within-doc repeats count)."""
+    from collections import Counter
+
+    grams = Counter()
+    for t in texts.values():
+        for i in range(len(t) - k + 1):
+            grams[t[i : i + k]] += 1
+    out = {}
+    for doc, t in texts.items():
+        dup = [
+            i + 1  # 1-based, engine convention
+            for i in range(len(t) - k + 1)
+            if grams[t[i : i + k]] > 1
+        ]
+        spans = []
+        for i in dup:
+            e = i + k - 1
+            if spans and i <= spans[-1][1] + 1:
+                spans[-1][1] = max(spans[-1][1], e)
+            else:
+                spans.append([i, e])
+        if spans:
+            out[doc] = (
+                len(spans),
+                sum(e - s + 1 for s, e in spans),
+            )
+    return out
+
+
+def _segments():
+    """Random docs composed from a SHARED segment pool, so duplicated
+    32-char windows actually arise (pure-random strings never repeat a
+    32-gram)."""
+    seg = st.text(
+        alphabet="abcdefgh ", min_size=8, max_size=20
+    )
+    pool = st.lists(seg, min_size=2, max_size=5)
+    return pool.flatmap(
+        lambda p: st.lists(
+            st.lists(st.sampled_from(p), min_size=2, max_size=6).map(
+                "".join
+            ),
+            min_size=2,
+            max_size=6,
+        )
+    )
+
+
+@pytest.mark.slow
+@settings(max_examples=12, deadline=None)
+@given(_segments())
+def test_dedup_substring_matches_python_reference(spark, docs_texts):
+    """q_dedup_substring (Spark window plan) against the pure-Python
+    reference on randomized pool-composed corpora — a third
+    implementation, so an error shared by the Spark and SQL
+    formulations of the interval merge cannot hide."""
+    import os
+    import tempfile
+
+    from pyspark.sql import Row
+
+    from skyhookdb_ceph_spark.registry import load_all
+
+    texts = {i: t for i, t in enumerate(docs_texts)}
+    expected = _py_dup_spans(texts)
+    rows = [
+        Row(doc_id=i, text=t, lang="en", source="t", n_chars=len(t))
+        for i, t in texts.items()
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(rows).write.parquet(
+            os.path.join(tmp, "documents.parquet")
+        )
+        got = {
+            r["doc_id"]: (r["n_spans"], r["dup_chars"])
+            for r in load_all()["q_dedup_substring"].fn(spark, tmp).collect()
+        }
+    assert got == expected

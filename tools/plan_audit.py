@@ -380,6 +380,35 @@ AUDIT = {
         "the READ-BACK partitioned layout (one scan of the appended "
         "tree) — cell-bounded aggregate, no window, no join."
     ),
+    "q_dedup_substring": (
+        "Exact-substring span dedup (r11). Wanted: ONE parquet scan "
+        "(the v1 groupBy+join-back form scanned and exploded the "
+        "position subtree twice — measured superlinear, BASELINE.md "
+        "§L.6), gram frequency as a COUNT window (sort-based, "
+        "spill-bounded) over one corpus-sized Exchange on the gram "
+        "hash, then the doc-keyed interval-merge window, no join, no "
+        "cartesian, ReadSchema pruned to (doc_id, text)."
+    ),
+    "q_dedup_minhash_recall": (
+        "Measured LSH recall audit (r11). Wanted: the 1-row corpus "
+        "count broadcast (sample modulus), the permissive r=1 band "
+        "equi-join as the only pair generator (no cartesian), and "
+        "SortMergeJoin on both pair-feature lookups — the shingle "
+        "subtree must never broadcast (Catalyst underestimates it; "
+        "the sf10 smoke OOMed the driver before the merge hints)."
+    ),
+    "q_scan_shared": (
+        "Multi-screen shared scan (r11). Wanted: exactly ONE Scan "
+        "parquet node for all five curation screens (conditional "
+        "aggregates in one whole-stage-codegen pass), ReadSchema "
+        "pruned to the referenced columns."
+    ),
+    "q_transform_strip_dup_spans": (
+        "Span-removal transform (r11). Wanted: the audit's span "
+        "subtree feeding a doc-keyed collect_list + ONE aggregate() "
+        "fold projection (map-shaped rebuild, no per-char explosion), "
+        "left join keeping no-dup docs, no cartesian."
+    ),
 }
 
 
