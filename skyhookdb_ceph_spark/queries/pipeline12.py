@@ -371,10 +371,11 @@ def _dup_spans(spark, sf_dir):
     # superlinear decade at 30x fixture rows (56 s @10x -> 224 s @30x).
     # The window form scans once, shuffles the (doc,n,i,g) rows once on
     # g, and counts inside the sort — sort-based, spill-bounded memory.
-    # 8.4/56/224 s became 3.0/22/70/312 s at 1x/10x/30x/100x
-    # (BASELINE.md §L.6) — at-or-below linear to 30x; the 100x decade
-    # is single-box shuffle spill (constant-memory regime, the thing
-    # this plan buys — v1 died there), not plan shape.  Trade: a hot
+    # 8.4/56/224 s became 3.0/22/70/214 s at 1x/10x/30x/100x
+    # (BASELINE.md §L.6) — at-or-below linear every decade, and a
+    # width probe showed the shape is shuffle-partition-INSENSITIVE
+    # at 100x (32/128/256 parts: 214/228/274 s — wider is worse).
+    # v1 died outright in the 100x decade.  Trade: a hot
     # gram sorts in one partition (where the join form's map-side
     # combine would absorb it) — acceptable because the downstream
     # interval merge only needs the dup FLAG, and a hot gram's rows

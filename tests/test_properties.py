@@ -481,3 +481,66 @@ def test_dedup_substring_matches_python_reference(spark, docs_texts):
             for r in load_all()["q_dedup_substring"].fn(spark, tmp).collect()
         }
     assert got == expected
+
+
+def _py_band_signatures(texts: dict[int, str], n_bands=8, n_rows=4):
+    """Pure-Python third implementation of the banded (b, r) MinHash
+    signature math (operators/minhash.band_signatures): one md5 per
+    DISTINCT 3-word shingle, row (b, j) = min over shingles of the
+    8-hex window at offset b*r+j of digest||digest, band sig = concat
+    of the r row-minima."""
+    import hashlib
+
+    out = {}
+    for doc, t in texts.items():
+        words = t.split(" ")
+        if len(words) >= 3:
+            shingles = {
+                " ".join(words[i : i + 3]) for i in range(len(words) - 2)
+            }
+        else:
+            shingles = {t}
+        hs = [
+            hashlib.md5(s.encode()).hexdigest() for s in shingles
+        ]
+        sigs = {}
+        for b in range(n_bands):
+            sigs[b] = "".join(
+                min((h + h)[b * n_rows + j : b * n_rows + j + 8] for h in hs)
+                for j in range(n_rows)
+            )
+        out[doc] = sigs
+    return out
+
+
+@pytest.mark.slow
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abcde ", min_size=1, max_size=60),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_band_signatures_match_python_reference(spark, texts):
+    """operators/minhash.band_signatures (exploded groupBy-min
+    Catalyst formulation) against the pure-Python md5/rotated-window
+    reference on arbitrary short texts — including sub-shingle-width
+    docs and texts with repeated/empty tokens (the concat_ws
+    round-trip edge)."""
+    from pyspark.sql import Row
+
+    from skyhookdb_ceph_spark.operators.minhash import (
+        band_signatures,
+        shingle_sets,
+    )
+
+    tx = {i: t for i, t in enumerate(texts)}
+    expected = _py_band_signatures(tx)
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in tx.items()]
+    )
+    got = {}
+    for r in band_signatures(shingle_sets(docs)).collect():
+        got.setdefault(r["doc_id"], {})[r["b"]] = r["bsig"]
+    assert got == expected
