@@ -298,6 +298,19 @@ def main() -> int:
                 times[name] = round(samples[0], 4)
         except Exception as exc:  # noqa: BLE001
             errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+        finally:
+            # Session hygiene between queries: operators that persist()
+            # an intermediate (shingle sets, embeddings) never unpersist
+            # — each fn() call builds a NEW plan, so reps never reuse a
+            # cache entry (timing is honest), but the entries ACCUMULATE
+            # across the 300+-query session and tax later queries'
+            # GC/memory (measured at 100x fixture rows: a late query ran
+            # 45% slower in a stale session than fresh — BASELINE.md
+            # §L.6's 311.7 -> 213.7 s re-investigation).
+            try:
+                spark.catalog.clearCache()
+            except Exception:  # noqa: BLE001 — hygiene must not fail a run
+                pass
 
     total = round(sum(times.values()), 4)
     headline_times = {k: times[k] for k in sorted(HEADLINE) if k in times}

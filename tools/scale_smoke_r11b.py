@@ -60,6 +60,10 @@ def main() -> None:
                 t0 = time.perf_counter()
                 rows = mat(fn(spark, d))
                 timed = time.perf_counter() - t0
+                # session hygiene: drop persisted intermediates so a
+                # later (query, sf) isn't taxed by accumulated cache
+                # (measured: 311.7 vs 213.7 s fresh, BASELINE.md §L.6)
+                spark.catalog.clearCache()
                 print(
                     json.dumps(
                         {
