@@ -544,3 +544,44 @@ def test_band_signatures_match_python_reference(spark, texts):
     for r in band_signatures(shingle_sets(docs)).collect():
         got.setdefault(r["doc_id"], {})[r["b"]] = r["bsig"]
     assert got == expected
+
+
+@pytest.mark.slow
+@settings(max_examples=8, deadline=None)
+@given(_segments())
+def test_strip_and_audit_agree_on_random_corpora(spark, docs_texts):
+    """Cross-operator invariant on randomized corpora: for every doc,
+    q_transform_strip_dup_spans.removed_chars equals
+    q_dedup_substring.dup_chars (0 where the audit has no row), and
+    len(clean_text) + removed_chars reconstructs the original length —
+    the audit and the action must describe the SAME spans."""
+    import os
+    import tempfile
+
+    from pyspark.sql import Row
+
+    from skyhookdb_ceph_spark.registry import load_all
+
+    texts = {i: t for i, t in enumerate(docs_texts)}
+    rows = [
+        Row(doc_id=i, text=t, lang="en", source="t", n_chars=len(t))
+        for i, t in texts.items()
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(rows).write.parquet(
+            os.path.join(tmp, "documents.parquet")
+        )
+        audit = {
+            r["doc_id"]: r["dup_chars"]
+            for r in load_all()["q_dedup_substring"].fn(spark, tmp).collect()
+        }
+        strip = {
+            r["doc_id"]: r
+            for r in load_all()["q_transform_strip_dup_spans"]
+            .fn(spark, tmp)
+            .collect()
+        }
+    assert set(strip) == set(texts)  # the transform keeps every doc
+    for i, t in texts.items():
+        assert strip[i]["removed_chars"] == audit.get(i, 0)
+        assert len(strip[i]["clean_text"]) + strip[i]["removed_chars"] == len(t)
