@@ -468,7 +468,7 @@ def _recall_oracle() -> str:
   FROM documents),
 d AS (
   SELECT doc_id, text FROM documents, nn
-  WHERE doc_id % m = 0),
+  WHERE (((doc_id % 2147483647) * 2654435761) % 4294967296) % m = 0),
 sh AS (
   SELECT doc_id, list_distinct(list_transform(
     generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
@@ -616,8 +616,12 @@ def q_transform_strip_dup_spans(spark, sf_dir):
         "  st -> concat(st.acc, substring(text, st.pos, n - st.pos + 1))"
         ")"
     )
-    return joined.selectExpr(
+    # project the fold ONCE, then derive removed_chars from its length
+    # in a chained select — inlining the fold twice would make Catalyst
+    # evaluate the full per-doc string rebuild twice per row unless CSE
+    # happens to fire
+    return joined.selectExpr("doc_id", "n", f"{fold} AS clean_text").selectExpr(
         "doc_id",
-        f"{fold} AS clean_text",
-        "CAST(n - length(" + fold + ") AS BIGINT) AS removed_chars",
+        "clean_text",
+        "CAST(n - length(clean_text) AS BIGINT) AS removed_chars",
     )

@@ -1161,13 +1161,26 @@ def _dedup_lsh_pipeline(spark, sf_dir, n_files=1, options=None):
 
     from skyhookdb_ceph_spark.operators import minhash
 
+    from pyspark import StorageLevel
+
     docs = Catalog(spark, sf_dir).documents
     base = docs.filter("doc_id % 2 = 0")
     base_sh = minhash.shingle_sets(base)
-    base_sig = minhash.band_signatures(base_sh).selectExpr(
-        "doc_id AS db", "CAST(b AS BIGINT) AS b", "bsig"
+    # Persist BOTH static consumers: stream-static joins re-evaluate the
+    # static plan on every micro-batch, and base_sh feeds two consumers
+    # (signatures + shingle verify side).  Without these persists each
+    # trigger would re-shingle the whole admitted corpus twice — the
+    # persist is what makes the docstring's "corpus-sized ONCE, never
+    # per batch" claim true in THIS plan, not just in the production
+    # bucketBy-index deployment.
+    base_sig = (
+        minhash.band_signatures(base_sh)
+        .selectExpr("doc_id AS db", "CAST(b AS BIGINT) AS b", "bsig")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    base_y = base_sh.selectExpr("doc_id AS db", "shingles AS sy")
+    base_y = base_sh.selectExpr("doc_id AS db", "shingles AS sy").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
 
     tmp = tempfile.mkdtemp(prefix="skyhook_stream_lsh_")
     try:
@@ -1210,4 +1223,6 @@ def _dedup_lsh_pipeline(spark, sf_dir, n_files=1, options=None):
         ).filter("jac >= 0.8")
         return drain_to_memory(ver, output_mode="append")
     finally:
+        base_sig.unpersist()
+        base_y.unpersist()
         shutil.rmtree(tmp, ignore_errors=True)

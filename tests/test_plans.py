@@ -1214,10 +1214,13 @@ def test_rerank_candidates_broadcast_text_never_shuffles(spark):
 
 
 def test_dedup_substring_never_all_pairs(spark):
-    """Exact-substring spans: positions meet the duplicated-gram set
-    on a hash equi-join (one match per position); all-pairs shapes
-    must never appear, the df count partial-aggregates map-side, and
-    the scan reads only the referenced columns (doc_id, text)."""
+    """Exact-substring spans (shipped v2 plan): gram frequency comes
+    from a COUNT window over the gram key — there is NO join anywhere
+    in the plan (the groupBy+join-back v1 was measured superlinear at
+    30x and killed, BASELINE.md §L.6); all-pairs shapes must never
+    appear, the HashAggregates are the per-doc interval merge and the
+    gram census, and the scan reads only the referenced columns
+    (doc_id, text)."""
     plan = explain_str(q("q_dedup_substring", spark))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
