@@ -160,25 +160,96 @@ def box_state() -> dict:
     }
 
 
-def certify_gate(box: dict) -> tuple[bool, str | None]:
+QUIET_SPIN_FILE = Path(__file__).resolve().parent / "tools" / "quiet_spin.json"
+SPIN_REFUSAL_FRACTION = 0.85  # refuse below 0.85x the quiet-box rate
+
+
+def load_quiet_spin() -> dict | None:
+    """Stored quiet-box spin calibration (tools/quiet_spin.json,
+    written by `python bench.py --calibrate-spin` on a verified-quiet
+    box).  Returns None when absent — the spin check then degrades to
+    loadavg-only rather than refusing on a reference this machine
+    never established."""
+    try:
+        with open(QUIET_SPIN_FILE) as f:
+            cal = json.load(f)
+        return cal if isinstance(cal.get("spin_mops"), (int, float)) else None
+    except (OSError, ValueError):
+        return None
+
+
+def certify_gate(box: dict, quiet_cal: dict | None = None) -> tuple[bool, str | None]:
     """Refusal rule (documented in BASELINE.md §L.3): a headline gate
-    run is certified only when the 1-minute loadavg is below a quarter
-    of the cores (floor 2.0) at bench start.  Above that, the record
-    still ships — the driver needs its JSON — but carries
-    gate_certified=false so nobody re-baselines on a co-tenant-noised
-    number (the §K.1 failure mode)."""
+    run is certified only when, at bench start, BOTH
+    (1) the 1-minute loadavg is below a quarter of the cores (floor
+        2.0) — what ELSE the box is running, and
+    (2) the busy-spin calibration is within 0.85x of the stored
+        quiet-box rate (tools/quiet_spin.json) — how fast THIS process
+        actually executes right now.  §L.3 named low spin_mops as "the
+        co-tenancy tell" precisely because loadavg lags and can be
+        sampled after the co-tenant exits; BENCH_r11 certified a run
+        whose spin sat 23% low and whose dispatch floor DOUBLED, which
+        is what this check exists to refuse.
+    Above either limit, the record still ships — the driver needs its
+    JSON — but carries gate_certified=false so nobody re-baselines on
+    a co-tenant-noised number (the §K.1 failure mode)."""
     limit = max(2.0, 0.25 * box["ncpu"])
     load1 = box["loadavg"][0]
-    if load1 < 0:
-        return True, None  # no /proc — nothing to refuse on
-    if load1 > limit:
+    if load1 > limit:  # load1 < 0 (no /proc) never exceeds the limit
         return (
             False,
             f"loadavg1={load1} > {limit:.1f} (0.25*ncpu): co-tenant "
             "load at gate start; rerun on a quiet box before "
             "comparing headline numbers (BASELINE.md §K.1/§L.3)",
         )
+    if quiet_cal is not None:
+        floor_mops = SPIN_REFUSAL_FRACTION * quiet_cal["spin_mops"]
+        if box["spin_mops"] < floor_mops:
+            return (
+                False,
+                f"spin_mops={box['spin_mops']} < {floor_mops:.1f} "
+                f"(0.85x quiet-box {quiet_cal['spin_mops']}): this "
+                "process is executing materially slower than the "
+                "stored quiet-box calibration — the co-tenancy tell "
+                "even when loadavg looks clean (BASELINE.md §L.3); "
+                "rerun on a quiet box or recalibrate with "
+                "`python bench.py --calibrate-spin` if the hardware "
+                "changed",
+            )
     return True, None
+
+
+def calibrate_spin() -> int:
+    """`python bench.py --calibrate-spin`: store the quiet-box spin
+    reference.  Takes best-of-5 spins (max, not median — any co-tenant
+    only ever LOWERS the rate, so the max is the cleanest estimate of
+    the uncontended rate) and refuses to write at all when loadavg
+    says the box is not quiet enough to calibrate on."""
+    box = box_state()
+    limit = max(2.0, 0.25 * box["ncpu"])
+    if box["loadavg"][0] > limit:
+        print(
+            f"refusing to calibrate: loadavg1={box['loadavg'][0]} > "
+            f"{limit:.1f} — a calibration taken on a loaded box would "
+            "make the gate blind to exactly the contention it exists "
+            "to catch",
+            file=sys.stderr,
+        )
+        return 1
+    spins = [box_state()["spin_mops"] for _ in range(5)]
+    cal = {
+        "spin_mops": max(spins),
+        "samples": spins,
+        "loadavg1_at_calibration": box["loadavg"][0],
+        "ncpu": box["ncpu"],
+        "note": "quiet-box single-thread busy-spin rate; gate refuses "
+        "below 0.85x this (BASELINE.md §L.3)",
+    }
+    QUIET_SPIN_FILE.parent.mkdir(parents=True, exist_ok=True)
+    with open(QUIET_SPIN_FILE, "w") as f:
+        json.dump(cal, f, indent=1)
+    print(json.dumps(cal))
+    return 0
 
 
 def main() -> int:
@@ -189,8 +260,23 @@ def main() -> int:
     except ValueError:
         sf = None
 
+    quiet_cal = load_quiet_spin()
     box = box_state()
-    certified, refusal = certify_gate(box)
+    certified, refusal = certify_gate(box, quiet_cal)
+    if not certified:
+        # auto-rerun ONCE (r11 verdict item 1): a transient co-tenant
+        # (cron tick, page-cache flush) often clears within seconds;
+        # a persistent one fails the re-measure too and the record
+        # ships uncertified with both samples visible.
+        time.sleep(5.0)
+        box2 = box_state()
+        cert2, refusal2 = certify_gate(box2, quiet_cal)
+        box["retry"] = box2
+        if cert2:
+            box = {**box2, "first_attempt": {k: box[k] for k in ("loadavg", "spin_mops")}}
+            certified, refusal = True, None
+        else:
+            refusal = refusal2
 
     t0 = time.perf_counter()
     # Small-data profile: AQE's per-stage materialization + re-planning
@@ -390,4 +476,6 @@ def main() -> int:
 
 
 if __name__ == "__main__":
+    if "--calibrate-spin" in sys.argv[1:]:
+        sys.exit(calibrate_spin())
     sys.exit(main())

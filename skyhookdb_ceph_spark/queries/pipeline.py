@@ -365,11 +365,14 @@ def q_vec_centroids(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-def _cluster_oracle() -> str:
+def cluster_label_ctes() -> str:
+    """The q_dedup_cluster derivation as a reusable CTE chain ending
+    in `labels(doc_id, cluster)` — shared with the corpus-dedup ACTION
+    (q_transform_dedup_corpus, pipeline13.py) so audit and action are
+    provably selecting over the same verdicts."""
     from skyhookdb_ceph_spark.queries.llm import FUZZY_CTES, FUZZY_SELECT
 
-    return f"""
-WITH {FUZZY_CTES},
+    return f"""{FUZZY_CTES},
 pairs AS ({FUZZY_SELECT}),
 und AS (
   SELECT doc_a AS v, doc_b AS n FROM pairs
@@ -380,22 +383,19 @@ l1 AS (
 l2 AS (
   SELECT l1.v, least(l1.lab, coalesce(min(ln.lab), l1.lab)) AS cluster
   FROM l1 LEFT JOIN und ON und.v = l1.v LEFT JOIN l1 ln ON ln.v = und.n
-  GROUP BY l1.v, l1.lab)
-SELECT v AS doc_id, cluster FROM l2
-"""
+  GROUP BY l1.v, l1.lab),
+labels AS (SELECT v AS doc_id, cluster FROM l2)"""
 
 
-@query("q_dedup_cluster", oracle=_cluster_oracle(), tags=("pipeline", "dedup"))
-def q_dedup_cluster(spark, sf_dir):
-    """Duplicate-cluster labeling: near-dup PAIRS (the MinHash LSH
-    edges from q_dedup_fuzzy) propagated to per-document cluster ids
-    via TWO rounds of min-label propagation — each round is one keyed
-    shuffle (join edges to current labels + grouped min), the standard
-    large-graph connected-components step.  Two rounds label every
-    component of diameter <= 2 exactly (near-dup clusters are dense:
-    LSH emits most cross pairs directly); production fixpoints loop
-    the same step until labels stop changing — the plan per round is
-    identical at any scale.  Isolated documents keep their own id."""
+def _cluster_oracle() -> str:
+    return f"WITH {cluster_label_ctes()}\nSELECT doc_id, cluster FROM labels"
+
+
+def cluster_labels(spark, sf_dir):
+    """Spark twin of cluster_label_ctes(): per-document near-dup
+    cluster ids via two rounds of min-label propagation over the
+    MinHash LSH edge set.  Shared by the audit (q_dedup_cluster) and
+    the action (q_transform_dedup_corpus)."""
     from skyhookdb_ceph_spark.operators import minhash
 
     d = Catalog(spark, sf_dir).documents
@@ -428,6 +428,20 @@ def q_dedup_cluster(spark, sf_dir):
         .agg(F.least(F.col("lab"), F.coalesce(F.min("nlab"), F.col("lab"))).alias("cluster"))
         .selectExpr("v AS doc_id", "cluster")
     )
+
+
+@query("q_dedup_cluster", oracle=_cluster_oracle(), tags=("pipeline", "dedup"))
+def q_dedup_cluster(spark, sf_dir):
+    """Duplicate-cluster labeling: near-dup PAIRS (the MinHash LSH
+    edges from q_dedup_fuzzy) propagated to per-document cluster ids
+    via TWO rounds of min-label propagation — each round is one keyed
+    shuffle (join edges to current labels + grouped min), the standard
+    large-graph connected-components step.  Two rounds label every
+    component of diameter <= 2 exactly (near-dup clusters are dense:
+    LSH emits most cross pairs directly); production fixpoints loop
+    the same step until labels stop changing — the plan per round is
+    identical at any scale.  Isolated documents keep their own id."""
+    return cluster_labels(spark, sf_dir)
 
 
 @query(

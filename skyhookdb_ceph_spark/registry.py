@@ -148,6 +148,7 @@ def load_all() -> dict[str, QuerySpec]:
             pipeline10,
             pipeline11,
             pipeline12,
+            pipeline13,
             scans,
             setops,
             sorts,

@@ -132,3 +132,31 @@ def test_box_state_and_certification_rule():
     # no /proc -> nothing to refuse on
     ok2, _ = certify_gate({"loadavg": [-1.0, -1.0, -1.0], "ncpu": 32})
     assert ok2
+
+
+def test_certify_gate_refuses_on_low_spin_mops():
+    """r11 verdict item 1: loadavg alone certified a contended run
+    (BENCH_r11: spin 23% low, dispatch floor doubled, loadavg 5.61 <
+    8).  The gate must ALSO refuse when the busy-spin rate sits below
+    0.85x the stored quiet-box calibration — §L.3's 'co-tenancy
+    tell' — even when loadavg looks clean."""
+    from bench import certify_gate, load_quiet_spin
+
+    cal = {"spin_mops": 22.0}
+    quiet = {"loadavg": [1.0, 0, 0], "ncpu": 32, "spin_mops": 21.5}
+    ok, reason = certify_gate(quiet, cal)
+    assert ok and reason is None
+    # 18.52/22 = 0.84 < 0.85 — exactly the r11 shape the rule rejects
+    contended = {"loadavg": [1.0, 0, 0], "ncpu": 32, "spin_mops": 18.4}
+    bad, why = certify_gate(contended, cal)
+    assert not bad and "spin_mops" in why and "quiet-box" in why
+    # loadavg breach still refuses first, regardless of spin
+    loaded = {"loadavg": [20.0, 0, 0], "ncpu": 32, "spin_mops": 25.0}
+    bad2, why2 = certify_gate(loaded, cal)
+    assert not bad2 and "loadavg1" in why2
+    # no calibration stored -> spin check degrades to loadavg-only
+    ok3, _ = certify_gate(contended, None)
+    assert ok3
+    # the repo ships a real calibration for THIS box
+    stored = load_quiet_spin()
+    assert stored is not None and stored["spin_mops"] > 0

@@ -1229,6 +1229,24 @@ def test_dedup_substring_never_all_pairs(spark):
     assert "lang" not in read and "source" not in read
 
 
+def test_dedup_corpus_one_shuffle_beyond_labels(spark):
+    """q_transform_dedup_corpus (r11 verdict item 4): survivor
+    selection must add exactly ONE keyed shuffle beyond the shared
+    pair/label derivation — a single cluster-keyed Exchange feeding a
+    single Window node (row_number + first_value share one window
+    spec, so they may not split into two sorts), and no all-pairs
+    shape anywhere."""
+    import re
+
+    plan = explain_str(q("q_transform_dedup_corpus", spark))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # formatted explain prints each node once in the tree and once in
+    # the detail section — count detail headers, not substrings
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1
+    assert plan.count("hashpartitioning(cluster") == 1
+
+
 def test_dedup_minhash_recall_never_all_pairs(spark):
     """The recall audit's ground truth is the PERMISSIVE r=1 band
     equi-join over the corpus-scaled sample, never an exact all-pairs
