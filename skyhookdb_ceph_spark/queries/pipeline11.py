@@ -351,6 +351,29 @@ def q_dedup_agreement(spark, sf_dir):
 
 _CASCADE_HI, _CASCADE_LO, _CASCADE_BD = 0.62, 0.5, 0.97
 
+
+def cascade_exprs() -> tuple[str, str]:
+    """(q1, bd) Spark SQL expression strings of the two cascade stage
+    scores — shared by q_text_quality_cascade and the recomposed e2e
+    pipeline (q_pipeline_e2e_v2, pipeline13.py) so the gate cannot
+    drift between the audit and the pipeline that applies it."""
+    toks = "split(text, ' ')"
+    q1 = (
+        f"floor((cast(0.5 AS double) * least(size({toks}) / cast(80.0 AS double), cast(1.0 AS double)) "
+        f"+ cast(0.5 AS double) * (cast(size(array_distinct({toks})) AS double) "
+        f"/ size({toks}))) * 1000000 + 0.5) / 1000000"
+    )
+    bg = (
+        f"transform(sequence(1, size({toks}) - 1), "
+        f"i -> concat(element_at({toks}, i), ' ', element_at({toks}, i + 1)))"
+    )
+    bd = (
+        f"CASE WHEN size({toks}) < 2 THEN cast(1.0 AS double) "
+        f"ELSE floor((cast(size(array_distinct({bg})) AS double) "
+        f"/ (size({toks}) - 1)) * 1000000 + 0.5) / 1000000 END"
+    )
+    return q1, bd
+
 _CASCADE_ORACLE = f"""
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
 s1 AS (
@@ -402,21 +425,7 @@ def q_text_quality_cascade(spark, sf_dir):
     sequence(1, 0) yields a DESCENDING [1,0] while DuckDB's
     generate_series(1, 0) is empty."""
     d = Catalog(spark, sf_dir).documents
-    toks = "split(text, ' ')"
-    q1 = (
-        f"floor((cast(0.5 AS double) * least(size({toks}) / cast(80.0 AS double), cast(1.0 AS double)) "
-        f"+ cast(0.5 AS double) * (cast(size(array_distinct({toks})) AS double) "
-        f"/ size({toks}))) * 1000000 + 0.5) / 1000000"
-    )
-    bg = (
-        f"transform(sequence(1, size({toks}) - 1), "
-        f"i -> concat(element_at({toks}, i), ' ', element_at({toks}, i + 1)))"
-    )
-    bd = (
-        f"CASE WHEN size({toks}) < 2 THEN cast(1.0 AS double) "
-        f"ELSE floor((cast(size(array_distinct({bg})) AS double) "
-        f"/ (size({toks}) - 1)) * 1000000 + 0.5) / 1000000 END"
-    )
+    q1, bd = cascade_exprs()
     return d.selectExpr(
         "doc_id",
         f"{q1} AS q1",

@@ -112,3 +112,158 @@ def q_transform_dedup_corpus(spark, sf_dir):
             "CASE WHEN rn = 1 THEN 'kept' ELSE 'dropped' END AS status",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.23.2 end-to-end curation pipeline v2 (round-11 ops folded in)
+# ---------------------------------------------------------------------------
+
+_E2E2_DUP_FRAC_MAX = 0.5  # drop docs more than half covered by dup spans
+
+
+def _e2e_v2_oracle() -> str:
+    from skyhookdb_ceph_spark.queries.pipeline11 import (
+        _CASCADE_BD,
+        _CASCADE_HI,
+        _CASCADE_LO,
+    )
+    from skyhookdb_ceph_spark.queries.pipeline12 import _spans_ctes
+
+    return f"""WITH {_spans_ctes()},
+census AS (
+  SELECT doc_id,
+    floor(sum(e - s + 1) * 1.0 / any_value(n) * 1000000 + 0.5) / 1000000
+      AS dup_frac
+  FROM spans GROUP BY doc_id),
+base AS (
+  SELECT doc_id, lang, n_chars, text, string_split(text, ' ') AS toks,
+    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM documents WHERE text IS NOT NULL),
+s1 AS (
+  SELECT *, floor((0.5 * least(len(toks) / 80.0, 1.0)
+    + 0.5 * (len(list_distinct(toks)) * 1.0 / len(toks))) * 1000000 + 0.5)
+    / 1000000 AS q1
+  FROM base),
+s2 AS (
+  SELECT *, CASE WHEN len(toks) < 2 THEN 1.0
+    ELSE floor((len(list_distinct(list_transform(
+      generate_series(1, len(toks) - 1),
+      i -> toks[i] || ' ' || toks[i + 1]))) * 1.0
+      / (len(toks) - 1)) * 1000000 + 0.5) / 1000000 END AS bd
+  FROM s1),
+kept AS (
+  SELECT s2.doc_id, lang,
+    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
+  FROM s2 LEFT JOIN census USING (doc_id)
+  WHERE rn = 1 AND n_chars BETWEEN 50 AND 5000
+    AND (q1 >= {_CASCADE_HI} OR (q1 >= {_CASCADE_LO} AND bd >= {_CASCADE_BD}))
+    AND coalesce(dup_frac, 0.0) < {_E2E2_DUP_FRAC_MAX}),
+split AS (
+  SELECT doc_id, lang, n_tokens,
+    CASE WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 80 THEN 'train'
+         WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 90 THEN 'val'
+         ELSE 'test' END AS part
+  FROM kept)
+SELECT part,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+  CAST(min(doc_id) AS BIGINT) AS min_doc
+FROM split GROUP BY part ORDER BY part"""
+
+
+@query(
+    "q_pipeline_e2e_v2",
+    oracle=_e2e_v2_oracle(),
+    tags=("llm", "pipeline", "scale-design"),
+)
+def q_pipeline_e2e_v2(spark, sf_dir):
+    """The end-to-end curation pipeline RECOMPOSED with the round-11
+    operators folded in (r11 verdict item 8): exact dedup + cascade
+    quality gate + substring-span dedup gate + deterministic split +
+    token accounting, still as ONE Catalyst plan.
+
+    What changed vs q_pipeline_e2e (and why each change matters at
+    100 TB):
+    - Exact dedup is now a row_number window over md5(text) instead
+      of v1's groupBy + semi-join-back — v1's shape scans the corpus
+      TWICE (once for the digest agg, once for the kept side); the
+      window shape scans it ONCE, so the whole main pipeline — dedup
+      rank, cascade scores, length screen, split bucket — rides a
+      single corpus pass before its one digest-keyed shuffle
+      (plan-asserted: the main subtree has exactly one Scan parquet
+      below the digest Exchange).  That is the shared-scan principle
+      (q_scan_shared) applied to the pipeline's per-row screens.
+      Bonus the declarative form gets for free: the rn = 1 filter
+      triggers Catalyst's rank-limit pushdown (WindowGroupLimit),
+      pruning duplicate docs per partition BEFORE the digest shuffle
+      carries them — exactly the map-side reduction v1's agg had,
+      without the second scan.
+    - The quality gate is the two-stage CASCADE (shared cascade_exprs
+      with q_text_quality_cascade — the expensive bigram score only
+      evaluates for the uncertain q1 band, lazily per row).
+    - A substring-span gate drops boilerplate-dominated docs
+      (dup_frac >= 0.5 from the shared _dup_spans derivation — the
+      Lee et al. span audit as an admission screen); its census joins
+      in doc-keyed and left-absent docs pass (no spans).
+    Whole plan: 2 corpus scans total (main pass + the span census's
+    own narrow doc_id+text projection), v1-naive would be >= 5 passes
+    for the same screens.  Shuffles: gram-key window, span interval
+    merge (doc-keyed), digest window, census join, final 3-row agg.
+
+    Output: part, n_docs, n_langs, total_tokens, min_doc."""
+    from skyhookdb_ceph_spark.queries.pipeline11 import (
+        _CASCADE_BD,
+        _CASCADE_HI,
+        _CASCADE_LO,
+        cascade_exprs,
+    )
+    from skyhookdb_ceph_spark.queries.pipeline12 import _dup_spans
+
+    census = _dup_spans(spark, sf_dir).groupBy("doc_id").agg(
+        quantize(
+            F.sum(F.col("e") - F.col("s") + 1) / F.first("n"), 6
+        ).alias("dup_frac")
+    )
+    q1, bd = cascade_exprs()
+    w = Window.partitionBy(F.expr("md5(text)")).orderBy("doc_id")
+    base = (
+        Catalog(spark, sf_dir)
+        .documents.filter("text IS NOT NULL")
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            "text",
+            F.row_number().over(w).alias("rn"),
+        )
+    )
+    kept = (
+        base.filter(
+            f"rn = 1 AND n_chars BETWEEN 50 AND 5000 AND "
+            f"({q1} >= {_CASCADE_HI} OR "
+            f"({q1} >= {_CASCADE_LO} AND {bd} >= {_CASCADE_BD}))"
+        )
+        .join(census, "doc_id", "left")
+        .filter(f"coalesce(dup_frac, 0.0) < {_E2E2_DUP_FRAC_MAX}")
+    )
+    bucket = (F.col("doc_id") * 2654435761) % 4294967296 % 100
+    split = kept.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.trim("text"), " ")).cast("bigint").alias("n_tokens"),
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+        .alias("part"),
+    )
+    return (
+        split.groupBy("part")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("lang").cast("bigint").alias("n_langs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.min("doc_id").cast("bigint").alias("min_doc"),
+        )
+        .orderBy("part")
+    )

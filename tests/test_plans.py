@@ -1247,6 +1247,29 @@ def test_dedup_corpus_one_shuffle_beyond_labels(spark):
     assert plan.count("hashpartitioning(cluster") == 1
 
 
+def test_pipeline_e2e_v2_two_scans_one_pass_screens(spark):
+    """q_pipeline_e2e_v2 (r11 verdict item 8): the recomposed curation
+    pipeline must read the corpus exactly TWICE in the whole plan —
+    the main pass (dedup rank + cascade screens + split bucket all
+    ride ONE scan before the single digest-keyed shuffle) and the
+    span census's narrow doc_id+text projection.  Exactly four
+    Windows (digest row_number, gram-frequency count, span interval
+    merge max, span group-id sum), exactly one derived-expression
+    exchange (the md5 digest, printed as a _wN projection), no
+    all-pairs shape — and the rn=1 dedup filter must trigger rank-
+    limit pushdown (WindowGroupLimit), which prunes duplicate docs
+    per partition BEFORE the digest shuffle carries them."""
+    import re
+
+    plan = explain_str(q("q_pipeline_e2e_v2", spark))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2
+    assert len(re.findall(r"\(\d+\) Window(?!GroupLimit)", plan)) == 4
+    assert "WindowGroupLimit" in plan
+    assert len(re.findall(r"hashpartitioning\(_w\d+", plan)) == 1
+
+
 def test_dedup_minhash_recall_never_all_pairs(spark):
     """The recall audit's ground truth is the PERMISSIVE r=1 band
     equi-join over the corpus-scaled sample, never an exact all-pairs
