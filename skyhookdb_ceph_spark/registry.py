@@ -61,66 +61,59 @@ _LOADED = False
 # list pins the front of the registry each round; anything not listed
 # keeps module-import order after it.
 #
-# Round-11 rotation: cumulative driver-green after r10 = 312 distinct
-# QueryIDs (every latest stamp green; 5 r1 failures all re-stamped).
-# The window stays REGRESSION INSURANCE, new/changed-first then
-# oldest-stamps-first: lead with anything round 11 added or touched
-# (q_agg_incremental_merge's ORACLE changed — avg(value) pinned to
-# sum/count(*) so a nullable value column can't silently diverge, r10
-# ADVICE; q_dedup_incremental and q_scan_bucket_prune now build their
-# catalog artifacts under per-run scoped names), then the r4-era
-# remainder (last externally checked in round 4, seven rounds of
-# shared-helper refactors ago), then the front of the r5 era.
-# Everything outside the window stays covered by
+# Round-12 rotation: cumulative driver-green after r11 = 319 distinct
+# QueryIDs; stamp distribution r5=36, r6=47, r7=48, r8=47, r9=46,
+# r10=45, r11=50 — no stamp older than r5.  The window stays
+# REGRESSION INSURANCE, new/changed-first then oldest-stamps-first:
+# lead with round-12 additions (q_transform_dedup_corpus,
+# q_pipeline_e2e_v2) and everything round 12 touched (the recall
+# audit's ORACLE changed — hashed sampling, r11 ADVICE; the strip
+# action's fold is now projected once; the streaming LSH index is
+# persisted; q_dedup_cluster / q_text_quality_cascade refactored onto
+# shared helpers the new ops reuse), then ALL 36 remaining r5-era
+# stamps (clearing the r5 era completely), then the front of the r6
+# era.  Everything outside the window stays covered by
 # tests/test_correctness.py's local oracle diff regardless.
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # -- new / changed in round 11 (oracle or expression touched)
-    "q_maint_recluster",  # new: advisor-driven re-cluster + re-measure
-    "q_stream_event_eviction",  # new: CEP funnel w/ bounded state
-    "q_scan_shared",  # new: N curation filters in ONE corpus pass
-    "q_dedup_substring",  # new: exact-substring span dedup
-    "q_dedup_minhash_recall",  # new: measured LSH recall curve
-    "q_stream_dedup_lsh",  # new: streaming LSH admission gate
-    "q_transform_strip_dup_spans",  # new: span-removal action twin
-    "q_agg_incremental_merge",  # oracle pinned to sum/count(*) (ADVICE)
-    "q_dedup_incremental",  # scoped per-run name + banded (8,4) sigs
-    "q_scan_bucket_prune",  # scoped per-run table name (ADVICE)
-    # the banded r=1 -> r=4 MinHash change (BASELINE.md §L.1) rewrote
-    # band_signatures + every consumer's oracle; the vectors.py merge
-    # hints changed q_dedup_embed/q_mine_hardneg's plans — all rotate
-    # in as changed-this-round
-    "q_dedup_fuzzy", "q_dedup_cluster", "q_dedup_agreement",
-    "q_dedup_embed", "q_mine_hardneg",
-    "q_graph_triangles",  # closure_ratio NULL-guarded (x/0 parity)
-    # -- r4-era stamps (externally driver-checked last in round 4)
-    "q_text_langid", "q_text_quality", "q_text_stats",
-    "q_text_tfidf", "q_text_tokens",
-    "q_sim_pairs", "q_sim_knn_ivf", "q_ts_asof_interp",
-    "q_delta_upsert_merge", "q_graph_pagerank",
-    "q_tpch_q1", "q_tpch_q6", "q_tpch_q12", "q_tpch_q14",
-    "q_multimodal_binary", "q_multimodal_json",
-    "q_subquery_exists", "q_subquery_in", "q_subquery_scalar",
-    "q_text_minhash_cluster",
-    # -- r5-era stamps (front of the list; remainder next round)
-    "q_dedup_prefix", "q_ts_ewma", "q_text_zipf",
-    "q_dedup_casefold", "q_dedup_tombstone", "q_agg_argmax",
-    "q_agg_benford", "q_agg_bool", "q_agg_funnel",
-    "q_agg_regression", "q_agg_retention_bitmap", "q_agg_skyline",
-    "q_agg_histogram_eqdepth", "q_feat_hashing",
-    # ---- window boundary (50) — round 12 leads with the r5-era
-    # remainder: q_fn_string_adv, q_fn_try_cast, q_fn_unpivot,
-    # q_gdpr_delete, q_join_bucketed,
-    # q_join_dpp, q_join_scd2, q_join_spatial_grid,
-    # q_sim_knn_multiprobe, q_sort_pagination,
-    # q_sql_cte/values/named_window, q_stats_constraints,
-    # q_stats_profile, q_text_bigram_lm/bpe_merge/html_strip/
-    # proximity, q_tpch_q4/q7/q8/q13/q15/q17/q18/q19/q22,
-    # q_ts_anomaly, q_ts_rollup_two_level, q_vec_ivf_build,
-    # q_win_islands/nth_value/retention_cohort, q_scan_partition_prune,
-    # q_multimodal_audio_windows, q_tpch_q2; then the r6 era
-    # (q_agg_weighted_avg, q_join_range_bucket, q_join_stats_driven,
-    # q_sample_length_biased, q_vec_pq_code, q_multimodal_decode,
-    # q_win_gaps, q_data_mix, q_data_split, q_agg_median_exact, ...).
+    # -- new / changed in round 12
+    "q_transform_dedup_corpus",  # new: cluster-canonical survivors
+    "q_pipeline_e2e_v2",  # new: recomposed curation pipeline
+    "q_dedup_minhash_recall",  # oracle changed: hashed audit sample
+    "q_transform_strip_dup_spans",  # fold projected once (ADVICE)
+    "q_stream_dedup_lsh",  # static index persisted (ADVICE)
+    "q_text_quality_cascade",  # refactored onto cascade_exprs
+    "q_dedup_cluster",  # refactored onto cluster_labels
+    "q_pipeline_e2e",  # v1 twin of the new v2 (r6 stamp)
+    # -- r5-era stamps, ALL 36 (externally checked last in round 5)
+    "q_fn_string_adv", "q_fn_try_cast", "q_fn_unpivot",
+    "q_gdpr_delete", "q_join_bucketed", "q_join_dpp", "q_join_scd2",
+    "q_join_spatial_grid", "q_multimodal_audio_windows",
+    "q_scan_partition_prune", "q_sim_knn_multiprobe",
+    "q_sort_pagination", "q_sql_cte", "q_sql_named_window",
+    "q_sql_values", "q_stats_constraints", "q_stats_profile",
+    "q_text_bigram_lm", "q_text_bpe_merge", "q_text_html_strip",
+    "q_text_proximity", "q_tpch_q4", "q_tpch_q7", "q_tpch_q8",
+    "q_tpch_q13", "q_tpch_q15", "q_tpch_q17", "q_tpch_q18",
+    "q_tpch_q19", "q_tpch_q22", "q_ts_anomaly",
+    "q_ts_rollup_two_level", "q_vec_ivf_build", "q_win_islands",
+    "q_win_nth_value", "q_win_retention_cohort",
+    # -- front of the r6 era
+    "q_agg_groupby", "q_agg_scalar", "q_tpch_q2", "q_tpch_q9",
+    "q_win_dense_rank", "q_multimodal_decode",
+    # ---- window boundary (50) — round 13 leads with the r6-era
+    # remainder: q_agg_gini, q_agg_grouping_id, q_agg_median_exact,
+    # q_agg_weighted_avg, q_data_mix, q_data_split, q_fn_try_arith,
+    # q_gdpr_export, q_join_null_safe, q_join_null_skew,
+    # q_join_range_bucket, q_join_stats_driven, q_multimodal_image,
+    # q_sample_length_biased, q_scan_agg_pushdown, q_scan_binary_file,
+    # q_scan_corrupt_json, q_set_except_all, q_set_intersect_all,
+    # q_sql_exists_flag, q_sql_group_by_all, q_sql_lateral,
+    # q_sql_recursive, q_stream_cdc_apply, q_stream_foreach_batch,
+    # q_stream_resume, q_stream_session_live, q_stream_topk,
+    # q_stream_update_mode, q_stream_watermark_append, q_text_novelty,
+    # q_tpch_q11, q_tpch_q16, q_tpch_q20, q_tpch_q21, q_ts_seasonal,
+    # q_vec_matryoshka_eval, q_vec_pq_code, q_win_gaps,
+    # q_win_peak_concurrency; then the r7 era.
 )
 
 

@@ -678,6 +678,396 @@ def gen_case(seed: int) -> Case:
     return Case(seed, kind, spec)
 
 
+# ---------------------------------------------------------------------------
+# grammar v2 (round 12): the weird half of the surface.  Kept as a
+# SEPARATE generator so the v1 seed corpus (3000 seeds green across
+# rounds 10-11) stays bit-reproducible — changing gen_case's choice
+# list would remap every historical seed.
+#
+# New shapes (r11 verdict item 2):
+#   join3    — 3-table chains and stars (join reordering, null fan-out)
+#   subq     — scalar (global + correlated) and [NOT] EXISTS subqueries
+#   gsets    — ROLLUP / CUBE / GROUPING SETS with grouping_id
+#   lambda   — higher-order array lambdas over embeddings.embedding
+#              (fold/transform/filter/slice/element access)
+#   strfn    — deep string-function compositions over documents.text
+#   rangewin — RANGE window frames, plus EXCLUDE CURRENT ROW rendered
+#              NATIVELY in DuckDB vs EMULATED in Spark (range sum minus
+#              current row, NULL-guarded by frame count) — a true
+#              cross-engine semantics differential
+#
+# Determinism rules inherited from v1, plus:
+#   - scalar subqueries compare against min/max/count only (exact at
+#     any summation order; an avg boundary could flip a > at the ulp);
+#   - array folds cast f32 elements to double FIRST (exact), then
+#     quantize the fold at 4 digits (64-element double sums agree far
+#     below 1e-4 at any association order);
+#   - RANGE frames are value-defined, hence total-order-free: legal
+#     even on lineitem (no unique key), unlike the v1 ROWS shapes.
+# ---------------------------------------------------------------------------
+
+EMB_T = Table(
+    "embeddings",
+    (
+        Col("vec_id", "i", (1, 100, 400)),
+        Col("label", "i", (0, 3, 7)),
+    ),
+    ("vec_id",),
+    ("label",),
+)
+
+CHAINS3 = [
+    # (shape, t1, t2, t3, (k1, k2_of_t2), (k_from, k3_of_t3))
+    # chain: T1-T2 on k1=k2, T2-T3 on j_from(t2)=k3
+    ("chain", "lineitem", "orders", "customer",
+     ("l_orderkey", "o_orderkey"), ("o_custkey", "c_custkey")),
+    # star: T1-T2 on k1=k2, T1-T3 on j_from(t1)=k3
+    ("star", "lineitem", "orders", "part",
+     ("l_orderkey", "o_orderkey"), ("l_partkey", "p_partkey")),
+]
+
+SUBQ_PAIRS = [
+    # (outer, inner, outer key, inner key, outer cmp col, inner num col)
+    ("customer", "orders", "c_custkey", "o_custkey",
+     "c_acctbal", "o_totalprice"),
+    ("orders", "lineitem", "o_orderkey", "l_orderkey",
+     "o_totalprice", "l_extendedprice"),
+    ("part", "lineitem", "p_partkey", "l_partkey",
+     "p_retailprice", "l_quantity"),
+]
+
+
+@dataclass
+class Join3Spec:
+    shape: str  # chain / star
+    t1: str
+    t2: str
+    t3: str
+    j1: tuple[str, str]
+    j2: tuple[str, str]
+    how1: str  # inner / left
+    how2: str
+    p1: Ex | None
+    p2: Ex | None
+    p3: Ex | None
+    group: str | None  # t1 lowcard
+    aggs: list[AggEx]  # over t1 columns
+
+
+@dataclass
+class SubqSpec:
+    form: str  # scalar / scalar_corr / exists / not_exists
+    outer: str
+    inner: str
+    okey: str | None  # correlation keys (corr forms)
+    ikey: str | None
+    cmp_col: str | None  # scalar forms: outer column compared
+    fn: str | None  # min / max / count over the inner column
+    icol: str | None
+    opred: Ex | None
+    ipred: Ex | None
+    out: list[str]
+
+
+@dataclass
+class GSetsSpec:
+    table: str
+    pred: Ex | None
+    keys: list[str]  # 1-2 lowcard columns
+    mode: str  # rollup / cube / sets
+    sets: list[list[str]]  # for mode == sets
+    aggs: list[AggEx]
+
+
+@dataclass
+class LambdaSpec:
+    pred: Ex | None  # over vec_id / label
+    shapes: list[tuple[str, str, object]]  # (alias, kind, param)
+
+
+@dataclass
+class StrFnSpec:
+    pred: Ex | None
+    derived: list[tuple[str, Ex]]
+
+
+@dataclass
+class RangeWinSpec:
+    table: str
+    pred: Ex | None
+    part: str
+    oc: str  # numeric order column (value-defined frame: ties OK)
+    funcs: list[tuple[str, str, str, int]]  # (alias, fn, argcol, k)
+
+
+def _str_expr(rng: random.Random, depth: int) -> Ex:
+    """A string-typed composition over documents text/lang/source."""
+    t = CATALOG["documents"]
+    base = rng.choice(["text", "text", "lang", "source"])
+    e = Ex(F.col(base), base, "s")
+    for _ in range(depth):
+        r = rng.random()
+        if r < 0.2:
+            p, n = rng.randint(1, 6), rng.randint(1, 8)
+            e = Ex(F.substring(e.sp, p, n), f"substr({e.sql}, {p}, {n})", "s")
+        elif r < 0.35:
+            fn = rng.choice(["upper", "lower"])
+            e = Ex(getattr(F, fn)(e.sp), f"{fn}({e.sql})", "s")
+        elif r < 0.45:
+            e = Ex(F.trim(e.sp), f"trim({e.sql})", "s")
+        elif r < 0.6:
+            src, dst = rng.choice(
+                [("ae", "_x"), ("eo", "31"), ("t ", "T-")]
+            )
+            e = Ex(
+                F.translate(e.sp, src, dst),
+                f"translate({e.sql}, '{src}', '{dst}')",
+                "s",
+            )
+        elif r < 0.72:
+            fn = rng.choice(["lpad", "rpad"])
+            n = rng.randint(1, 12)
+            e = Ex(
+                getattr(F, fn)(e.sp, n, "*"),
+                f"{fn}({e.sql}, {n}, '*')",
+                "s",
+            )
+        elif r < 0.85:
+            lit = rng.choice(["_", "-x", "Q"])
+            if rng.random() < 0.5:
+                e = Ex(
+                    F.concat(e.sp, F.lit(lit)),
+                    f"({e.sql} || '{lit}')",
+                    "s",
+                )
+            else:
+                other = Ex(F.col("lang"), "lang", "s")
+                e = Ex(
+                    F.concat(e.sp, other.sp),
+                    f"({e.sql} || {other.sql})",
+                    "s",
+                )
+        else:
+            k = rng.randint(1, 6)
+            e = Ex(
+                F.try_element_at(F.split(e.sp, " "), F.lit(k)),
+                f"string_split({e.sql}, ' ')[{k}]",
+                "s",
+            )
+    # terminal: keep string, or project to an exact integer
+    r = rng.random()
+    if r < 0.25:
+        return Ex(
+            F.length(e.sp).cast("bigint"),
+            f"CAST(length({e.sql}) AS BIGINT)",
+            "i",
+        )
+    if r < 0.4:
+        needle = rng.choice(["the", "a", "er"])
+        return Ex(
+            F.instr(e.sp, needle).cast("bigint"),
+            f"CAST(strpos({e.sql}, '{needle}') AS BIGINT)",
+            "i",
+        )
+    return e
+
+
+_LAMBDA_SHAPES = ("sumsq", "fold_sum", "npos", "maxel", "minel",
+                  "elem", "slice_sum")
+
+
+def _lambda_param(rng: random.Random, kind: str):
+    """Draw the shape's parameter at GEN time (render must be
+    deterministic from the spec for shrink/repro)."""
+    if kind == "npos":
+        return rng.choice([-0.1, 0.0, 0.05, 0.1])
+    if kind == "elem":
+        return rng.choice([1, 7, 64, 65])  # 65 = out-of-range -> NULL
+    if kind == "slice_sum":
+        return rng.choice([4, 16, 32])
+    return None
+
+
+def _lambda_ex(kind: str, alias: str, param):
+    """(spark Column, duckdb SQL) for one array shape."""
+    cast_d = "transform(embedding, x -> CAST(x AS DOUBLE))"
+    duck_d = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+    if kind == "sumsq":
+        sp = F.expr(
+            "floor(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) "
+            "* CAST(x AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+            f" * 10000 + 0.5) / 10000"
+        ).alias(alias)
+        sql = (
+            "floor(list_aggregate(list_transform(embedding, x -> "
+            "CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') * 10000 + 0.5) "
+            f"/ 10000 AS {alias}"
+        )
+        return sp, sql
+    if kind == "fold_sum":
+        sp = F.expr(
+            f"floor(aggregate({cast_d}, CAST(0.0 AS DOUBLE), "
+            "(acc, x) -> acc + x) * 10000 + 0.5) / 10000"
+        ).alias(alias)
+        sql = (
+            f"floor(list_aggregate({duck_d}, 'sum') * 10000 + 0.5) "
+            f"/ 10000 AS {alias}"
+        )
+        return sp, sql
+    if kind == "npos":
+        c = param
+        sp = F.expr(
+            f"CAST(size(filter(embedding, x -> CAST(x AS DOUBLE) > {c!r}))"
+            " AS BIGINT)"
+        ).alias(alias)
+        sql = (
+            f"CAST(len(list_filter(embedding, x -> CAST(x AS DOUBLE) > "
+            f"{c!r})) AS BIGINT) AS {alias}"
+        )
+        return sp, sql
+    if kind in ("maxel", "minel"):
+        fn = "max" if kind == "maxel" else "min"
+        sp = F.expr(
+            f"floor(array_{fn}({cast_d}) * 1000000 + 0.5) / 1000000"
+        ).alias(alias)
+        sql = (
+            f"floor(list_aggregate({duck_d}, '{fn}') * 1000000 + 0.5) "
+            f"/ 1000000 AS {alias}"
+        )
+        return sp, sql
+    if kind == "elem":
+        k = param
+        sp = F.expr(
+            f"floor(CAST(try_element_at(embedding, {k}) AS DOUBLE) "
+            "* 1000000 + 0.5) / 1000000"
+        ).alias(alias)
+        sql = (
+            f"floor(CAST(embedding[{k}] AS DOUBLE) * 1000000 + 0.5) "
+            f"/ 1000000 AS {alias}"
+        )
+        return sp, sql
+    # slice_sum
+    k = param
+    sp = F.expr(
+        f"floor(aggregate(transform(slice(embedding, 1, {k}), "
+        "x -> CAST(x AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+        " * 10000 + 0.5) / 10000"
+    ).alias(alias)
+    sql = (
+        f"floor(list_aggregate(list_transform(list_slice(embedding, 1, "
+        f"{k}), x -> CAST(x AS DOUBLE)), 'sum') * 10000 + 0.5) / 10000 "
+        f"AS {alias}"
+    )
+    return sp, sql
+
+
+def gen_case2(seed: int) -> Case:
+    """Grammar v2: sample one of the round-12 shapes."""
+    rng = random.Random(seed ^ 0x5EED12)
+    kind = rng.choice(
+        ["join3", "subq", "gsets", "lambda", "strfn", "rangewin"]
+    )
+    if kind == "join3":
+        shape, t1, t2, t3, j1, j2 = CHAINS3[rng.randrange(len(CHAINS3))]
+        c1, c2, c3 = CATALOG[t1], CATALOG[t2], CATALOG[t3]
+        how1 = rng.choice(["inner", "inner", "left"])
+        how2 = rng.choice(["inner", "inner", "left"])
+        p1 = gen_pred(rng, c1, depth=1) if rng.random() < 0.6 else None
+        p2 = gen_pred(rng, c2, depth=1) if rng.random() < 0.6 else None
+        p3 = gen_pred(rng, c3, depth=1) if rng.random() < 0.6 else None
+        group = rng.choice(c1.lowcard) if rng.random() < 0.7 else None
+        aggs = [gen_agg(rng, c1, f"a{i}") for i in range(rng.randint(1, 3))]
+        spec = Join3Spec(
+            shape, t1, t2, t3, j1, j2, how1, how2, p1, p2, p3, group, aggs
+        )
+    elif kind == "subq":
+        form = rng.choice(["scalar", "scalar_corr", "exists", "not_exists"])
+        if form == "scalar":
+            t = CATALOG[rng.choice(list(CATALOG))]
+            nums = [c.name for c in t.cols if c.typ in "if"]
+            cmp_col, icol = rng.choice(nums), rng.choice(nums)
+            fn = rng.choice(["min", "max"])
+            opred = gen_pred(rng, t, depth=1) if rng.random() < 0.5 else None
+            ipred = gen_pred(rng, t, depth=1) if rng.random() < 0.7 else None
+            out = rng.sample(
+                [c.name for c in t.cols if c.typ != "f"] or [cmp_col],
+                k=min(3, max(1, len([c for c in t.cols if c.typ != "f"]))),
+            )
+            spec = SubqSpec(
+                form, t.name, t.name, None, None, cmp_col, fn, icol,
+                opred, ipred, out,
+            )
+        else:
+            outer, inner, okey, ikey, ocmp, icol = SUBQ_PAIRS[
+                rng.randrange(len(SUBQ_PAIRS))
+            ]
+            ot, it = CATALOG[outer], CATALOG[inner]
+            opred = gen_pred(rng, ot, depth=1) if rng.random() < 0.5 else None
+            ipred = gen_pred(rng, it, depth=1) if rng.random() < 0.7 else None
+            out = rng.sample(
+                [c.name for c in ot.cols], rng.randint(1, min(3, len(ot.cols)))
+            )
+            fn = rng.choice(["min", "max", "count"])
+            spec = SubqSpec(
+                form, outer, inner, okey, ikey, ocmp, fn, icol,
+                opred, ipred, out,
+            )
+    elif kind == "gsets":
+        t = CATALOG[rng.choice(list(CATALOG))]
+        pred = gen_pred(rng, t, depth=1) if rng.random() < 0.6 else None
+        nk = rng.randint(1, min(2, len(t.lowcard)))
+        keys = rng.sample(list(t.lowcard), nk)
+        mode = rng.choice(["rollup", "cube", "sets"])
+        sets: list[list[str]] = []
+        if mode == "sets":
+            # the FULL key set must always be one of the sets: DuckDB's
+            # binder requires every GROUPING() child (and every selected
+            # key) to be a grouping column in some set (seed 25 of this
+            # grammar's first run); prefixes + the last key alone are
+            # optional extras
+            cand = [keys[:i] for i in range(len(keys))]
+            if len(keys) == 2:
+                cand.append([keys[1]])
+            extra = {tuple(s) for s in cand if rng.random() < 0.6}
+            sets = [list(keys)] + [list(s) for s in sorted(extra)]
+        aggs = [gen_agg(rng, t, f"a{i}") for i in range(rng.randint(1, 3))]
+        spec = GSetsSpec(t.name, pred, keys, mode, sets, aggs)
+    elif kind == "lambda":
+        pred = gen_pred(rng, EMB_T, depth=1) if rng.random() < 0.6 else None
+        shapes = []
+        for i in range(rng.randint(1, 3)):
+            k = rng.choice(_LAMBDA_SHAPES)
+            shapes.append((f"s{i}", k, _lambda_param(rng, k)))
+        spec = LambdaSpec(pred, shapes)
+    elif kind == "strfn":
+        t = CATALOG["documents"]
+        pred = gen_pred(rng, t, depth=1) if rng.random() < 0.6 else None
+        derived = [
+            (f"d{i}", _str_expr(rng, rng.randint(1, 4)))
+            for i in range(rng.randint(1, 3))
+        ]
+        spec = StrFnSpec(pred, derived)
+    else:  # rangewin
+        t = CATALOG[rng.choice(list(CATALOG))]
+        pred = gen_pred(rng, t, depth=1) if rng.random() < 0.5 else None
+        part = rng.choice(t.lowcard)
+        nums = [c.name for c in t.cols if c.typ in "if"]
+        # a numeric lowcard (user_id, p_size) can be the partition col;
+        # ordering by it too would duplicate the output column and is a
+        # degenerate frame anyway (every peer at distance 0)
+        oc = rng.choice([n for n in nums if n != part] or nums)
+        funcs = []
+        for i in range(rng.randint(1, 3)):
+            fn = rng.choice(
+                ["sum", "count", "min", "max", "sum_excl", "sum_excl"]
+            )
+            arg = rng.choice(nums)
+            k = rng.choice([1, 3, 10, 100])
+            funcs.append((f"w{i}", fn, arg, k))
+        spec = RangeWinSpec(t.name, pred, part, oc, funcs)
+    return Case(seed, kind, spec)
+
+
 # --- renderers -------------------------------------------------------------
 
 
@@ -687,8 +1077,232 @@ def _base_df(spark, sf_dir: str, table: str) -> DataFrame:
     return getattr(Catalog(spark, sf_dir), table)
 
 
+def _render_join3(s: Join3Spec, spark, sf_dir: str):
+    d1 = _base_df(spark, sf_dir, s.t1)
+    d2 = _base_df(spark, sf_dir, s.t2)
+    d3 = _base_df(spark, sf_dir, s.t3)
+    if s.p1 is not None:
+        d1 = d1.filter(s.p1.sp)
+    if s.p2 is not None:
+        d2 = d2.filter(s.p2.sp)
+    if s.p3 is not None:
+        d3 = d3.filter(s.p3.sp)
+    lk, mk = s.j1
+    jk, rk = s.j2
+    joined = d1.join(d2, F.col(lk) == F.col(mk), s.how1).join(
+        d3, F.col(jk) == F.col(rk), s.how2
+    )
+    gcols = [s.group] if s.group else []
+    if gcols:
+        out = joined.groupBy(*gcols).agg(*[a.sp for a in s.aggs])
+    else:
+        out = joined.agg(*[a.sp for a in s.aggs])
+    w1 = f" WHERE {s.p1.sql}" if s.p1 is not None else ""
+    w2 = f" WHERE {s.p2.sql}" if s.p2 is not None else ""
+    w3 = f" WHERE {s.p3.sql}" if s.p3 is not None else ""
+    j1 = "JOIN" if s.how1 == "inner" else "LEFT JOIN"
+    j2 = "JOIN" if s.how2 == "inner" else "LEFT JOIN"
+    # jk lives on T2 for chains, on T1 for stars — bare names are
+    # unique across TPC-H tables, so unqualified refs are unambiguous
+    frm = (
+        f"(SELECT * FROM {s.t1}{w1}) T1 "
+        f"{j1} (SELECT * FROM {s.t2}{w2}) T2 ON {lk} = {mk} "
+        f"{j2} (SELECT * FROM {s.t3}{w3}) T3 ON {jk} = {rk}"
+    )
+    cols = gcols + [a.sql for a in s.aggs]
+    sql = f"SELECT {', '.join(cols)} FROM {frm}"
+    if gcols:
+        sql += f" GROUP BY {', '.join(gcols)}"
+    return out, sql
+
+
+def _render_subq(s: SubqSpec, spark, sf_dir: str):
+    odf = _base_df(spark, sf_dir, s.outer)
+    idf = _base_df(spark, sf_dir, s.inner)
+    if s.opred is not None:
+        odf = odf.filter(s.opred.sp)
+    if s.ipred is not None:
+        idf = idf.filter(s.ipred.sp)
+    iw = f" WHERE {s.ipred.sql}" if s.ipred is not None else ""
+    ow = f" WHERE {s.opred.sql}" if s.opred is not None else ""
+    cols = ", ".join(s.out)
+    if s.form == "scalar":
+        fnsp = {"min": F.min, "max": F.max}[s.fn]
+        sub = idf.agg(fnsp(s.icol).alias("_sv"))
+        out = (
+            odf.crossJoin(sub)
+            .filter(F.col(s.cmp_col) > F.col("_sv"))
+            .select(*s.out)
+        )
+        conj = "AND" if s.opred is not None else "WHERE"
+        sql = (
+            f"SELECT {cols} FROM {s.outer}{ow} {conj} {s.cmp_col} > "
+            f"(SELECT {s.fn}({s.icol}) FROM {s.inner}{iw})"
+        )
+        return out, sql
+    if s.form in ("exists", "not_exists"):
+        how = "semi" if s.form == "exists" else "anti"
+        out = odf.join(
+            idf, F.col(s.okey) == F.col(s.ikey), how
+        ).select(*s.out)
+        neg = "NOT " if s.form == "not_exists" else ""
+        sql = (
+            f"SELECT {cols} FROM (SELECT * FROM {s.outer}{ow}) O "
+            f"WHERE {neg}EXISTS "
+            f"(SELECT 1 FROM (SELECT * FROM {s.inner}{iw}) I "
+            f"WHERE I.{s.ikey} = O.{s.okey})"
+        )
+        return out, sql
+    # scalar_corr: outer.cmp > (SELECT fn(icol) FROM inner WHERE corr)
+    if s.fn == "count":
+        agg = idf.groupBy(s.ikey).agg(
+            F.count(F.lit(1)).cast("bigint").alias("_sv")
+        )
+        fn_sql = "CAST(count(*) AS BIGINT)"
+    else:
+        fnsp = {"min": F.min, "max": F.max}[s.fn]
+        agg = idf.groupBy(s.ikey).agg(fnsp(s.icol).alias("_sv"))
+        fn_sql = f"{s.fn}({s.icol})"
+    out = (
+        odf.join(agg, F.col(s.okey) == F.col(s.ikey), "inner")
+        .filter(F.col(s.cmp_col) > F.col("_sv"))
+        .select(*s.out)
+    )
+    # NOTE count form: a correlated (SELECT count(*)) is 0 for no-match
+    # rows in SQL, which the Spark inner-join render would NOT match —
+    # so the SQL side also goes through an explicit grouped subquery
+    # join, keeping both renders the same algebra (the differential
+    # still exercises DuckDB's decorrelation of the grouped join).
+    sql = (
+        f"SELECT {cols} FROM {s.outer} O JOIN "
+        f"(SELECT {s.ikey} AS _ik, {fn_sql} AS _sv FROM {s.inner}{iw} "
+        f"GROUP BY {s.ikey}) g ON O.{s.okey} = g._ik "
+        f"WHERE {s.cmp_col} > _sv"
+        + (f" AND ({s.opred.sql})" if s.opred is not None else "")
+    )
+    return out, sql
+
+
+def _render_gsets(s: GSetsSpec, spark, sf_dir: str):
+    df = _base_df(spark, sf_dir, s.table)
+    if s.pred is not None:
+        df = df.filter(s.pred.sp)
+    gid = F.grouping_id().cast("bigint").alias("gid")
+    if s.mode == "rollup":
+        g = df.rollup(*s.keys)
+        by = f"ROLLUP({', '.join(s.keys)})"
+    elif s.mode == "cube":
+        g = df.cube(*s.keys)
+        by = f"CUBE({', '.join(s.keys)})"
+    else:
+        g = df.groupingSets(
+            [[F.col(k) for k in sub] for sub in s.sets],
+            *[F.col(k) for k in s.keys],
+        )
+        subs = ", ".join(f"({', '.join(sub)})" for sub in s.sets)
+        by = f"GROUPING SETS ({subs})"
+    out = g.agg(gid, *[a.sp for a in s.aggs]).select(
+        *s.keys, "gid", *[a.alias for a in s.aggs]
+    )
+    w = f" WHERE {s.pred.sql}" if s.pred is not None else ""
+    gsql = f"CAST(GROUPING({', '.join(s.keys)}) AS BIGINT) AS gid"
+    sql = (
+        f"SELECT {', '.join(s.keys)}, {gsql}, "
+        f"{', '.join(a.sql for a in s.aggs)} "
+        f"FROM {s.table}{w} GROUP BY {by}"
+    )
+    return out, sql
+
+
+def _render_lambda(s: LambdaSpec, spark, sf_dir: str):
+    df = _base_df(spark, sf_dir, "embeddings")
+    if s.pred is not None:
+        df = df.filter(s.pred.sp)
+    sps, sqls = [F.col("vec_id")], ["vec_id"]
+    for alias, kind, param in s.shapes:
+        sp, sql = _lambda_ex(kind, alias, param)
+        sps.append(sp)
+        sqls.append(sql)
+    out = df.select(*sps)
+    w = f" WHERE {s.pred.sql}" if s.pred is not None else ""
+    return out, f"SELECT {', '.join(sqls)} FROM embeddings{w}"
+
+
+def _render_strfn(s: StrFnSpec, spark, sf_dir: str):
+    df = _base_df(spark, sf_dir, "documents")
+    if s.pred is not None:
+        df = df.filter(s.pred.sp)
+    sps = [F.col("doc_id")] + [ex.sp.alias(a) for a, ex in s.derived]
+    sqls = ["doc_id"] + [f"{ex.sql} AS {a}" for a, ex in s.derived]
+    out = df.select(*sps)
+    w = f" WHERE {s.pred.sql}" if s.pred is not None else ""
+    return out, f"SELECT {', '.join(sqls)} FROM documents{w}"
+
+
+def _render_rangewin(s: RangeWinSpec, spark, sf_dir: str):
+    t = CATALOG[s.table]
+    df = _base_df(spark, sf_dir, s.table)
+    if s.pred is not None:
+        df = df.filter(s.pred.sp)
+    over = (
+        f"PARTITION BY {s.part} ORDER BY {s.oc} "
+        "RANGE BETWEEN {k} PRECEDING AND CURRENT ROW"
+    )
+    sps = [F.col(s.part), F.col(s.oc)]
+    sqls = [s.part, s.oc]
+    for alias, fn, arg, k in s.funcs:
+        ov = over.format(k=k)
+        scale = 10 ** t.col(arg).sumq
+        if fn == "count":
+            sp = F.expr(f"CAST(count({arg}) OVER ({ov}) AS BIGINT)")
+            sq = f"CAST(count({arg}) OVER ({ov}) AS BIGINT)"
+        elif fn in ("min", "max"):
+            sp = F.expr(f"CAST({fn}({arg}) OVER ({ov}) AS DOUBLE)")
+            sq = f"CAST({fn}({arg}) OVER ({ov}) AS DOUBLE)"
+        elif fn == "sum":
+            # CAST to DOUBLE: an int-column sum is BIGINT in Spark and
+            # HUGEINT in DuckDB; floor()/scale then lands in DECIMAL on
+            # the Spark side (renders '16379.000000' vs '16379.0') —
+            # found by seed 5 of this grammar's first run
+            sp = F.expr(
+                f"floor(CAST(sum({arg}) OVER ({ov}) AS DOUBLE) "
+                f"* {scale} + 0.5) / {scale}"
+            )
+            sq = (
+                f"floor(CAST(sum({arg}) OVER ({ov}) AS DOUBLE) "
+                f"* {scale} + 0.5) / {scale}"
+            )
+        else:  # sum_excl — DuckDB native EXCLUDE vs Spark emulation
+            sp = F.expr(
+                f"CASE WHEN count({arg}) OVER ({ov}) > 1 THEN "
+                f"floor(CAST(sum({arg}) OVER ({ov}) - {arg} AS DOUBLE) "
+                f"* {scale} + 0.5) / {scale} END"
+            )
+            sq = (
+                f"floor(CAST(sum({arg}) OVER ({ov} EXCLUDE CURRENT ROW) "
+                f"AS DOUBLE) * {scale} + 0.5) / {scale}"
+            )
+        sps.append(sp.alias(alias))
+        sqls.append(f"{sq} AS {alias}")
+    out = df.select(*sps)
+    w = f" WHERE {s.pred.sql}" if s.pred is not None else ""
+    return out, f"SELECT {', '.join(sqls)} FROM {s.table}{w}"
+
+
+_V2_RENDER = {
+    "join3": _render_join3,
+    "subq": _render_subq,
+    "gsets": _render_gsets,
+    "lambda": _render_lambda,
+    "strfn": _render_strfn,
+    "rangewin": _render_rangewin,
+}
+
+
 def render(case: Case, spark, sf_dir: str) -> tuple[DataFrame, str]:
     s = case.spec
+    if case.kind in _V2_RENDER:
+        return _V2_RENDER[case.kind](s, spark, sf_dir)
     if case.kind == "filter":
         t = CATALOG[s.table]
         df = _base_df(spark, sf_dir, s.table)
@@ -928,6 +1542,22 @@ def compare(case: Case, spark, con, sf_dir: str) -> str | None:
     if s_cols != o_cols:
         return f"cols spark={s_cols} duckdb={o_cols}"
     if len(s_rows) != len(o_rows):
+        # KNOWN ENGINE DIVERGENCE (found by grammar-v2 seed 22, round
+        # 12; verified by hand): GROUP BY ROLLUP/CUBE/GROUPING SETS
+        # over an EMPTY input yields the standard's grand-total row(s)
+        # in DuckDB (count 0, keys NULL) but ZERO rows in Spark —
+        # Spark expands grouping sets via Expand BEFORE the aggregate,
+        # so an empty child stays empty, while the standard treats the
+        # () grouping set like an ungrouped aggregate.  Filed in
+        # SURVEY §5.2; not a harness bug, and not fixable in a render
+        # without changing what's being tested — so an empty-input
+        # gsets case is recorded as agreeing-modulo-known-divergence.
+        if case.kind == "gsets" and len(s_rows) == 0:
+            base = _base_df(spark, sf_dir, case.spec.table)
+            if case.spec.pred is not None:
+                base = base.filter(case.spec.pred.sp)
+            if base.limit(1).count() == 0:
+                return None
         return f"rowcount spark={len(s_rows)} duckdb={len(o_rows)}"
     if s_rows != o_rows:
         i = next(i for i, (a, b) in enumerate(zip(s_rows, o_rows)) if a != b)
@@ -995,6 +1625,57 @@ def _reductions(case: Case):
                 if s.inner[i].alias in referenced:
                     continue
                 outs.append(replace(s, inner=s.inner[:i] + s.inner[i + 1 :]))
+    elif case.kind == "join3":
+        for f in ("p1", "p2", "p3"):
+            if getattr(s, f) is not None:
+                outs.append(replace(s, **{f: None}))
+        if s.group:
+            outs.append(replace(s, group=None))
+        if s.how1 == "left":
+            outs.append(replace(s, how1="inner"))
+        if s.how2 == "left":
+            outs.append(replace(s, how2="inner"))
+        if len(s.aggs) > 1:
+            for i in range(len(s.aggs)):
+                outs.append(replace(s, aggs=s.aggs[:i] + s.aggs[i + 1 :]))
+    elif case.kind == "subq":
+        if s.opred is not None:
+            outs.append(replace(s, opred=None))
+        if s.ipred is not None:
+            outs.append(replace(s, ipred=None))
+        if len(s.out) > 1:
+            for i in range(len(s.out)):
+                outs.append(replace(s, out=s.out[:i] + s.out[i + 1 :]))
+    elif case.kind == "gsets":
+        if s.pred is not None:
+            outs.append(replace(s, pred=None))
+        if s.mode != "rollup":
+            outs.append(replace(s, mode="rollup", sets=[]))
+        if len(s.aggs) > 1:
+            for i in range(len(s.aggs)):
+                outs.append(replace(s, aggs=s.aggs[:i] + s.aggs[i + 1 :]))
+    elif case.kind == "lambda":
+        if s.pred is not None:
+            outs.append(replace(s, pred=None))
+        if len(s.shapes) > 1:
+            for i in range(len(s.shapes)):
+                outs.append(
+                    replace(s, shapes=s.shapes[:i] + s.shapes[i + 1 :])
+                )
+    elif case.kind == "strfn":
+        if s.pred is not None:
+            outs.append(replace(s, pred=None))
+        if len(s.derived) > 1:
+            for i in range(len(s.derived)):
+                outs.append(
+                    replace(s, derived=s.derived[:i] + s.derived[i + 1 :])
+                )
+    elif case.kind == "rangewin":
+        if s.pred is not None:
+            outs.append(replace(s, pred=None))
+        if len(s.funcs) > 1:
+            for i in range(len(s.funcs)):
+                outs.append(replace(s, funcs=s.funcs[:i] + s.funcs[i + 1 :]))
     else:
         if s.pred is not None:
             outs.append(replace(s, pred=None))
@@ -1026,6 +1707,7 @@ def run(
     stop_on_fail: bool = False,
     spark=None,
     progress_every: int = 100,
+    grammar: str = "v1",
 ) -> list[tuple[int, str]]:
     """Run n seeded cases; returns [(seed, problem)] for divergences."""
     import duckdb
@@ -1041,9 +1723,10 @@ def run(
             f"CREATE VIEW {t} AS SELECT * FROM "
             f"read_parquet('{sf_dir}/{t}.parquet')"
         )
+    gen = gen_case2 if grammar == "v2" else gen_case
     failures = []
     for seed in range(seed0, seed0 + n):
-        case = gen_case(seed)
+        case = gen(seed)
         problem = compare(case, spark, con, sf_dir)
         if problem is not None:
             small = shrink(case, spark, con, sf_dir, problem)
@@ -1078,6 +1761,7 @@ def run(
 def main() -> int:
     args = sys.argv[1:]
     n, seed0, sf_dir, stop = 500, 0, "/root/testdata/sf0.001", False
+    grammar = "v1"
     it = iter(args)
     for a in it:
         if a == "--n":
@@ -1088,8 +1772,10 @@ def main() -> int:
             sf_dir = next(it)
         elif a == "--stop-on-fail":
             stop = True
-    failures = run(n, seed0, sf_dir, stop)
-    print(f"\n{n - len(failures)}/{n} agree")
+        elif a == "--grammar":
+            grammar = next(it)
+    failures = run(n, seed0, sf_dir, stop, grammar=grammar)
+    print(f"\n{n - len(failures)}/{n} agree [{grammar}]")
     return 1 if failures else 0
 
 
