@@ -417,7 +417,7 @@ _POIS_CDF = [
 _POISSON_ORACLE = f"""
 WITH u AS (
   SELECT event_type, value,
-    (CAST((event_id * 2654435761) % 4294967296 AS DOUBLE)
+    (CAST(((event_id % 2147483647) * 2654435761) % 4294967296 AS DOUBLE)
       / 4294967296) AS u
   FROM events),
 k AS (
@@ -455,8 +455,11 @@ def q_sample_poisson(spark, sf_dir):
     total (E[k]=1 so ~n_orig), dropped fraction (E ~ 36.8 %), and the
     k-weighted value sum."""
     e = Catalog(spark, sf_dir).events
+    # pre-mod by 2^31-1: overflow guard for huge ids (r12 scale
+    # smoke, BASELINE.md §L.7)
     u = (
-        ((F.col("event_id") * F.lit(2654435761)) % F.lit(4294967296))
+        ((F.col("event_id") % 2147483647) * F.lit(2654435761)
+         % F.lit(4294967296))
         .cast("double")
         / F.lit(4294967296.0)
     )

@@ -160,8 +160,10 @@ kept AS (
     AND coalesce(dup_frac, 0.0) < {_E2E2_DUP_FRAC_MAX}),
 split AS (
   SELECT doc_id, lang, n_tokens,
-    CASE WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 80 THEN 'train'
-         WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 90 THEN 'val'
+    CASE WHEN (((doc_id % 2147483647) * 2654435761) % 4294967296) % 100 < 80
+         THEN 'train'
+         WHEN (((doc_id % 2147483647) * 2654435761) % 4294967296) % 100 < 90
+         THEN 'val'
          ELSE 'test' END AS part
   FROM kept)
 SELECT part,
@@ -247,7 +249,11 @@ def q_pipeline_e2e_v2(spark, sf_dir):
         .join(census, "doc_id", "left")
         .filter(f"coalesce(dup_frac, 0.0) < {_E2E2_DUP_FRAC_MAX}")
     )
-    bucket = (F.col("doc_id") * 2654435761) % 4294967296 % 100
+    # pre-mod by 2^31-1 keeps the Knuth product inside BIGINT for ANY
+    # id: the r12 scale smoke KILLED the unguarded form at 30x, where
+    # gen_scale's offset doc_ids (max 2.9e10) overflow under ANSI
+    # (BASELINE.md §L.7); same guard as the recall-curve audit sample
+    bucket = (F.col("doc_id") % 2147483647) * 2654435761 % 4294967296 % 100
     split = kept.select(
         "doc_id",
         "lang",

@@ -291,7 +291,7 @@ def q_win_gaps(spark, sf_dir):
 _WSAMPLE_ORACLE = """
 SELECT doc_id, lang, n_chars
 FROM documents
-WHERE ((doc_id * 2654435761) % 1048576) * 600 < n_chars * 1048576
+WHERE (((doc_id % 2147483647) * 2654435761) % 1048576) * 600 < n_chars * 1048576
 ORDER BY doc_id
 """
 
@@ -312,7 +312,9 @@ def q_sample_length_biased(spark, sf_dir):
     return (
         d.filter(
             F.expr(
-                "((doc_id * 2654435761) % 1048576) * 600 "
+                # pre-mod by 2^31-1: overflow guard for huge ids
+                # (r12 scale smoke, BASELINE.md §L.7)
+                "(((doc_id % 2147483647) * 2654435761) % 1048576) * 600 "
                 "< n_chars * 1048576"
             )
         )

@@ -572,7 +572,9 @@ def q_data_mix(spark, sf_dir):
 
 # Knuth multiplicative hash in exact BIGINT arithmetic — engine-
 # invariant by construction (no engine hash function involved).
-_SPLIT_BUCKET = "((doc_id * 2654435761) % 4294967296) % 100"
+# Pre-mod by 2^31-1: unguarded, the product overflows BIGINT under
+# ANSI for ids past ~3.4e9 (r12 scale smoke, BASELINE.md §L.7).
+_SPLIT_BUCKET = "(((doc_id % 2147483647) * 2654435761) % 4294967296) % 100"
 
 _SPLIT_ORACLE = f"""
 WITH b AS (
@@ -603,7 +605,7 @@ def q_data_split(spark, sf_dir):
     feeds directly.  At 100 TB this is a single map-side-combined
     shuffle on (split, lang) — 3 x n_langs groups."""
     c = Catalog(spark, sf_dir)
-    bucket = (F.col("doc_id") * 2654435761) % 4294967296 % 100
+    bucket = (F.col("doc_id") % 2147483647) * 2654435761 % 4294967296 % 100
     return (
         c.documents.select(
             "doc_id",
@@ -2056,9 +2058,9 @@ kept AS (
 split AS (
   SELECT doc_id, lang, n_chars,
     CAST(length(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
-    CASE WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 80
+    CASE WHEN (((doc_id % 2147483647) * 2654435761) % 4294967296) % 100 < 80
          THEN 'train'
-         WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 90
+         WHEN (((doc_id % 2147483647) * 2654435761) % 4294967296) % 100 < 90
          THEN 'val' ELSE 'test' END AS part
   FROM kept)
 SELECT part,
@@ -2088,7 +2090,9 @@ def q_pipeline_e2e(spark, sf_dir):
     kept = d.join(
         F.broadcast(dedup.select("doc_id")), "doc_id", "leftsemi"
     ).filter(F.col("n_chars").between(50, 5000))
-    bucket = (F.col("doc_id") * 2654435761) % 4294967296 % 100
+    # pre-mod by 2^31-1: unguarded, the Knuth product overflows BIGINT
+    # under ANSI for ids past ~3.4e9 (r12 scale smoke, BASELINE.md §L.7)
+    bucket = (F.col("doc_id") % 2147483647) * 2654435761 % 4294967296 % 100
     split = kept.select(
         "doc_id",
         "lang",

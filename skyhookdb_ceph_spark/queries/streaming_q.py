@@ -643,7 +643,14 @@ def q_stream_chained_windows(spark, sf_dir):
     100 TB the win is one state lineage instead of a two-hop DAG:
     the hour→day reduction happens before any sink, so the second
     stateful operator's input is already aggregate-sized."""
-    stream = events_stream(spark, sf_dir)
+    return _chained_windows_stream(spark, sf_dir)
+
+
+def _chained_windows_stream(spark, sf_dir, glob="events.parquet", options=None):
+    """Shared builder so the streaming scale smoke can force
+    multi-batch replay (file-split fixture + maxFilesPerTrigger=1)
+    and read per-batch state telemetry."""
+    stream = events_stream(spark, sf_dir, glob=glob, options=options)
     hours = (
         stream.withWatermark("ts", "0 seconds")
         .groupBy(F.window("ts", "1 hour"))

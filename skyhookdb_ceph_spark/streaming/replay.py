@@ -93,6 +93,10 @@ def events_stream(
     return raw
 
 
+# see the hook in drain_to_memory — None means capture off
+PROGRESS_CAPTURE: list | None = None
+
+
 def drain_to_memory(
     stream_df: DataFrame,
     output_mode: str = "complete",
@@ -169,6 +173,16 @@ def drain_to_memory(
             writer = writer.option("checkpointLocation", ckpt)
         q = writer.start()
         q.awaitTermination()
+        # instrumentation hook (tools/stream_scale_smoke.py): when a
+        # caller sets PROGRESS_CAPTURE to a list, every drain appends
+        # its engine-reported per-batch progress (stateOperators:
+        # numRowsTotal / memoryUsedBytes, durationMs) — the state-bound
+        # claims measured from the engine's own telemetry, zero cost
+        # when unset
+        if PROGRESS_CAPTURE is not None:
+            PROGRESS_CAPTURE.append(
+                {"sink": name, "progress": list(q.recentProgress)}
+            )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         spark.conf.set(
