@@ -231,14 +231,18 @@ def recall_curve(
     Ground truth cannot be all-pairs at scale, so it is what production
     recall audits use: a PERMISSIVE reference detector — r=1 bands from
     an INDEPENDENT hash family (salted md5), S-curve threshold ~1/b =
-    0.125 — over a deterministic, corpus-scaled doc sample (Knuth
-    multiplicative hash of the id mod max(1, n//audit_docs) == 0,
-    ~audit_docs docs at any corpus size; the whole fixture at fixture
-    scale).  The hash — not the raw id — is what makes the sample hold
-    on SPARSE or STRIDED id spaces (post-dedup survivors, all-odd ids):
-    `doc_id % m == 0` silently empties or skews there, a hashed residue
-    never does.  Knuth's 2654435761 is used instead of xxhash64 because
-    the DuckDB oracle must compute the identical sample.  Exact Jaccard is computed on
+    0.125 — over a deterministic, corpus-scaled doc sample (high bits
+    of the Knuth multiplicative hash of the id, mod max(1,
+    n//audit_docs) == 0; ~audit_docs docs at any corpus size; the
+    whole fixture at fixture scale).  The hash — not the raw id — is
+    what makes the sample hold on SPARSE or STRIDED id spaces
+    (post-dedup survivors, all-odd ids): `doc_id % m == 0` silently
+    empties or skews there.  The HIGH bits specifically: an odd
+    multiplier leaves the product's low bits congruent to the id's,
+    so a low-bit residue re-inherits the stride (Fibonacci-hashing
+    rule, re-learned live in q_sample_token_budget).  Knuth's
+    2654435761 is used instead of xxhash64 because the DuckDB oracle
+    must compute the identical sample.  Exact Jaccard is computed on
     the reference candidates only; `caught` = the production bands
     collide (an OR over the 8 wide signature columns, no second LSH
     join).  Low-J bands measure the S-curve floor (recall ~ 0), the
@@ -256,9 +260,15 @@ def recall_curve(
     sample = (
         docs.crossJoin(F.broadcast(n_docs))
         .filter(
-            # ((id % 2^31-1) * knuth) % 2^32: pre-mod keeps the product
-            # inside BIGINT for any id; identical expression in DuckDB
-            f"((({id_col} % 2147483647) * 2654435761) % 4294967296)"
+            # ((id % 2^31-1) * knuth) % 2^32, then DROP the low 6 bits
+            # before the modulus: knuth is odd, so the product's low
+            # bits preserve id strides (h ≡ id·c mod 2^k) and an even
+            # modulus over strided ids would still skew the sample —
+            # the high bits are the well-mixed ones (Fibonacci
+            # hashing).  Pre-mod keeps the product inside BIGINT for
+            # any id; identical expression in DuckDB.
+            f"CAST(floor(((({id_col} % 2147483647) * 2654435761) "
+            "% 4294967296) / 64.0) AS BIGINT)"
             f" % greatest(1, CAST(floor(n_docs_audit / {audit_docs}.0) "
             "AS BIGINT)) = 0"
         )

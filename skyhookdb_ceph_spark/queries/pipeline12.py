@@ -468,7 +468,8 @@ def _recall_oracle() -> str:
   FROM documents),
 d AS (
   SELECT doc_id, text FROM documents, nn
-  WHERE (((doc_id % 2147483647) * 2654435761) % 4294967296) % m = 0),
+  WHERE CAST(floor((((doc_id % 2147483647) * 2654435761) % 4294967296)
+    / 64.0) AS BIGINT) % m = 0),
 sh AS (
   SELECT doc_id, list_distinct(list_transform(
     generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),

@@ -115,6 +115,174 @@ def q_transform_dedup_corpus(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# §2.23.3 token-budgeted mixture sampling (bucketed greedy prefix)
+# ---------------------------------------------------------------------------
+
+_TB_BUDGET = 800  # tokens per source
+_TB_K = 4  # hash buckets per source (budget split evenly)
+# Knuth draw with the §L.7 overflow guard: deterministic "shuffle"
+# order within a source, identical in both engines
+_TB_HASH = "(((doc_id % 2147483647) * 2654435761) % 4294967296)"
+# bucket = the HIGH two bits of the product (Fibonacci hashing).  The
+# LOW bits preserve id strides (knuth is odd, so h ≡ doc_id mod 2^k):
+# with source = id % 20 the naive h % 4 put EVERY doc of a source in
+# ONE bucket — found live while building this op, the same
+# strided-id trap as the r11 recall-sample advisory.
+_TB_BKT = f"CAST(floor(({_TB_HASH}) / 1073741824.0) AS BIGINT)"
+
+_TOKEN_BUDGET_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, source,
+    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
+    {_TB_HASH} AS h,
+    {_TB_BKT} AS bkt
+  FROM documents WHERE text IS NOT NULL),
+c AS (
+  SELECT *, sum(n_tokens) OVER (
+      PARTITION BY source, bkt ORDER BY h, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM t)
+SELECT source,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(CASE WHEN cum <= {_TB_BUDGET // _TB_K} THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_kept,
+  CAST(sum(CASE WHEN cum <= {_TB_BUDGET // _TB_K} THEN n_tokens ELSE 0 END)
+    AS BIGINT) AS tokens_kept,
+  floor(sum(CASE WHEN cum <= {_TB_BUDGET // _TB_K} THEN n_tokens ELSE 0 END)
+    * 1.0 / {_TB_BUDGET} * 1000000 + 0.5) / 1000000 AS fill_frac
+FROM c GROUP BY source ORDER BY source
+"""
+
+
+@query(
+    "q_sample_token_budget",
+    oracle=_TOKEN_BUDGET_ORACLE,
+    tags=("llm", "sampling", "scale-design"),
+)
+def q_sample_token_budget(spark, sf_dir):
+    """TOKEN-budgeted mixture sampling — the consumption side of
+    q_data_mix: that op decides how many tokens each source deserves;
+    this op SELECTS the documents that fill the budget.  Training
+    mixtures are specified in tokens, not documents (a source of
+    long documents exhausts its share with fewer docs), so the
+    sampler must account in tokens.
+
+    The scalable form is the point: an exact greedy prefix per source
+    is a SINGLE-TASK running sum over the whole source — the
+    unpartitionable-window scale killer this repo bans.  Instead the
+    budget is split evenly across k hash buckets of the source
+    (Knuth-hashed doc_id — the §L.7 overflow-guarded draw — so bucket
+    membership and order are a deterministic shuffle), and the greedy
+    prefix cumsum runs per (source, bucket): k parallel bounded
+    windows, identical in both engines.  The trade vs the exact
+    prefix is bounded by k · max_doc_tokens of overshoot/undershoot —
+    the same accept-bounded-error-for-parallelism argument as
+    distributed reservoir sampling; at 100 TB k scales with
+    budget / target-partition-tokens while the plan shape is fixed.
+
+    Output: per-source census — n_docs, n_kept, tokens_kept,
+    fill_frac (of the whole source budget, 1e-6-quantized)."""
+    d = Catalog(spark, sf_dir).documents.filter("text IS NOT NULL")
+    per_bucket = _TB_BUDGET // _TB_K
+    t = d.selectExpr(
+        "doc_id",
+        "source",
+        "CAST(size(split(trim(text), ' ')) AS BIGINT) AS n_tokens",
+        f"{_TB_HASH} AS h",
+        f"{_TB_BKT} AS bkt",
+    )
+    w = (
+        Window.partitionBy("source", "bkt")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("cum", F.sum("n_tokens").over(w))
+    kept = F.when(F.col("cum") <= per_bucket, 1).otherwise(0)
+    kept_tok = F.when(F.col("cum") <= per_bucket, F.col("n_tokens")).otherwise(
+        F.lit(0)
+    )
+    return (
+        c.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(kept).cast("bigint").alias("n_kept"),
+            F.sum(kept_tok).cast("bigint").alias("tokens_kept"),
+            quantize(F.sum(kept_tok) * 1.0 / _TB_BUDGET, 6).alias(
+                "fill_frac"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.23.4 dedup survivor weights (count-preserving dedup)
+# ---------------------------------------------------------------------------
+
+
+def _dedup_weights_oracle() -> str:
+    from skyhookdb_ceph_spark.queries.pipeline import cluster_label_ctes
+
+    return f"""WITH {cluster_label_ctes()},
+feat AS (
+  SELECT doc_id, CAST(coalesce(length(text), 0) AS BIGINT) AS n_chars
+  FROM documents),
+ranked AS (
+  SELECT l.doc_id, l.cluster,
+    row_number() OVER w AS rn,
+    CAST(count(*) OVER (PARTITION BY l.cluster) AS BIGINT) AS weight
+  FROM labels l JOIN feat f USING (doc_id)
+  WINDOW w AS (PARTITION BY l.cluster
+               ORDER BY f.n_chars DESC, l.doc_id))
+SELECT doc_id, cluster, weight FROM ranked WHERE rn = 1"""
+
+
+@query(
+    "q_transform_dedup_weights",
+    oracle=_dedup_weights_oracle(),
+    tags=("llm", "dedup", "transform"),
+)
+def q_transform_dedup_weights(spark, sf_dir):
+    """COUNT-PRESERVING dedup: the survivor set of
+    q_transform_dedup_corpus, each carrying weight = its cluster's
+    size.  Plain dedup shifts the training distribution toward
+    content that was never duplicated; weighting each survivor by its
+    duplicate count preserves the original distribution while still
+    training on each text once (the sampler draws survivors
+    proportionally to weight).  Both regimes exist in practice —
+    dedup-hard (weight ignored) and dedup-weighted — so the manifest
+    carries the count and the downstream sampler chooses.
+
+    Same shared cluster_labels derivation and the SAME canonical
+    total order as the corpus action (chars desc, doc_id asc — the
+    two ops provably pick identical survivors); the weight is a
+    count window over the same cluster partition, so survivor choice
+    and weight ride one cluster-keyed shuffle.  Output: doc_id
+    (survivor), cluster, weight."""
+    from skyhookdb_ceph_spark.queries.pipeline import cluster_labels
+
+    labels = cluster_labels(spark, sf_dir)
+    feat = Catalog(spark, sf_dir).documents.selectExpr(
+        "doc_id", "CAST(coalesce(length(text), 0) AS BIGINT) AS n_chars"
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    wc = Window.partitionBy("cluster")
+    return (
+        labels.join(feat, "doc_id")
+        .select(
+            "doc_id",
+            "cluster",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wc).cast("bigint").alias("weight"),
+        )
+        .filter("rn = 1")
+        .select("doc_id", "cluster", "weight")
+    )
+
+
+# ---------------------------------------------------------------------------
 # §2.23.2 end-to-end curation pipeline v2 (round-11 ops folded in)
 # ---------------------------------------------------------------------------
 

@@ -78,6 +78,11 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # -- new / changed in round 12
     "q_transform_dedup_corpus",  # new: cluster-canonical survivors
     "q_pipeline_e2e_v2",  # new: recomposed curation pipeline
+    "q_sample_token_budget",  # new: bucketed token-budget sampler
+    "q_transform_dedup_weights",  # new: count-preserving dedup
+    "q_data_split",  # overflow-guarded Knuth bucket (§L.7)
+    "q_sample_length_biased",  # overflow-guarded Knuth draw (§L.7)
+    "q_sample_poisson",  # overflow-guarded Knuth uniform (§L.7)
     "q_dedup_minhash_recall",  # oracle changed: hashed audit sample
     "q_transform_strip_dup_spans",  # fold projected once (ADVICE)
     "q_stream_dedup_lsh",  # static index persisted (ADVICE)
@@ -98,10 +103,11 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q_ts_rollup_two_level", "q_vec_ivf_build", "q_win_islands",
     "q_win_nth_value", "q_win_retention_cohort",
     # -- front of the r6 era
-    "q_agg_groupby", "q_agg_scalar", "q_tpch_q2", "q_tpch_q9",
-    "q_win_dense_rank", "q_multimodal_decode",
+    "q_agg_groupby",
     # ---- window boundary (50) — round 13 leads with the r6-era
-    # remainder: q_agg_gini, q_agg_grouping_id, q_agg_median_exact,
+    # remainder: q_agg_scalar, q_tpch_q2, q_tpch_q9,
+    # q_win_dense_rank, q_multimodal_decode,
+    # q_agg_gini, q_agg_grouping_id, q_agg_median_exact,
     # q_agg_weighted_avg, q_data_mix, q_data_split, q_fn_try_arith,
     # q_gdpr_export, q_join_null_safe, q_join_null_skew,
     # q_join_range_bucket, q_join_stats_driven, q_multimodal_image,
