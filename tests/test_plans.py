@@ -1270,6 +1270,36 @@ def test_pipeline_e2e_v2_two_scans_one_pass_screens(spark):
     assert len(re.findall(r"hashpartitioning\(_w\d+", plan)) == 1
 
 
+def test_token_budget_bucketed_never_global_window(spark):
+    """q_sample_token_budget: the greedy-prefix cumsum must partition
+    on (source, bucket) — k parallel bounded windows — never a
+    source-global (or table-global) running sum, and the bucket key
+    must appear in the window exchange."""
+    import re
+
+    plan = explain_str(q("q_sample_token_budget", spark))
+    assert len(re.findall(r"\(\d+\) Window(?!GroupLimit)", plan)) == 1
+    # the window's exchange keys on (source, bkt); the final census
+    # groupBy legitimately re-keys on source alone
+    parts = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert any("source" in p and "bkt" in p for p in parts)
+    # and the Window node itself is partitioned on both keys
+    win = re.search(r"\(\d+\) Window\n(?:.*\n)*?.*?Arguments: .*", plan)
+    assert win and "bkt" in win.group(0)
+
+
+def test_dedup_weights_same_shuffle_as_corpus_action(spark):
+    """q_transform_dedup_weights: survivor rank and cluster-size
+    weight must share ONE cluster-keyed shuffle (they ride the same
+    partition), with no all-pairs shape anywhere."""
+    import re
+
+    plan = explain_str(q("q_transform_dedup_weights", spark))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("hashpartitioning(cluster") == 1
+
+
 def test_dedup_minhash_recall_never_all_pairs(spark):
     """The recall audit's ground truth is the PERMISSIVE r=1 band
     equi-join over the corpus-scaled sample, never an exact all-pairs
