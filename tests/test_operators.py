@@ -210,3 +210,45 @@ def test_strip_dup_spans_removes_shared_block_keeps_unique(spark):
     assert out[0]["removed_chars"] == len(shared) + 2
     assert out[3]["clean_text"] == unique
     assert out[3]["removed_chars"] == 0
+
+
+def test_dedup_weights_count_preserving_and_survivors_agree(spark):
+    """The dedup-weights invariants that make 'count-preserving dedup'
+    true by construction: (1) the survivors' weights sum to the ORIGINAL
+    document count — no document's mass is lost or double-counted by
+    the cluster partition; (2) the survivor set is IDENTICAL to
+    q_transform_dedup_corpus's kept set (both ops claim the same
+    canonical total order — chars desc, doc_id asc — so disagreement
+    would mean the shared derivation drifted)."""
+    from skyhookdb_ceph_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    reg = load_all()
+    w = reg["q_transform_dedup_weights"].fn(spark, sf).collect()
+    corpus = reg["q_transform_dedup_corpus"].fn(spark, sf).collect()
+    n_docs = len(corpus)  # corpus action emits one row per document
+    assert sum(r["weight"] for r in w) == n_docs
+    kept = {r["doc_id"] for r in corpus if r["status"] == "kept"}
+    assert {r["doc_id"] for r in w} == kept
+    # weight agrees with the corpus action's cluster sizes
+    from collections import Counter
+
+    sizes = Counter(r["cluster"] for r in corpus)
+    assert all(sizes[r["cluster"]] == r["weight"] for r in w)
+
+
+def test_token_budget_never_exceeds_budget(spark):
+    """Greedy-prefix budget bound: tokens_kept <= the source budget
+    for EVERY source (each of the k buckets enforces cum <= budget/k
+    exactly, so the union cannot overshoot — the bucketed form's
+    one-sided error is UNDERfill, never overfill)."""
+    from skyhookdb_ceph_spark.queries.pipeline13 import _TB_BUDGET
+    from skyhookdb_ceph_spark.registry import load_all
+
+    reg = load_all()
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        rows = reg["q_sample_token_budget"].fn(spark, sf).collect()
+        assert rows, sf
+        for r in rows:
+            assert r["tokens_kept"] <= _TB_BUDGET, (sf, r)
+            assert r["n_kept"] <= r["n_docs"], (sf, r)
