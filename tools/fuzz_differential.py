@@ -800,6 +800,32 @@ class RangeWinSpec:
     funcs: list[tuple[str, str, str, int]]  # (alias, fn, argcol, k)
 
 
+@dataclass
+class WinJoinSpec:
+    """Window function over a JOIN result — exercises window-after-
+    join planning parity.  orders ⋈ customer only: o_orderkey stays
+    unique in the joined result (each order has one customer), so
+    ranking orders are total."""
+
+    lpred: Ex | None  # orders side
+    rpred: Ex | None  # customer side
+    how: str  # inner / left
+    part: str  # lowcard from either table
+    oc: str  # numeric order col (o_totalprice / c_acctbal)
+    funcs: list[tuple[str, str, str | None]]  # (alias, kind, argcol)
+
+
+@dataclass
+class LambdaJoinSpec:
+    """Array lambdas over an embeddings ⋈ documents join (vec_id =
+    doc_id) — the LLM-pipeline shape: per-doc features from both the
+    text metadata and the embedding array in one query."""
+
+    dpred: Ex | None  # documents side
+    group: str | None  # documents lowcard (lang / source)
+    shapes: list[tuple[str, str, object]]  # lambda shapes (gen-time params)
+
+
 def _str_expr(rng: random.Random, depth: int) -> Ex:
     """A string-typed composition over documents text/lang/source."""
     t = CATALOG["documents"]
@@ -965,7 +991,8 @@ def gen_case2(seed: int) -> Case:
     """Grammar v2: sample one of the round-12 shapes."""
     rng = random.Random(seed ^ 0x5EED12)
     kind = rng.choice(
-        ["join3", "subq", "gsets", "lambda", "strfn", "rangewin"]
+        ["join3", "subq", "gsets", "lambda", "strfn", "rangewin",
+         "winjoin", "lambda_join"]
     )
     if kind == "join3":
         shape, t1, t2, t3, j1, j2 = CHAINS3[rng.randrange(len(CHAINS3))]
@@ -1047,6 +1074,32 @@ def gen_case2(seed: int) -> Case:
             for i in range(rng.randint(1, 3))
         ]
         spec = StrFnSpec(pred, derived)
+    elif kind == "winjoin":
+        ot, ct = CATALOG["orders"], CATALOG["customer"]
+        lpred = gen_pred(rng, ot, depth=1) if rng.random() < 0.6 else None
+        rpred = gen_pred(rng, ct, depth=1) if rng.random() < 0.6 else None
+        how = rng.choice(["inner", "inner", "left"])
+        part = rng.choice(list(ot.lowcard) + (
+            [] if how == "left" else list(ct.lowcard)
+        ))  # a left-join NULL partition key is legal but c_* keys on
+        # unmatched rows group all-NULL either way; keep orders keys
+        # for left joins so the partition is never synthetic-NULL
+        oc = rng.choice(["o_totalprice", "o_custkey"])
+        funcs = []
+        for i in range(rng.randint(1, 3)):
+            k = rng.choice(["row_number", "rank", "dense_rank", "cumsum"])
+            arg = "o_totalprice" if k == "cumsum" else None
+            funcs.append((f"w{i}", k, arg))
+        spec = WinJoinSpec(lpred, rpred, how, part, oc, funcs)
+    elif kind == "lambda_join":
+        dt = CATALOG["documents"]
+        dpred = gen_pred(rng, dt, depth=1) if rng.random() < 0.6 else None
+        group = rng.choice(dt.lowcard) if rng.random() < 0.6 else None
+        shapes = []
+        for i in range(rng.randint(1, 2)):
+            k = rng.choice(_LAMBDA_SHAPES)
+            shapes.append((f"s{i}", k, _lambda_param(rng, k)))
+        spec = LambdaJoinSpec(dpred, group, shapes)
     else:  # rangewin
         t = CATALOG[rng.choice(list(CATALOG))]
         pred = gen_pred(rng, t, depth=1) if rng.random() < 0.5 else None
@@ -1289,6 +1342,77 @@ def _render_rangewin(s: RangeWinSpec, spark, sf_dir: str):
     return out, f"SELECT {', '.join(sqls)} FROM {s.table}{w}"
 
 
+def _render_winjoin(s: WinJoinSpec, spark, sf_dir: str):
+    od = _base_df(spark, sf_dir, "orders")
+    cd = _base_df(spark, sf_dir, "customer")
+    if s.lpred is not None:
+        od = od.filter(s.lpred.sp)
+    if s.rpred is not None:
+        cd = cd.filter(s.rpred.sp)
+    joined = od.join(
+        cd, F.col("o_custkey") == F.col("c_custkey"), s.how
+    )
+    ov = f"PARTITION BY {s.part} ORDER BY {s.oc}, o_orderkey"
+    sps = [F.col("o_orderkey"), F.col(s.part)]
+    sqls = ["o_orderkey", s.part]
+    for alias, kind, arg in s.funcs:
+        if kind == "cumsum":
+            sq = (
+                f"floor((sum({arg}) OVER ({ov} ROWS BETWEEN UNBOUNDED "
+                f"PRECEDING AND CURRENT ROW)) * 100 + 0.5) / 100"
+            )
+        else:
+            sq = f"CAST({kind}() OVER ({ov}) AS BIGINT)"
+        sps.append(F.expr(sq).alias(alias))
+        sqls.append(f"{sq} AS {alias}")
+    out = joined.select(*sps)
+    lw = f" WHERE {s.lpred.sql}" if s.lpred is not None else ""
+    rw = f" WHERE {s.rpred.sql}" if s.rpred is not None else ""
+    jt = "JOIN" if s.how == "inner" else "LEFT JOIN"
+    sql = (
+        f"SELECT {', '.join(sqls)} FROM (SELECT * FROM orders{lw}) O "
+        f"{jt} (SELECT * FROM customer{rw}) C ON o_custkey = c_custkey"
+    )
+    return out, sql
+
+
+def _render_lambda_join(s: LambdaJoinSpec, spark, sf_dir: str):
+    dd = _base_df(spark, sf_dir, "documents")
+    ed = _base_df(spark, sf_dir, "embeddings")
+    if s.dpred is not None:
+        dd = dd.filter(s.dpred.sp)
+    joined = dd.join(ed, F.col("doc_id") == F.col("vec_id"))
+    dw = f" WHERE {s.dpred.sql}" if s.dpred is not None else ""
+    frm = (
+        f"(SELECT * FROM documents{dw}) D JOIN embeddings E "
+        "ON doc_id = vec_id"
+    )
+    shape_cols = [(_lambda_ex(k, a, p), a) for a, k, p in s.shapes]
+    if s.group is None:
+        sps = [F.col("doc_id")] + [c[0][0] for c in shape_cols]
+        sqls = ["doc_id"] + [c[0][1] for c in shape_cols]
+        out = joined.select(*sps)
+        return out, f"SELECT {', '.join(sqls)} FROM {frm}"
+    # grouped: min/max of each (already-quantized) shape + count —
+    # exact at any aggregation order, unlike avg of doubles
+    aggs_sp = [F.count(F.lit(1)).cast("bigint").alias("n")]
+    aggs_sql = ["CAST(count(*) AS BIGINT) AS n"]
+    inner_sqls = ["doc_id", s.group]
+    inner_sps = [F.col("doc_id"), F.col(s.group)]
+    for (sp, sq), alias in shape_cols:
+        inner_sps.append(sp)
+        inner_sqls.append(sq)
+        for fn in ("min", "max"):
+            aggs_sp.append(getattr(F, fn)(alias).alias(f"{fn}_{alias}"))
+            aggs_sql.append(f"{fn}({alias}) AS {fn}_{alias}")
+    out = joined.select(*inner_sps).groupBy(s.group).agg(*aggs_sp)
+    sql = (
+        f"SELECT {s.group}, {', '.join(aggs_sql)} FROM "
+        f"(SELECT {', '.join(inner_sqls)} FROM {frm}) t GROUP BY {s.group}"
+    )
+    return out, sql
+
+
 _V2_RENDER = {
     "join3": _render_join3,
     "subq": _render_subq,
@@ -1296,6 +1420,8 @@ _V2_RENDER = {
     "lambda": _render_lambda,
     "strfn": _render_strfn,
     "rangewin": _render_rangewin,
+    "winjoin": _render_winjoin,
+    "lambda_join": _render_lambda_join,
 }
 
 
@@ -1676,6 +1802,26 @@ def _reductions(case: Case):
         if len(s.funcs) > 1:
             for i in range(len(s.funcs)):
                 outs.append(replace(s, funcs=s.funcs[:i] + s.funcs[i + 1 :]))
+    elif case.kind == "winjoin":
+        if s.lpred is not None:
+            outs.append(replace(s, lpred=None))
+        if s.rpred is not None:
+            outs.append(replace(s, rpred=None))
+        if s.how == "left":
+            outs.append(replace(s, how="inner"))
+        if len(s.funcs) > 1:
+            for i in range(len(s.funcs)):
+                outs.append(replace(s, funcs=s.funcs[:i] + s.funcs[i + 1 :]))
+    elif case.kind == "lambda_join":
+        if s.dpred is not None:
+            outs.append(replace(s, dpred=None))
+        if s.group:
+            outs.append(replace(s, group=None))
+        if len(s.shapes) > 1:
+            for i in range(len(s.shapes)):
+                outs.append(
+                    replace(s, shapes=s.shapes[:i] + s.shapes[i + 1 :])
+                )
     else:
         if s.pred is not None:
             outs.append(replace(s, pred=None))
