@@ -409,6 +409,35 @@ AUDIT = {
         "fold projection (map-shaped rebuild, no per-char explosion), "
         "left join keeping no-dup docs, no cartesian."
     ),
+    "q_transform_dedup_corpus": (
+        "Whole-doc dedup ACTION (r12). Wanted: the shared LSH pair / "
+        "label derivation, then exactly ONE cluster-keyed Exchange "
+        "feeding ONE Window node (row_number + first_value share the "
+        "window spec), no cartesian — survivor selection adds one "
+        "keyed shuffle beyond the labels, nothing more."
+    ),
+    "q_pipeline_e2e_v2": (
+        "Recomposed curation pipeline (r12). Wanted: exactly TWO Scan "
+        "parquet nodes total — the main pass (digest row_number + "
+        "cascade screens + split bucket all ride one scan before the "
+        "single derived-key digest Exchange) and the span census's "
+        "narrow doc_id+text projection; WindowGroupLimit present (the "
+        "rn=1 dedup filter pruning duplicates map-side BEFORE the "
+        "digest shuffle); four Windows (digest rank, gram count, "
+        "interval-merge max, group-id sum); no cartesian."
+    ),
+    "q_sample_token_budget": (
+        "Token-budgeted sampler (r12). Wanted: the greedy-prefix "
+        "cumsum window partitioned on (source, bucket) — k parallel "
+        "bounded windows, NEVER a source-global running sum — then "
+        "the per-source census aggregate; bucket key derived from the "
+        "HIGH bits of the overflow-guarded Knuth product."
+    ),
+    "q_transform_dedup_weights": (
+        "Count-preserving dedup (r12). Wanted: survivor rank and "
+        "cluster-size weight sharing ONE cluster-keyed Exchange (both "
+        "window functions ride the same partition), no cartesian."
+    ),
 }
 
 
