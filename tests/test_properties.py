@@ -102,6 +102,15 @@ def test_scaled_lsh_bits_grow_with_corpus():
     for n in (10_000, 100_000, 1_000_000):
         bits = scaled_bits_py(n)
         assert n / 2**bits <= 2 * TARGET_BUCKET_ROWS
+    # the r11/r12 verdict watch item, asserted: a fixed-size probe set
+    # must be a FALLING fraction of the directory as the corpus grows
+    # (nb grows with log n, cells = 2^nb) — up to the band-width clamp
+    sizes = (5_000, 50_000, 150_000, 500_000, 5_000_000)
+    bits = [scaled_bits_py(n) for n in sizes]
+    assert bits == sorted(bits)  # monotone nondecreasing
+    fracs = [1.0 / 2**b for b in bits]
+    assert all(b <= a for a, b in zip(fracs, fracs[1:]))
+    assert fracs[-1] <= fracs[0] / 10  # an order of magnitude across 1000x
 
 
 def test_banded_pair_candidates_bounded(spark):
