@@ -283,6 +283,139 @@ def q_transform_dedup_weights(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# §2.23.5 IVF+PQ two-stage ANN (the production FAISS-style composition)
+# ---------------------------------------------------------------------------
+
+_IVFPQ_R = 50  # PQ shortlist size feeding the exact rerank
+_IVFPQ_K = 10  # final k
+
+
+def _ivfpq_oracle() -> str:
+    from skyhookdb_ceph_spark.operators import vectors
+
+    return f"""WITH {vectors.primary_cell_cte_duckdb()},
+q AS (SELECT embedding AS qv, bucket AS qbucket FROM b WHERE vec_id = 0),
+pos AS (
+  SELECT vec_id, CAST(t.i AS INT) AS pos,
+    CAST(embedding[CAST(t.i AS INT) + 1] AS DOUBLE) AS val
+  FROM embeddings, unnest(generate_series(0, len(embedding) - 1)) t(i)),
+sub AS (SELECT vec_id, pos // 16 AS ss, pos, val FROM pos),
+codes AS (
+  SELECT vec_id, ss,
+    CASE WHEN max(CASE WHEN pos = ss * 16 THEN val END) >= 0
+         THEN 1 ELSE 0 END AS c
+  FROM sub GROUP BY vec_id, ss),
+cents AS (
+  SELECT s.ss, c.c, s.pos,
+    floor(avg(s.val) * 1000000 + 0.5) / 1000000 AS cent
+  FROM sub s JOIN codes c ON s.vec_id = c.vec_id AND s.ss = c.ss
+  GROUP BY s.ss, c.c, s.pos),
+qpos AS (SELECT ss, pos, val AS qval FROM sub WHERE vec_id = 0),
+dtab AS (
+  SELECT ct.ss, ct.c,
+    CAST(floor(sum((qp.qval - ct.cent) * (qp.qval - ct.cent))
+      * 1000000 + 0.5) AS BIGINT) AS d_e6
+  FROM cents ct JOIN qpos qp ON qp.ss = ct.ss AND qp.pos = ct.pos
+  GROUP BY ct.ss, ct.c),
+cand AS (SELECT b.vec_id, b.embedding FROM b, q WHERE b.bucket = q.qbucket),
+adc AS (
+  SELECT cd.vec_id, CAST(sum(dt.d_e6) AS BIGINT) AS adc_e6
+  FROM cand cd
+  JOIN codes co ON co.vec_id = cd.vec_id
+  JOIN dtab dt ON dt.ss = co.ss AND dt.c = co.c
+  GROUP BY cd.vec_id),
+short AS (SELECT * FROM adc ORDER BY adc_e6, vec_id LIMIT {_IVFPQ_R})
+SELECT s.vec_id, s.adc_e6,
+  floor(({vectors.cosine_duckdb("c2.embedding", "q.qv")})
+    * 1000000 + 0.5) / 1000000 AS sim
+FROM short s JOIN cand c2 ON c2.vec_id = s.vec_id, q
+ORDER BY sim DESC, s.vec_id LIMIT {_IVFPQ_K}"""
+
+
+@query(
+    "q_sim_knn_ivfpq",
+    oracle=_ivfpq_oracle(),
+    tags=("llm", "similarity", "scale-design"),
+)
+def q_sim_knn_ivfpq(spark, sf_dir):
+    """IVF+PQ two-stage ANN — the production FAISS-style composition
+    the repo had as parts (q_sim_knn_ivf coarse probe, q_vec_pq_code
+    codebook) but never as one operator: (1) coarse IVF probe
+    restricts candidates to the query's cell (partition pruning at
+    scale); (2) PQ ASYMMETRIC-DISTANCE (ADC) ranks the candidates
+    WITHOUT touching their full vectors — a per-query distance table
+    of (subspace, code) -> partial distance, 8 entries here, joined
+    to each candidate's compact codes; (3) only the top-R shortlist
+    pays the exact cosine rerank against full embeddings.  At 100 TB
+    stage 2 reads bytes-per-vector (the codes), not the vectors: the
+    IO ratio is the whole point of PQ.
+
+    Determinism across engines: centroids quantize at 1e-6 BEFORE the
+    distance table; the table and every ADC total are EXACT BIGINT
+    micro-units (floor to e6 once per (ss, code), then integer sums
+    — no float accumulation order anywhere in the shortlist cut);
+    ties break on vec_id at both cuts.  Output: vec_id, adc_e6
+    (BIGINT micro-distance), sim (exact rerank cosine, 1e-6).
+
+    Plan: every stage is keyed groupBy/equi-join on (vec_id|ss|c|pos);
+    the query row, its cell id, and the 8-row distance table
+    broadcast; no pairwise vector comparison outside the R-row
+    rerank."""
+    from skyhookdb_ceph_spark.operators import vectors
+
+    e = Catalog(spark, sf_dir).embeddings
+    withb = vectors.bucketed_cells(e)
+    q = withb.filter(F.col("vec_id") == 0).selectExpr(
+        "embedding AS qv", "bucket AS qbucket"
+    )
+    pos = e.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "fval")
+    ).selectExpr("vec_id", "pos", "CAST(fval AS DOUBLE) AS val")
+    sub = pos.withColumn("ss", F.expr("pos div 16"))
+    codes = sub.filter("pos = ss * 16").selectExpr(
+        "vec_id", "ss", "CASE WHEN val >= 0 THEN 1 ELSE 0 END AS c"
+    )
+    cents = (
+        sub.join(codes, ["vec_id", "ss"])
+        .groupBy("ss", "c", "pos")
+        .agg(quantize(F.avg("val"), 6).alias("cent"))
+    )
+    qpos = sub.filter("vec_id = 0").selectExpr("ss", "pos", "val AS qval")
+    dtab = (
+        cents.join(F.broadcast(qpos), ["ss", "pos"])
+        .groupBy("ss", "c")
+        .agg(
+            F.expr(
+                "CAST(floor(sum((qval - cent) * (qval - cent)) "
+                "* 1000000 + 0.5) AS BIGINT)"
+            ).alias("d_e6")
+        )
+    )
+    cand = withb.join(
+        F.broadcast(q), F.col("bucket") == F.col("qbucket")
+    ).select("vec_id", "embedding")
+    adc = (
+        cand.join(codes, "vec_id")
+        .join(F.broadcast(dtab), ["ss", "c"])
+        .groupBy("vec_id")
+        .agg(F.sum("d_e6").cast("bigint").alias("adc_e6"))
+    )
+    short = adc.orderBy("adc_e6", "vec_id").limit(_IVFPQ_R)
+    return (
+        short.join(cand, "vec_id")
+        .crossJoin(F.broadcast(q.select("qv")))
+        .selectExpr(
+            "vec_id",
+            "adc_e6",
+            f"floor(({vectors.cosine_expr('embedding', 'qv')}) "
+            "* 1000000 + 0.5) / 1000000 AS sim",
+        )
+        .orderBy(F.desc("sim"), "vec_id")
+        .limit(_IVFPQ_K)
+    )
+
+
+# ---------------------------------------------------------------------------
 # §2.23.2 end-to-end curation pipeline v2 (round-11 ops folded in)
 # ---------------------------------------------------------------------------
 

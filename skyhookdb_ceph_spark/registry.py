@@ -80,6 +80,7 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q_pipeline_e2e_v2",  # new: recomposed curation pipeline
     "q_sample_token_budget",  # new: bucketed token-budget sampler
     "q_transform_dedup_weights",  # new: count-preserving dedup
+    "q_sim_knn_ivfpq",  # new: IVF+PQ two-stage ANN
     "q_data_split",  # overflow-guarded Knuth bucket (§L.7)
     "q_sample_length_biased",  # overflow-guarded Knuth draw (§L.7)
     "q_sample_poisson",  # overflow-guarded Knuth uniform (§L.7)
@@ -102,10 +103,8 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q_tpch_q19", "q_tpch_q22", "q_ts_anomaly",
     "q_ts_rollup_two_level", "q_vec_ivf_build", "q_win_islands",
     "q_win_nth_value", "q_win_retention_cohort",
-    # -- front of the r6 era
-    "q_agg_groupby",
     # ---- window boundary (50) — round 13 leads with the r6-era
-    # remainder: q_agg_scalar, q_tpch_q2, q_tpch_q9,
+    # remainder: q_agg_groupby, q_agg_scalar, q_tpch_q2, q_tpch_q9,
     # q_win_dense_rank, q_multimodal_decode,
     # q_agg_gini, q_agg_grouping_id, q_agg_median_exact,
     # q_agg_weighted_avg, q_data_mix, q_data_split, q_fn_try_arith,

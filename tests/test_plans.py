@@ -1300,6 +1300,17 @@ def test_dedup_weights_same_shuffle_as_corpus_action(spark):
     assert plan.count("hashpartitioning(cluster") == 1
 
 
+def test_ivfpq_shortlist_only_broadcasts_tiny_sides(spark):
+    """q_sim_knn_ivfpq: the only non-equi joins may be broadcasts of
+    the 1-row query / 8-row distance table (BroadcastNestedLoopJoin
+    on a bounded side is the accepted cross-join pattern); a true
+    CartesianProduct — both sides unbounded — must never appear, and
+    both cuts fuse into TakeOrderedAndProject."""
+    plan = explain_str(q("q_sim_knn_ivfpq", spark))
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_dedup_minhash_recall_never_all_pairs(spark):
     """The recall audit's ground truth is the PERMISSIVE r=1 band
     equi-join over the corpus-scaled sample, never an exact all-pairs
