@@ -98,6 +98,7 @@ WINDOW_ALLOWLIST = {
     "q_text_bm25",
     "q_text_rerank",  # rank over 10 rows post-limit (bm25 precedent)
     "q_text_zipf",
+    "q_stats_ks_drift",  # bucket-offset carry over ~120 SUMMARY rows
     "q_vocab_pairs",
     "q_win_gaps",
     "q_win_islands",

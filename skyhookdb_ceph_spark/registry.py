@@ -75,6 +75,13 @@ _LOADED = False
 # era.  Everything outside the window stays covered by
 # tests/test_correctness.py's local oracle diff regardless.
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
+    # -- new in the round-12 SECOND wave (§2.24)
+    "q_sim_knn_binary",  # new: binary-quantized Hamming ANN + rerank
+    "q_sim_maxsim",  # new: multi-vector late-interaction MaxSim
+    "q_stats_ks_drift",  # new: exact two-sample KS, prefix-sum shape
+    "q_agg_mutual_info",  # new: token<->label MI feature audit
+    "q_vec_ood_filter",  # new: centroid-cosine OOD gate
+    "q_join_interval_grid",  # new: grid-bucketed interval overlap join
     # -- new / changed in round 12
     "q_transform_dedup_corpus",  # new: cluster-canonical survivors
     "q_pipeline_e2e_v2",  # new: recomposed curation pipeline
@@ -100,10 +107,11 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q_text_bigram_lm", "q_text_bpe_merge", "q_text_html_strip",
     "q_text_proximity", "q_tpch_q4", "q_tpch_q7", "q_tpch_q8",
     "q_tpch_q13", "q_tpch_q15", "q_tpch_q17", "q_tpch_q18",
-    "q_tpch_q19", "q_tpch_q22", "q_ts_anomaly",
-    "q_ts_rollup_two_level", "q_vec_ivf_build", "q_win_islands",
-    "q_win_nth_value", "q_win_retention_cohort",
-    # ---- window boundary (50) — round 13 leads with the r6-era
+    "q_tpch_q19", "q_tpch_q22",
+    # ---- window boundary (50) — round 13 leads with the r5-era
+    # remainder displaced by the §2.24 wave (q_ts_anomaly,
+    # q_ts_rollup_two_level, q_vec_ivf_build, q_win_islands,
+    # q_win_nth_value, q_win_retention_cohort), then the r6-era
     # remainder: q_agg_groupby, q_agg_scalar, q_tpch_q2, q_tpch_q9,
     # q_win_dense_rank, q_multimodal_decode,
     # q_agg_gini, q_agg_grouping_id, q_agg_median_exact,
@@ -147,6 +155,7 @@ def load_all() -> dict[str, QuerySpec]:
             pipeline11,
             pipeline12,
             pipeline13,
+            pipeline14,
             scans,
             setops,
             sorts,

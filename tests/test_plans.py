@@ -1318,3 +1318,101 @@ def test_dedup_minhash_recall_never_all_pairs(spark):
     of the 1-row corpus count that sets the sample modulus."""
     plan = explain_str(q("q_dedup_minhash_recall", spark))
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# §2.24 round-12 second wave
+# ---------------------------------------------------------------------------
+
+
+def test_knn_binary_coarse_is_narrow_and_windows_partitioned(spark):
+    """q_sim_knn_binary: every window is qid-partitioned (no global
+    sort), the bounded query set broadcasts, and the exact rerank
+    re-enters the corpus through an EQUI join on vec_id — the float
+    embeddings never ride the Hamming cross-score."""
+    df = q("q_sim_knn_binary", spark)
+    from skyhookdb_ceph_spark.plans.explain import (
+        count_unpartitioned_windows,
+    )
+
+    assert count_unpartitioned_windows(df) == 0
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan  # query set broadcast
+    # the join-back by vec_id is a hash equi-join, not a nested loop
+    used = joins_used(df)
+    assert used & {"BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin"}
+
+
+def test_maxsim_is_jvm_only_with_partitioned_topk(spark):
+    """q_sim_maxsim: the MaxSim fold is ONE JVM expression — no
+    Python evaluator anywhere in the plan — and the per-query top-k
+    window is qid-partitioned."""
+    df = q("q_sim_maxsim", spark)
+    from skyhookdb_ceph_spark.plans.explain import (
+        count_unpartitioned_windows,
+    )
+
+    plan = explain_str(df, "simple")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert count_unpartitioned_windows(df) == 0
+
+
+def test_ks_drift_only_global_window_is_bucket_summary(spark):
+    """q_stats_ks_drift: the distributed-prefix-sum decomposition
+    leaves exactly ONE unpartitioned window — the bucket-offset carry
+    over price-band SUMMARY rows (bounded by range/width, not by row
+    count); the per-value cumulants are bucket-partitioned.  The
+    carry computes TWO running sums (sample a / sample b) over that
+    one spec, so the spec-instance count is exactly 2 — a third
+    instance would mean a new global window crept in."""
+    df = q("q_stats_ks_drift", spark)
+    from skyhookdb_ceph_spark.plans.explain import (
+        count_unpartitioned_windows,
+    )
+
+    assert count_unpartitioned_windows(df) == 2
+
+
+def test_mutual_info_text_read_once(spark):
+    """q_agg_mutual_info: only the presence-explode scan reads the
+    text column; the N / per-lang census scans are pruned to `lang`
+    (+ids) — the heavy column moves through the cluster once."""
+    plan = explain_str(q("q_agg_mutual_info", spark))
+    schemas = [
+        line.split("ReadSchema:", 1)[1]
+        for line in plan.splitlines()
+        if "ReadSchema:" in line
+    ]
+    assert schemas, "no scans found"
+    with_text = [s for s in schemas if "text" in s]
+    assert len(with_text) == 1, f"text read by {len(with_text)} scans"
+
+
+def test_ood_filter_broadcasts_centroids_no_cartesian(spark):
+    """q_vec_ood_filter: centroid/stat sides are broadcast joins;
+    no cartesian, no global window, no Python evaluator."""
+    df = q("q_vec_ood_filter", spark)
+    from skyhookdb_ceph_spark.plans.explain import (
+        count_unpartitioned_windows,
+    )
+
+    plan = explain_str(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert count_unpartitioned_windows(df) == 0
+    assert "BroadcastHashJoin" in joins_used(df)
+
+
+def test_interval_grid_is_equi_join_not_nested_loop(spark):
+    """q_join_interval_grid: the overlap theta-join must execute as
+    an EQUI join on the hour cell (grid bucketing) — a
+    BroadcastNestedLoopJoin or CartesianProduct here is exactly the
+    quadratic plan the operator exists to avoid."""
+    df = q("q_join_interval_grid", spark)
+    used = joins_used(df)
+    assert "BroadcastNestedLoopJoin" not in used
+    assert "CartesianProduct" not in used
+    assert used & {"BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin"}
