@@ -438,6 +438,52 @@ AUDIT = {
         "cluster-size weight sharing ONE cluster-keyed Exchange (both "
         "window functions ride the same partition), no cartesian."
     ),
+    "q_sim_knn_binary": (
+        "Binary-quantized ANN (r12 second wave). Wanted: signature "
+        "packing as a JVM aggregate fold in the scan-side Project; "
+        "the bounded query set broadcast (BroadcastExchange); the "
+        "Hamming cross-score carrying ONLY (qid, vec_id, two BIGINT "
+        "sigs) — no embedding column through the candidate window; "
+        "qid-partitioned windows both stages; the exact rerank "
+        "re-entering the corpus via a hash EQUI join on vec_id."
+    ),
+    "q_sim_maxsim": (
+        "Late-interaction MaxSim (r12 second wave). Wanted: the "
+        "whole 4x4 sub-vector MaxSim as ONE Project expression "
+        "(16 aggregate folds + greatest + sum) inside WholeStageCodegen "
+        "— no Python evaluator, no explode; broadcast query set; "
+        "qid-partitioned top-k window."
+    ),
+    "q_stats_ks_drift": (
+        "Two-sample KS (r12 second wave). Wanted: distributed "
+        "prefix-sum shape — per-value HashAggregate with map-side "
+        "partial, bucket-partitioned cumulative Window, the ONLY "
+        "global window being the bucket-offset carry over price-band "
+        "summary rows (bounded by range/width), offsets broadcast "
+        "back, final max a plain aggregate."
+    ),
+    "q_agg_mutual_info": (
+        "Token-label MI (r12 second wave). Wanted: document text "
+        "read by EXACTLY ONE scan (the presence explode); lang "
+        "census scans pruned to the lang column; token totals via a "
+        "tok-partitioned Window (no join-back, no second text scan); "
+        "the absent-cell correction folded into the same aggregate."
+    ),
+    "q_vec_ood_filter": (
+        "Embedding OOD gate (r12 second wave). Wanted: exploded "
+        "derivation end-to-end — centroid and stat tables broadcast "
+        "(BroadcastHashJoin), corpus-sized shuffles only the "
+        "(label,pos) and vec_id aggregations, no array rebuild, no "
+        "Python, no global window."
+    ),
+    "q_join_interval_grid": (
+        "Grid interval-overlap join (r12 second wave). Wanted: the "
+        "overlap theta-join executed as an EQUI join on the hour "
+        "cell (hash join — broadcast at fixture scale, shuffled at "
+        "scale), never BroadcastNestedLoopJoin/CartesianProduct; "
+        "explode = the grid replication; responsibility filter after "
+        "the join."
+    ),
 }
 
 
