@@ -437,3 +437,51 @@ def decode_ppm(
     return media.select(id_col, bytes_col).mapInPandas(
         process, PPM_META_SCHEMA
     )
+
+
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sig_lo", T.LongType()),
+        T.StructField("sig_hi", T.LongType()),
+    ]
+)
+
+
+def ahash_ppm(
+    media: DataFrame, id_col: str = "media_id", bytes_col: str = "payload"
+) -> DataFrame:
+    """Perceptual average-hash (aHash) over REAL P6 payloads: parse the
+    PPM (the same whitespace/comment-tolerant header tokenizer as
+    decode_ppm), downsample the 16x16 grayscale image to 8x8 by 2x2
+    block sums, and set bit b iff block b is brighter than the image
+    mean.  All comparisons are exact INTEGER math (block_sum * 64 >
+    total_sum — no float mean), so an arithmetic oracle can reproduce
+    the hash bit-for-bit.  The 64 bits pack into two BIGINTs (bits
+    0-31 -> sig_lo, 32-63 -> sig_hi), the same signature layout as the
+    binary-quantized ANN index.  Arrow-batched pure map: decode
+    parallelism = partition count, only 24-byte signature rows ever
+    move."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[bytes_col]):
+                w, h, raster = ppm_raster(bytes(payload))
+                if (w, h) != (16, 16):
+                    raise ValueError(f"ahash_ppm expects 16x16, got {w}x{h}")
+                px = raster.astype(np.int64).reshape(16, 16, 3)
+                gsum = px.sum(axis=2)  # per-pixel r+g+b, 0..765
+                blocks = gsum.reshape(8, 2, 8, 2).sum(axis=(1, 3))
+                total = int(blocks.sum())
+                bits = (blocks.reshape(-1) * 64 > total).astype(np.int64)
+                lo = int((bits[:32] << np.arange(32, dtype=np.int64)).sum())
+                hi = int((bits[32:] << np.arange(32, dtype=np.int64)).sum())
+                rows.append(
+                    {"media_id": int(mid), "sig_lo": lo, "sig_hi": hi}
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AHASH_SCHEMA.fields]
+            )
+
+    return media.select(id_col, bytes_col).mapInPandas(process, AHASH_SCHEMA)

@@ -697,3 +697,155 @@ def q_join_interval_grid(spark, sf_dir):
         .groupBy("day")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.24.7 perceptual-hash image dedup (real PPM decode -> aHash -> LSH bands)
+# ---------------------------------------------------------------------------
+
+_PHASH_HAM_MAX = 10  # near-dup verify threshold (of 64 bits)
+
+# Raster byte j of image media_id: (gid*11 + j*13 + pert) % 256 with
+# gid = media_id % 50, pert = media_id % 3 — images sharing a gid are
+# near-identical (a small constant brightness shift that only flips
+# aHash bits where the mod-256 ramp wraps), which is exactly the
+# near-dup structure a perceptual hash exists to catch.
+_PHASH_BYTE = "(({gid}) * 11 + ({j}) * 13 + ({pert})) % 256"
+
+_PHASH_ORACLE = f"""
+WITH p AS (
+  SELECT doc_id AS media_id, doc_id % 50 AS gid, doc_id % 3 AS pert
+  FROM documents WHERE doc_id % 5 = 1),
+px AS (
+  SELECT media_id, gid, pert, unnest(generate_series(0, 255)) AS pp
+  FROM p),
+g AS (
+  SELECT media_id,
+    CAST(((pp // 16) // 2) * 8 + ((pp % 16) // 2) AS INT) AS b,
+    ({_PHASH_BYTE.format(gid='gid', j='3 * pp + 0', pert='pert')}
+   + {_PHASH_BYTE.format(gid='gid', j='3 * pp + 1', pert='pert')}
+   + {_PHASH_BYTE.format(gid='gid', j='3 * pp + 2', pert='pert')}) AS gsum
+  FROM px),
+bs AS (SELECT media_id, b, sum(gsum) AS bsum FROM g GROUP BY 1, 2),
+tot AS (SELECT media_id, sum(bsum) AS t FROM bs GROUP BY 1),
+sig AS (
+  SELECT bs.media_id,
+    CAST(sum(CASE WHEN b < 32 AND bsum * 64 > t
+      THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS sig_lo,
+    CAST(sum(CASE WHEN b >= 32 AND bsum * 64 > t
+      THEN (CAST(1 AS BIGINT) << (b - 32)) ELSE 0 END) AS BIGINT) AS sig_hi
+  FROM bs JOIN tot USING (media_id) GROUP BY 1),
+bands AS (
+  SELECT media_id, sig_lo, sig_hi,
+    unnest([0, 1, 2, 3]) AS bi,
+    unnest([sig_lo % 65536, sig_lo // 65536,
+            sig_hi % 65536, sig_hi // 65536]) AS bv
+  FROM sig),
+cand AS (
+  SELECT DISTINCT a.media_id AS media_a, a.sig_lo AS alo, a.sig_hi AS ahi,
+         c.media_id AS media_b, c.sig_lo AS blo, c.sig_hi AS bhi
+  FROM bands a JOIN bands c
+    ON a.bi = c.bi AND a.bv = c.bv AND a.media_id < c.media_id)
+SELECT media_a, media_b,
+  CAST(bit_count(xor(alo, blo)) + bit_count(xor(ahi, bhi)) AS INT) AS ham
+FROM cand
+WHERE bit_count(xor(alo, blo)) + bit_count(xor(ahi, bhi))
+      <= {_PHASH_HAM_MAX}
+"""
+
+
+@query(
+    "q_dedup_phash",
+    oracle=_PHASH_ORACLE,
+    tags=("llm", "dedup", "multimodal", "scale-design"),
+)
+def q_dedup_phash(spark, sf_dir):
+    """Perceptual-hash near-duplicate detection for IMAGES — the
+    multimodal counterpart of MinHash text dedup: synthesize a REAL
+    binary PPM per selected document (deterministic doc-derived
+    raster; images sharing gid = doc_id %% 50 are near-identical up
+    to a brightness shift), decode it with the real P6 parser, take
+    the aHash (8x8 block-mean threshold, exact integer math —
+    operators/multimodal.ahash_ppm), and find near-dup pairs via
+    16-bit LSH BANDS over the 64-bit hash (any shared quarter is a
+    candidate) verified at Hamming <= 10.
+
+    Plan: synth and hash are Arrow-batched mapInPandas pure maps over
+    the real codec — only 24-byte signature rows leave the Python
+    stage; banding is a posexplode projection; candidates come from
+    ONE (band_idx, band_value)-keyed equi-join (never all-pairs —
+    the same banding guarantee as the text LSH family); the Hamming
+    verify is two bit_count(xor) JVM instructions per candidate.  At
+    100 TB the signature table is 24 bytes/image and the band join is
+    the only shuffle; the image bytes never move past their decode
+    partition.  The DuckDB oracle reproduces raster -> block sums ->
+    threshold bits -> bands -> verify entirely arithmetically, so a
+    header-tokenizer bug, raster offset error, block-index mistake,
+    or band-packing error all surface as value mismatches."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from skyhookdb_ceph_spark.operators.multimodal import (
+        ahash_ppm,
+        ppm_bytes,
+    )
+
+    params = (
+        ensure_parallelism(Catalog(spark, sf_dir).documents)
+        .filter("doc_id % 5 = 1")
+        .selectExpr(
+            "doc_id AS media_id",
+            "CAST(doc_id % 50 AS BIGINT) AS gid",
+            "CAST(doc_id % 3 AS BIGINT) AS pert",
+        )
+    )
+    synth_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def synth(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid, gid, pert in zip(pdf.media_id, pdf.gid, pdf.pert):
+                j = np.arange(16 * 16 * 3, dtype=np.int64)
+                raster = (int(gid) * 11 + j * 13 + int(pert)) % 256
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "payload": ppm_bytes(raster, 16, 16),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    sig = ahash_ppm(params.mapInPandas(synth, synth_schema))
+    bands = sig.selectExpr(
+        "media_id",
+        "sig_lo",
+        "sig_hi",
+        "posexplode(array(sig_lo % 65536, sig_lo div 65536, "
+        "sig_hi % 65536, sig_hi div 65536)) AS (bi, bv)",
+    )
+    a = bands.selectExpr(
+        "media_id AS media_a", "sig_lo AS alo", "sig_hi AS ahi", "bi", "bv"
+    )
+    b = bands.selectExpr(
+        "media_id AS media_b", "sig_lo AS blo", "sig_hi AS bhi", "bi", "bv"
+    )
+    return (
+        a.join(b, ["bi", "bv"])
+        .filter("media_a < media_b")
+        .select("media_a", "alo", "ahi", "media_b", "blo", "bhi")
+        .distinct()
+        .selectExpr(
+            "media_a",
+            "media_b",
+            "CAST(bit_count(alo ^ blo) + bit_count(ahi ^ bhi) AS INT)"
+            " AS ham",
+        )
+        .filter(F.col("ham") <= _PHASH_HAM_MAX)
+    )

@@ -1416,3 +1416,23 @@ def test_interval_grid_is_equi_join_not_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in used
     assert "CartesianProduct" not in used
     assert used & {"BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin"}
+
+
+def test_phash_band_join_never_all_pairs(spark):
+    """q_dedup_phash: candidates must come from the (band_idx,
+    band_value) equi-join — a cartesian/nested-loop over the image
+    signatures is exactly the all-pairs shape LSH banding exists to
+    avoid; the Python stages are the two Arrow-batched codec maps
+    (synth + ahash), nothing more."""
+    df = q("q_dedup_phash", spark)
+    used = joins_used(df)
+    assert "CartesianProduct" not in used
+    assert "BroadcastNestedLoopJoin" not in used
+    assert used & {"BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin"}
+    plan = explain_str(df, "simple")
+    # the two Arrow codec stages appear TWICE — once per side of the
+    # band self-join (Spark recomputes unpersisted self-join inputs;
+    # in production the 24-byte signature table is the PERSISTED
+    # index, so the decode runs once at index-build time).  A fifth
+    # instance would mean a new Python stage crept into the pipeline.
+    assert plan.count("MapInPandas") == 4
