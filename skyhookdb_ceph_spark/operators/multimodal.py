@@ -448,6 +448,24 @@ AHASH_SCHEMA = T.StructType(
 )
 
 
+def ahash64(raster: np.ndarray) -> tuple[int, int]:
+    """Pure aHash core over a flat (16*16*3,) RGB raster: grayscale by
+    per-pixel channel sum, 8x8 downsample by 2x2 block sums, bit b set
+    iff block_sum[b] * 64 > total_sum — exact integer comparisons
+    throughout, so the hash is invariant under a constant brightness
+    shift that does not wrap (gray and mean shift together) and an
+    arithmetic oracle can reproduce it bit-for-bit.  Returns
+    (sig_lo, sig_hi): bits 0-31 and 32-63."""
+    px = raster.astype(np.int64).reshape(16, 16, 3)
+    gsum = px.sum(axis=2)  # per-pixel r+g+b, 0..765
+    blocks = gsum.reshape(8, 2, 8, 2).sum(axis=(1, 3))
+    total = int(blocks.sum())
+    bits = (blocks.reshape(-1) * 64 > total).astype(np.int64)
+    lo = int((bits[:32] << np.arange(32, dtype=np.int64)).sum())
+    hi = int((bits[32:] << np.arange(32, dtype=np.int64)).sum())
+    return lo, hi
+
+
 def ahash_ppm(
     media: DataFrame, id_col: str = "media_id", bytes_col: str = "payload"
 ) -> DataFrame:
@@ -470,13 +488,7 @@ def ahash_ppm(
                 w, h, raster = ppm_raster(bytes(payload))
                 if (w, h) != (16, 16):
                     raise ValueError(f"ahash_ppm expects 16x16, got {w}x{h}")
-                px = raster.astype(np.int64).reshape(16, 16, 3)
-                gsum = px.sum(axis=2)  # per-pixel r+g+b, 0..765
-                blocks = gsum.reshape(8, 2, 8, 2).sum(axis=(1, 3))
-                total = int(blocks.sum())
-                bits = (blocks.reshape(-1) * 64 > total).astype(np.int64)
-                lo = int((bits[:32] << np.arange(32, dtype=np.int64)).sum())
-                hi = int((bits[32:] << np.arange(32, dtype=np.int64)).sum())
+                lo, hi = ahash64(raster)
                 rows.append(
                     {"media_id": int(mid), "sig_lo": lo, "sig_hi": hi}
                 )

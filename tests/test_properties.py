@@ -594,3 +594,104 @@ def test_strip_and_audit_agree_on_random_corpora(spark, docs_texts):
     for i, t in texts.items():
         assert strip[i]["removed_chars"] == audit.get(i, 0)
         assert len(strip[i]["clean_text"]) + strip[i]["removed_chars"] == len(t)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=200),
+        min_size=768,
+        max_size=768,
+    ),
+    st.integers(min_value=0, max_value=55),
+)
+def test_ahash_invariant_under_brightness_shift(vals, c):
+    """q_dedup_phash's near-dup premise: the aHash is EXACTLY
+    invariant under a constant brightness shift that does not wrap
+    (gray and mean shift together; block*64 > total is preserved
+    because 12c per block x 64 blocks = 768c added to the total).
+    Values capped at 200 and shift at 55 so v + c never wraps."""
+    import numpy as np
+
+    from skyhookdb_ceph_spark.operators.multimodal import ahash64
+
+    raster = np.array(vals, dtype=np.int64)
+    assert ahash64(raster) == ahash64(raster + c)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=5000), min_size=0, max_size=40),
+    st.lists(st.integers(min_value=0, max_value=5000), min_size=0, max_size=40),
+)
+def test_interval_grid_responsibility_counts_each_pair_once(a_starts, b_starts):
+    """q_join_interval_grid's de-dup rule: replicate each 30-unit
+    interval to its 60-unit grid cells, join on cell, filter overlap
+    AND cell == cell(max(starts)) — must count EXACTLY the naive
+    all-pairs overlap set, each pair once, for arbitrary starts
+    (including intervals spanning a cell boundary and equal starts)."""
+    length, cell_w = 30, 60
+    naive = sum(
+        1
+        for a in a_starts
+        for b in b_starts
+        if a <= b + length and b <= a + length
+    )
+    grid = 0
+    for a in a_starts:
+        a_cells = set(range(a // cell_w, (a + length) // cell_w + 1))
+        for b in b_starts:
+            if not (a <= b + length and b <= a + length):
+                continue
+            b_cells = set(range(b // cell_w, (b + length) // cell_w + 1))
+            resp = max(a, b) // cell_w
+            hits = [c for c in a_cells & b_cells if c == resp]
+            assert len(hits) == 1, (a, b, a_cells, b_cells, resp)
+            grid += len(hits)
+    assert grid == naive
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),  # n_tl per lang
+            st.integers(min_value=1, max_value=40),  # extra docs of lang
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_mutual_info_absent_cell_algebra(cells):
+    """q_agg_mutual_info computes absent (token,lang) cells via one
+    closed-form correction instead of materializing the vocab x langs
+    grid; the two formulations must agree to float regrouping noise
+    (<< the 1e-6 output quantum)."""
+    import math
+
+    n_l = [ntl + extra for ntl, extra in cells]
+    n_tl = [ntl for ntl, _ in cells]
+    n = sum(n_l)
+    n_t = sum(n_tl)
+    if n_t == 0:
+        return
+
+    def term(c, nx, nl):
+        return (c / n) * math.log2((c * n) / (nx * nl)) if c > 0 else 0.0
+
+    # full-grid (oracle) form: every lang contributes both cells
+    full = sum(
+        term(n_tl[i], n_t, n_l[i]) + term(n_l[i] - n_tl[i], n - n_t, n_l[i])
+        for i in range(len(cells))
+    )
+    # window+correction (Spark) form: present rows only, absent langs
+    # collapsed into ((n - sum_present_nl)/n) * log2(n/(n-n_t))
+    pres = [i for i in range(len(cells)) if n_tl[i] > 0]
+    nl_pres = sum(n_l[i] for i in pres)
+    spark = sum(
+        term(n_tl[i], n_t, n_l[i]) + term(n_l[i] - n_tl[i], n - n_t, n_l[i])
+        for i in pres
+    )
+    if n - n_t > 0 and n - nl_pres > 0:
+        spark += ((n - nl_pres) / n) * math.log2(n / (n - n_t))
+    assert abs(full - spark) < 1e-10
