@@ -735,18 +735,24 @@ sig AS (
     CAST(sum(CASE WHEN b >= 32 AND bsum * 64 > t
       THEN (CAST(1 AS BIGINT) << (b - 32)) ELSE 0 END) AS BIGINT) AS sig_hi
   FROM bs JOIN tot USING (media_id) GROUP BY 1),
+clus AS (
+  SELECT sig_lo, sig_hi, CAST(min(media_id) AS BIGINT) AS rep,
+         CAST(count(*) AS BIGINT) AS n_imgs
+  FROM sig GROUP BY 1, 2),
 bands AS (
-  SELECT media_id, sig_lo, sig_hi,
+  SELECT rep, n_imgs, sig_lo, sig_hi,
     unnest([0, 1, 2, 3]) AS bi,
     unnest([sig_lo % 65536, sig_lo // 65536,
             sig_hi % 65536, sig_hi // 65536]) AS bv
-  FROM sig),
+  FROM clus),
 cand AS (
-  SELECT DISTINCT a.media_id AS media_a, a.sig_lo AS alo, a.sig_hi AS ahi,
-         c.media_id AS media_b, c.sig_lo AS blo, c.sig_hi AS bhi
+  SELECT DISTINCT a.rep AS rep_a, a.n_imgs AS n_a,
+         a.sig_lo AS alo, a.sig_hi AS ahi,
+         c.rep AS rep_b, c.n_imgs AS n_b,
+         c.sig_lo AS blo, c.sig_hi AS bhi
   FROM bands a JOIN bands c
-    ON a.bi = c.bi AND a.bv = c.bv AND a.media_id < c.media_id)
-SELECT media_a, media_b,
+    ON a.bi = c.bi AND a.bv = c.bv AND a.rep < c.rep)
+SELECT rep_a, n_a, rep_b, n_b,
   CAST(bit_count(xor(alo, blo)) + bit_count(xor(ahi, bhi)) AS INT) AS ham
 FROM cand
 WHERE bit_count(xor(alo, blo)) + bit_count(xor(ahi, bhi))
@@ -766,22 +772,38 @@ def q_dedup_phash(spark, sf_dir):
     raster; images sharing gid = doc_id %% 50 are near-identical up
     to a brightness shift), decode it with the real P6 parser, take
     the aHash (8x8 block-mean threshold, exact integer math —
-    operators/multimodal.ahash_ppm), and find near-dup pairs via
-    16-bit LSH BANDS over the 64-bit hash (any shared quarter is a
-    candidate) verified at Hamming <= 10.
+    operators/multimodal.ahash_ppm), collapse exact-hash duplicates
+    into CLUSTERS (signature groupBy: representative = min id,
+    multiplicity carried), and find near-dup pairs BETWEEN DISTINCT
+    SIGNATURES via 16-bit LSH bands (any shared quarter is a
+    candidate) verified at Hamming <= 10.  Image-level dup counts
+    are recoverable as n_a * n_b per signature pair (+ C(n,2) inside
+    each exact cluster) without ever materializing them.
+
+    The cluster collapse is a MEASURED scale requirement, not
+    stylistic: the image-pair formulation of this query produced
+    46.2k pairs at sf0.1, 4.66M at sf1, and DIED in GC at sf10 —
+    duplicate-cluster size grows with any real corpus, so pair-wise
+    output over cluster members is quadratic in cluster size (the
+    same blow-up class the r11 substring-dedup smoke caught).  The
+    distinct-signature formulation emits one row per near-dup HASH
+    pair: output is bounded by distinct-signature collisions, not
+    image pairs.
 
     Plan: synth and hash are Arrow-batched mapInPandas pure maps over
     the real codec — only 24-byte signature rows leave the Python
-    stage; banding is a posexplode projection; candidates come from
-    ONE (band_idx, band_value)-keyed equi-join (never all-pairs —
-    the same banding guarantee as the text LSH family); the Hamming
-    verify is two bit_count(xor) JVM instructions per candidate.  At
-    100 TB the signature table is 24 bytes/image and the band join is
-    the only shuffle; the image bytes never move past their decode
+    stage; the signature groupBy partial-aggregates map-side; banding
+    is a posexplode projection; candidates come from ONE (band_idx,
+    band_value)-keyed equi-join over DISTINCT signatures (never
+    all-pairs, never cluster-member pairs); the Hamming verify is two
+    bit_count(xor) JVM instructions per candidate.  At 100 TB the
+    signature table is 24 bytes/image, the groupBy and band join are
+    the only shuffles, and image bytes never move past their decode
     partition.  The DuckDB oracle reproduces raster -> block sums ->
-    threshold bits -> bands -> verify entirely arithmetically, so a
-    header-tokenizer bug, raster offset error, block-index mistake,
-    or band-packing error all surface as value mismatches."""
+    threshold bits -> clusters -> bands -> verify entirely
+    arithmetically, so a header-tokenizer bug, raster offset error,
+    block-index mistake, or band-packing error all surface as value
+    mismatches."""
     import pandas as pd
     from pyspark.sql import types as T
 
@@ -823,27 +845,36 @@ def q_dedup_phash(spark, sf_dir):
             yield pd.DataFrame(rows, columns=["media_id", "payload"])
 
     sig = ahash_ppm(params.mapInPandas(synth, synth_schema))
-    bands = sig.selectExpr(
-        "media_id",
+    clus = sig.groupBy("sig_lo", "sig_hi").agg(
+        F.min("media_id").cast("bigint").alias("rep"),
+        F.count(F.lit(1)).cast("bigint").alias("n_imgs"),
+    )
+    bands = clus.selectExpr(
+        "rep",
+        "n_imgs",
         "sig_lo",
         "sig_hi",
         "posexplode(array(sig_lo % 65536, sig_lo div 65536, "
         "sig_hi % 65536, sig_hi div 65536)) AS (bi, bv)",
     )
     a = bands.selectExpr(
-        "media_id AS media_a", "sig_lo AS alo", "sig_hi AS ahi", "bi", "bv"
+        "rep AS rep_a", "n_imgs AS n_a", "sig_lo AS alo", "sig_hi AS ahi",
+        "bi", "bv",
     )
     b = bands.selectExpr(
-        "media_id AS media_b", "sig_lo AS blo", "sig_hi AS bhi", "bi", "bv"
+        "rep AS rep_b", "n_imgs AS n_b", "sig_lo AS blo", "sig_hi AS bhi",
+        "bi", "bv",
     )
     return (
         a.join(b, ["bi", "bv"])
-        .filter("media_a < media_b")
-        .select("media_a", "alo", "ahi", "media_b", "blo", "bhi")
+        .filter("rep_a < rep_b")
+        .select("rep_a", "n_a", "alo", "ahi", "rep_b", "n_b", "blo", "bhi")
         .distinct()
         .selectExpr(
-            "media_a",
-            "media_b",
+            "rep_a",
+            "n_a",
+            "rep_b",
+            "n_b",
             "CAST(bit_count(alo ^ blo) + bit_count(ahi ^ bhi) AS INT)"
             " AS ham",
         )
