@@ -1233,3 +1233,119 @@ def _dedup_lsh_pipeline(spark, sf_dir, n_files=1, options=None):
         base_sig.unpersist()
         base_y.unpersist()
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# §2.24.8 streaming distribution-drift monitor (windowed JS vs reference)
+# ---------------------------------------------------------------------------
+
+
+def drift_window_counts(df):
+    """The STATEFUL core of q_stream_drift, shared batch/streaming:
+    per (6-hour tumbling window, event_type) counts.  This exact
+    DataFrame runs under readStream unchanged (complete mode);
+    tests/test_streaming.py pins batch == stream.  The JS assembly
+    downstream is stateless per-window arithmetic a foreachBatch (or
+    the memory-sink consumer) applies to the window counts."""
+    return df.groupBy(F.window("ts", "6 hours"), "event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+_DRIFT_ORACLE = """
+WITH ref AS (
+  SELECT event_type,
+    CAST(count(*) AS DOUBLE)
+      / CAST((SELECT count(*) FROM events) AS DOUBLE) AS qf
+  FROM events GROUP BY 1),
+wt AS (
+  SELECT time_bucket(INTERVAL '6 hours', ts) AS ws, event_type,
+    CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2),
+wtot AS (SELECT ws, CAST(sum(cnt) AS BIGINT) AS n_events FROM wt GROUP BY 1),
+grid AS (
+  SELECT wtot.ws, wtot.n_events, ref.event_type, ref.qf,
+    coalesce(wt.cnt, 0) AS cnt
+  FROM wtot CROSS JOIN ref
+  LEFT JOIN wt ON wt.ws = wtot.ws AND wt.event_type = ref.event_type),
+terms AS (
+  SELECT ws, n_events,
+    (CASE WHEN cnt > 0 THEN
+       0.5 * (CAST(cnt AS DOUBLE) / n_events)
+           * log2((CAST(cnt AS DOUBLE) / n_events)
+                / ((CAST(cnt AS DOUBLE) / n_events + qf) / 2))
+     ELSE 0.0 END
+   + 0.5 * qf * log2(qf / ((CAST(cnt AS DOUBLE) / n_events + qf) / 2)))
+      AS term
+  FROM grid)
+SELECT ws AS window_start, ws + INTERVAL '6 hours' AS window_end,
+  max(n_events) AS n_events,
+  floor(sum(term) * 1000000 + 0.5) / 1000000 AS js
+FROM terms GROUP BY ws
+"""
+
+
+@query(
+    "q_stream_drift",
+    oracle=_DRIFT_ORACLE,
+    tags=("stream", "drift", "llm"),
+)
+def q_stream_drift(spark, sf_dir):
+    """Streaming distribution-drift monitor: Jensen-Shannon divergence
+    (bits) of each 6-hour window's event-type distribution against
+    the global reference profile — the alarm a production ingest
+    pipeline keeps on its topic mix (a drifting mix is often the
+    first sign of an upstream breakage or a data-poisoning attempt).
+
+    The stateful core is ONE shared batch/streaming tumbling
+    aggregation (drift_window_counts — state per (window, type),
+    watermark-evictable); the reference profile is the static side of
+    a stream-static pattern (here derived from the same table; in
+    production a precomputed profile read once per trigger), and the
+    JS assembly is stateless per-window arithmetic: the |types|-row
+    grid per window comes from a broadcast cross of the window totals
+    with the 5-row reference, absent types contributing only their
+    reference-side term (JS is finite under zeros, unlike KL — the
+    reason monitoring stacks prefer it).  All divisions are exact
+    integer-cumulant ratios; the summed terms quantize at 1e-6.
+    Batch == stream for the stateful core is pinned in
+    tests/test_streaming.py."""
+    e = Catalog(spark, sf_dir).events
+    n_total = e.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    ref = (
+        e.groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("double").alias("nt"))
+        .crossJoin(F.broadcast(n_total))
+        .selectExpr("event_type", "nt / n AS qf")
+    )
+    wt = drift_window_counts(e).select(
+        F.col("window.start").alias("ws"),
+        F.col("event_type"),
+        F.col("cnt").cast("bigint").alias("cnt"),
+    )
+    wtot = wt.groupBy("ws").agg(F.sum("cnt").cast("bigint").alias("n_events"))
+    grid = (
+        wtot.crossJoin(F.broadcast(ref))
+        .join(wt, ["ws", "event_type"], "left")
+        .withColumn("cnt", F.coalesce(F.col("cnt"), F.lit(0)))
+    )
+    terms = grid.selectExpr(
+        "ws",
+        "n_events",
+        "(CASE WHEN cnt > 0 THEN "
+        "  0.5 * (CAST(cnt AS DOUBLE) / n_events) "
+        "      * log2((CAST(cnt AS DOUBLE) / n_events) "
+        "           / ((CAST(cnt AS DOUBLE) / n_events + qf) / 2)) "
+        "ELSE 0.0 END "
+        "+ 0.5 * qf * log2(qf / ((CAST(cnt AS DOUBLE) / n_events + qf) / 2)))"
+        " AS term",
+    )
+    return terms.groupBy("ws").agg(
+        F.max("n_events").alias("n_events"),
+        F.expr("floor(sum(term) * 1000000 + 0.5) / 1000000").alias("js"),
+    ).selectExpr(
+        "ws AS window_start",
+        "ws + INTERVAL 6 HOURS AS window_end",
+        "n_events",
+        "js",
+    )

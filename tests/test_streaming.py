@@ -279,3 +279,33 @@ def test_dedup_lsh_multi_batch_matches_single_batch(spark):
     )
     assert one == many
     assert len(one) > 0  # fixture near-dups must actually exercise the gate
+
+
+def test_drift_stateful_core_identical_in_batch_and_stream(spark, sf_small):
+    """q_stream_drift's stateful core (the 6-hour (window, type)
+    counts) must produce identical rows under readStream; the JS
+    assembly downstream is stateless arithmetic over these counts."""
+    from skyhookdb_ceph_spark.queries.streaming_q import drift_window_counts
+    from skyhookdb_ceph_spark.catalog import Catalog as _Cat
+
+    batch = sorted(
+        map(
+            tuple,
+            drift_window_counts(_Cat(spark, sf_small).events)
+            .selectExpr("window.start AS ws", "event_type", "cnt")
+            .collect(),
+        )
+    )
+    streamed = drain_to_memory(
+        drift_window_counts(events_stream(spark, sf_small)),
+        output_mode="complete",
+    )
+    got = sorted(
+        map(
+            tuple,
+            streamed.selectExpr(
+                "window.start AS ws", "event_type", "cnt"
+            ).collect(),
+        )
+    )
+    assert got == batch
