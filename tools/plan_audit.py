@@ -484,6 +484,22 @@ AUDIT = {
         "explode = the grid replication; responsibility filter after "
         "the join."
     ),
+    "q_dedup_phash": (
+        "Perceptual-hash image dedup (r12 second wave, v2 after the "
+        "measured 100x GC kill). Wanted: two Arrow codec stages per "
+        "self-join side (MapInPandas x4, signatures only leaving "
+        "Python); the exact-signature groupBy partial-aggregating "
+        "BEFORE the band join (cluster collapse = the scale fix); "
+        "candidates from the (band, value) hash equi-join over "
+        "DISTINCT signatures; no cartesian."
+    ),
+    "q_stream_drift": (
+        "Windowed JS drift monitor (r12 second wave). Wanted: ONE "
+        "tumbling (window, type) aggregation as the stateful core "
+        "(the shared batch/stream op); the 5-row reference profile "
+        "broadcast; the JS assembly running on the window-grid rows, "
+        "never corpus-sized; no global window."
+    ),
 }
 
 
