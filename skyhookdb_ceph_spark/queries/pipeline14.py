@@ -880,3 +880,115 @@ def q_dedup_phash(spark, sf_dir):
         )
         .filter(F.col("ham") <= _PHASH_HAM_MAX)
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.24.9 the PLAID cascade composed: binary coarse pass -> MaxSim rerank
+# ---------------------------------------------------------------------------
+
+_CASCADE_SHORTLIST = 50  # Hamming-stage survivors fed to MaxSim
+
+_MAXSIM_PRUNED_ORACLE = f"""
+WITH s AS (
+  SELECT vec_id,
+    {_sig_duckdb('embedding', 1, 32)} AS sig_lo,
+    {_sig_duckdb('embedding', 33, 64)} AS sig_hi
+  FROM embeddings),
+q AS (
+  SELECT s.vec_id AS qid, e.embedding AS qv, s.sig_lo AS q_lo,
+         s.sig_hi AS q_hi
+  FROM s JOIN embeddings e ON e.vec_id = s.vec_id
+  WHERE s.vec_id % 100 = 0),
+h AS (
+  SELECT q.qid, s.vec_id,
+    CAST(bit_count(xor(s.sig_lo, q.q_lo))
+       + bit_count(xor(s.sig_hi, q.q_hi)) AS INT) AS ham
+  FROM s, q WHERE s.vec_id <> q.qid),
+cand AS (
+  SELECT qid, vec_id, ham,
+    row_number() OVER (PARTITION BY qid ORDER BY ham, vec_id) AS cr
+  FROM h),
+rr AS (
+  SELECT c.qid, c.vec_id, c.ham,
+    floor(({_maxsim('q.qv', 'e.embedding', True)}) * 1000000 + 0.5)
+      / 1000000 AS score
+  FROM cand c
+  JOIN embeddings e ON e.vec_id = c.vec_id
+  JOIN q ON q.qid = c.qid
+  WHERE c.cr <= {_CASCADE_SHORTLIST}),
+rk AS (
+  SELECT qid, vec_id, ham, score,
+    CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id)
+      AS INT) AS rnk
+  FROM rr)
+SELECT qid, vec_id, ham, score, rnk FROM rk WHERE rnk <= {_KNN_K}
+"""
+
+
+@query(
+    "q_sim_maxsim_pruned",
+    oracle=_MAXSIM_PRUNED_ORACLE,
+    tags=("llm", "similarity", "scale-design"),
+)
+def q_sim_maxsim_pruned(spark, sf_dir):
+    """The PLAID-style retrieval CASCADE composed as one operator:
+    the binary-signature Hamming pass (q_sim_knn_binary's coarse
+    stage) shortlists _CASCADE_SHORTLIST candidates per query, and
+    MaxSim late-interaction scoring (q_sim_maxsim's expression) runs
+    ONLY on the shortlist for the final top-k.  This is the
+    production shape the two component operators' scale curves point
+    at (BASELINE §L.8): brute-force MaxSim is linear-in-corpus per
+    query (451 ms/query at 100x), while here the expensive scorer
+    touches a corpus-independent shortlist — per-query cost is the
+    cheap bit-parallel scan plus a CONSTANT 50-row rerank.
+
+    Plan shape: identical coarse stage to q_sim_knn_binary (signature
+    projection, broadcast query set, narrow Hamming cross-score,
+    qid-partitioned candidate window), then the shortlist joins BACK
+    to the corpus by vec_id and the 16-fold MaxSim expression runs on
+    |Q| x 50 rows.  Shared helpers (_sig_expr / _maxsim) make
+    cascade-vs-component drift impossible."""
+    e = ensure_parallelism(Catalog(spark, sf_dir).embeddings)
+    sigs = e.selectExpr(
+        "vec_id",
+        f"{_sig_expr('embedding', 1, 32)} AS sig_lo",
+        f"{_sig_expr('embedding', 33, 64)} AS sig_hi",
+    )
+    q = (
+        sigs.filter("vec_id % 100 = 0")
+        .join(e.selectExpr("vec_id", "embedding AS qv"), "vec_id")
+        .selectExpr("vec_id AS qid", "qv", "sig_lo AS q_lo", "sig_hi AS q_hi")
+    )
+    ham = (
+        sigs.crossJoin(F.broadcast(q.drop("qv")))
+        .filter("vec_id <> qid")
+        .selectExpr(
+            "qid",
+            "vec_id",
+            "CAST(bit_count(sig_lo ^ q_lo) + bit_count(sig_hi ^ q_hi) "
+            "AS INT) AS ham",
+        )
+    )
+    wc = Window.partitionBy("qid").orderBy(F.asc("ham"), F.asc("vec_id"))
+    cand = (
+        ham.withColumn("cr", F.row_number().over(wc))
+        .filter(F.col("cr") <= _CASCADE_SHORTLIST)
+        .drop("cr")
+    )
+    rr = (
+        cand.join(e.selectExpr("vec_id", "embedding"), "vec_id")
+        .join(F.broadcast(q.select("qid", "qv")), "qid")
+        .selectExpr(
+            "qid",
+            "vec_id",
+            "ham",
+            f"floor(({_maxsim('qv', 'embedding', False)}) * 1000000 + 0.5)"
+            " / 1000000 AS score",
+        )
+    )
+    wr = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        rr.withColumn("rnk", F.row_number().over(wr).cast("int"))
+        .filter(F.col("rnk") <= _KNN_K)
+        .select("qid", "vec_id", "ham", "score", "rnk")
+    )
