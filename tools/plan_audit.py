@@ -500,6 +500,14 @@ AUDIT = {
         "broadcast; the JS assembly running on the window-grid rows, "
         "never corpus-sized; no global window."
     ),
+    "q_sim_maxsim_pruned": (
+        "Composed PLAID cascade (r12 second wave). Wanted: the "
+        "q_sim_knn_binary coarse stage verbatim (broadcast query "
+        "set, narrow Hamming cross-score, qid window), then the "
+        "16-fold MaxSim Project over ONLY the 50-row-per-query "
+        "shortlist after the vec_id equi-join-back; no Python, no "
+        "cartesian, no global window."
+    ),
 }
 
 

@@ -41,6 +41,9 @@ FLAGSHIPS = [
     "q_vec_ood_filter",      # exploded centroid/cos aggregations
     "q_sim_knn_binary",      # Hamming coarse + rerank (|Q| ~ n/100)
     "q_sim_maxsim",          # late-interaction rerank (|Q| ~ n/100)
+    "q_sim_maxsim_pruned",   # the composed cascade (constant rerank)
+    "q_dedup_phash",         # v2 distinct-signature clusters (flat)
+    "q_stream_drift",        # batch form of the shared stream core
 ]
 
 DIRS = [
