@@ -992,3 +992,168 @@ def q_sim_maxsim_pruned(spark, sf_dir):
         .filter(F.col("rnk") <= _KNN_K)
         .select("qid", "vec_id", "ham", "score", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.24.10 binary-ANN recall audit (cascade vs exact top-k ground truth)
+# ---------------------------------------------------------------------------
+
+_BIN_RECALL_ORACLE = f"""
+WITH s AS (
+  SELECT vec_id,
+    {_sig_duckdb('embedding', 1, 32)} AS sig_lo,
+    {_sig_duckdb('embedding', 33, 64)} AS sig_hi
+  FROM embeddings),
+q AS (
+  SELECT s.vec_id AS qid, e.embedding AS qv, s.sig_lo AS q_lo,
+         s.sig_hi AS q_hi
+  FROM s JOIN embeddings e ON e.vec_id = s.vec_id
+  WHERE s.vec_id % 100 = 0),
+exact AS (
+  SELECT qid, vec_id FROM (
+    SELECT q.qid, d.vec_id,
+      row_number() OVER (PARTITION BY q.qid ORDER BY
+        floor(({vectors.cosine_duckdb('d.embedding', 'q.qv')})
+          * 1000000 + 0.5) / 1000000 DESC, d.vec_id) AS rnk
+    FROM embeddings d, q WHERE d.vec_id <> q.qid)
+  WHERE rnk <= {_KNN_K}),
+h AS (
+  SELECT q.qid, s.vec_id,
+    CAST(bit_count(xor(s.sig_lo, q.q_lo))
+       + bit_count(xor(s.sig_hi, q.q_hi)) AS INT) AS ham
+  FROM s, q WHERE s.vec_id <> q.qid),
+cand AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+      row_number() OVER (PARTITION BY qid ORDER BY ham, vec_id) AS cr
+    FROM h)
+  WHERE cr <= {_NCAND}),
+approx AS (
+  SELECT qid, vec_id FROM (
+    SELECT c.qid, c.vec_id,
+      row_number() OVER (PARTITION BY c.qid ORDER BY
+        floor(({vectors.cosine_duckdb('e.embedding', 'q.qv')})
+          * 1000000 + 0.5) / 1000000 DESC, c.vec_id) AS rnk
+    FROM cand c
+    JOIN embeddings e ON e.vec_id = c.vec_id
+    JOIN q ON q.qid = c.qid)
+  WHERE rnk <= {_KNN_K})
+SELECT exact.qid,
+  CAST(count(approx.vec_id) AS BIGINT) AS n_hits,
+  floor(CAST(count(approx.vec_id) AS DOUBLE) / {_KNN_K} * 1000000 + 0.5)
+    / 1000000 AS recall
+FROM exact LEFT JOIN approx
+  ON approx.qid = exact.qid AND approx.vec_id = exact.vec_id
+GROUP BY exact.qid
+"""
+
+
+@query(
+    "q_sim_binary_recall",
+    oracle=_BIN_RECALL_ORACLE,
+    tags=("llm", "similarity", "audit"),
+)
+def q_sim_binary_recall(spark, sf_dir):
+    """Recall audit for the binary-quantized cascade — the accuracy
+    half of the story whose speed half is measured in BASELINE §L.8:
+    per query, recall@{_KNN_K} of q_sim_knn_binary's answer (Hamming
+    top-{_NCAND} shortlist + exact cosine rerank) against the exact
+    brute-force cosine top-{_KNN_K} ground truth.  Same audit pattern
+    as q_dedup_minhash_recall (measure the production approximation
+    against an exact reference inside the engine, never trust the
+    sketch on faith).
+
+    Both paths reuse the cascade's shared signature/window helpers so
+    the audit measures the SHIPPED operator, not a reimplementation.
+    The ground-truth pass is brute-force over the bounded broadcast
+    query set (the same |Q| x corpus narrow cross-score shape); at
+    100 TB the audit runs on a corpus-scaled SAMPLE of queries the
+    way the minhash recall audit samples documents.
+
+    MEASURED at sf0.1 (and the reason this audit ships): mean
+    recall@5 = 0.37 at the production shortlist of {_NCAND} — the
+    synthetic fixture embeddings are ISOTROPIC random vectors, the
+    worst case for 1-bit sign quantization (all cosines cluster near
+    0, true neighbors are near-ties the coarse pass cannot separate).
+    The knob is shortlist width: 0.37 / 0.48 / 0.67 / 0.75 at
+    20/50/100/200 (builder-measured, same corpus).  Real embedding
+    distributions are anisotropic and quantize far better, but the
+    audit exists precisely so a deployment MEASURES its own corpus
+    instead of trusting that sentence."""
+    e = ensure_parallelism(Catalog(spark, sf_dir).embeddings)
+    sigs = e.selectExpr(
+        "vec_id",
+        f"{_sig_expr('embedding', 1, 32)} AS sig_lo",
+        f"{_sig_expr('embedding', 33, 64)} AS sig_hi",
+    )
+    q = (
+        sigs.filter("vec_id % 100 = 0")
+        .join(e.selectExpr("vec_id", "embedding AS qv"), "vec_id")
+        .selectExpr("vec_id AS qid", "qv", "sig_lo AS q_lo", "sig_hi AS q_hi")
+    )
+    wr = Window.partitionBy("qid")
+    exact = (
+        e.crossJoin(F.broadcast(q.select("qid", "qv")))
+        .filter("vec_id <> qid")
+        .selectExpr(
+            "qid",
+            "vec_id",
+            f"floor(({vectors.cosine_expr('embedding', 'qv')}) * 1000000"
+            " + 0.5) / 1000000 AS sim",
+        )
+        .withColumn(
+            "rnk",
+            F.row_number().over(wr.orderBy(F.desc("sim"), F.asc("vec_id"))),
+        )
+        .filter(F.col("rnk") <= _KNN_K)
+        .select("qid", "vec_id")
+    )
+    ham = (
+        sigs.crossJoin(F.broadcast(q.drop("qv")))
+        .filter("vec_id <> qid")
+        .selectExpr(
+            "qid",
+            "vec_id",
+            "CAST(bit_count(sig_lo ^ q_lo) + bit_count(sig_hi ^ q_hi) "
+            "AS INT) AS ham",
+        )
+    )
+    cand = (
+        ham.withColumn(
+            "cr",
+            F.row_number().over(wr.orderBy(F.asc("ham"), F.asc("vec_id"))),
+        )
+        .filter(F.col("cr") <= _NCAND)
+        .select("qid", "vec_id")
+    )
+    approx = (
+        cand.join(e.selectExpr("vec_id", "embedding"), "vec_id")
+        .join(F.broadcast(q.select("qid", "qv")), "qid")
+        .selectExpr(
+            "qid",
+            "vec_id",
+            f"floor(({vectors.cosine_expr('embedding', 'qv')}) * 1000000"
+            " + 0.5) / 1000000 AS sim",
+        )
+        .withColumn(
+            "rnk",
+            F.row_number().over(wr.orderBy(F.desc("sim"), F.asc("vec_id"))),
+        )
+        .filter(F.col("rnk") <= _KNN_K)
+        .selectExpr("qid AS aqid", "vec_id AS avid")
+    )
+    return (
+        exact.join(
+            approx,
+            (F.col("qid") == F.col("aqid")) & (F.col("vec_id") == F.col("avid")),
+            "left",
+        )
+        .groupBy("qid")
+        .agg(
+            F.count("avid").cast("bigint").alias("n_hits"),
+            F.expr(
+                f"floor(CAST(count(avid) AS DOUBLE) / {_KNN_K} * 1000000"
+                " + 0.5) / 1000000"
+            ).alias("recall"),
+        )
+    )
