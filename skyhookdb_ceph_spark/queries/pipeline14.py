@@ -666,7 +666,13 @@ def q_join_interval_grid(spark, sf_dir):
     One keyed shuffle on the hour cell; per-cell work is (clicks in
     cell) x (purchases in cell), bounded by arrival rate x cell
     width — tune the cell width to the interval scale like the
-    range-join bucket width (operators/range_join.py).  The oracle
+    range-join bucket width (operators/range_join.py).  An
+    ADVERSARIAL burst (one hot cell) is the same skew class as a hot
+    join key: split the hot cell's A side into s salted sub-buckets
+    and replicate the B side s ways — the exact recipe measured in
+    q_join_skew_salted — or let AQE's skew-join splitting do it at
+    runtime; the responsibility rule is unaffected because it
+    depends only on (cell, timestamps), not the salt.  The oracle
     runs the NAIVE theta join (DuckDB plans IEJoin) so the grid
     semantics are pinned against the textbook definition."""
     ev = Catalog(spark, sf_dir).events
@@ -1157,3 +1163,235 @@ def q_sim_binary_recall(spark, sf_dir):
             ).alias("recall"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.24.11 MMR diversification rerank (greedy, per-query, applyInPandas)
+# ---------------------------------------------------------------------------
+
+_MMR_LAMBDA = 0.7  # relevance weight
+_MMR_MU = 0.3  # redundancy weight — a LITERAL, not 1-lambda: Python's
+# (1 - 0.7) is 0.30000000000000004, and that last-ulp difference
+# against an SQL literal 0.3 flipped a 1e-6 quantization boundary at
+# sf0.1 (found by the oracle diff); both engines now share the exact
+# same double constant
+_MMR_K = 5  # selections per query
+
+
+def _mmr_oracle() -> str:
+    """Unrolled greedy MMR in pure SQL: the selection at step i is the
+    argmax over remaining candidates of
+      floor((0.7*rel - 0.3*max(sim to selected)) * 1e6 + 0.5) / 1e6
+    with (score DESC, vec_id) tie-break — five CTE steps, each joining
+    the pairwise-sim table against the union of prior selections.  All
+    sims are 1e-6-quantized BEFORE any comparison, so the greedy path
+    is bit-identical to the Python fold in the Spark operator."""
+    qz = "floor(({expr}) * 1000000 + 0.5) / 1000000"
+    rel_cos = qz.format(expr=vectors.cosine_duckdb("e.embedding", "q.qv"))
+    pair_cos = qz.format(expr=vectors.cosine_duckdb("ea.embedding", "eb.embedding"))
+    parts = [f"""
+WITH s AS (
+  SELECT vec_id,
+    {_sig_duckdb('embedding', 1, 32)} AS sig_lo,
+    {_sig_duckdb('embedding', 33, 64)} AS sig_hi
+  FROM embeddings),
+q AS (
+  SELECT s.vec_id AS qid, e.embedding AS qv, s.sig_lo AS q_lo,
+         s.sig_hi AS q_hi
+  FROM s JOIN embeddings e ON e.vec_id = s.vec_id
+  WHERE s.vec_id % 100 = 0),
+h AS (
+  SELECT q.qid, s.vec_id,
+    CAST(bit_count(xor(s.sig_lo, q.q_lo))
+       + bit_count(xor(s.sig_hi, q.q_hi)) AS INT) AS ham
+  FROM s, q WHERE s.vec_id <> q.qid),
+cand AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+      row_number() OVER (PARTITION BY qid ORDER BY ham, vec_id) AS cr
+    FROM h)
+  WHERE cr <= {_NCAND}),
+rel AS (
+  SELECT c.qid, c.vec_id, {rel_cos} AS rel
+  FROM cand c
+  JOIN embeddings e ON e.vec_id = c.vec_id
+  JOIN q ON q.qid = c.qid),
+pair AS (
+  SELECT a.qid, a.vec_id AS va, b.vec_id AS vb, {pair_cos} AS ps
+  FROM rel a
+  JOIN rel b ON b.qid = a.qid AND b.vec_id <> a.vec_id
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id),
+s1 AS (
+  SELECT qid, vec_id, rel AS score FROM (
+    SELECT qid, vec_id, rel,
+      row_number() OVER (PARTITION BY qid ORDER BY rel DESC, vec_id) AS rn
+    FROM rel) WHERE rn = 1)"""]
+    for i in range(2, _MMR_K + 1):
+        prev_union = " UNION ALL ".join(
+            f"SELECT qid, vec_id FROM s{j}" for j in range(1, i)
+        )
+        parts.append(f""",
+sel{i} AS ({prev_union}),
+m{i} AS (
+  SELECT r.qid, r.vec_id,
+    floor(({_MMR_LAMBDA} * r.rel - {_MMR_MU} * max(p.ps))
+      * 1000000 + 0.5) / 1000000 AS score
+  FROM rel r
+  JOIN sel{i} sp ON sp.qid = r.qid
+  JOIN pair p ON p.qid = r.qid AND p.va = r.vec_id AND p.vb = sp.vec_id
+  LEFT JOIN sel{i} x ON x.qid = r.qid AND x.vec_id = r.vec_id
+  WHERE x.vec_id IS NULL
+  GROUP BY r.qid, r.vec_id, r.rel),
+s{i} AS (
+  SELECT qid, vec_id, score FROM (
+    SELECT qid, vec_id, score,
+      row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rn
+    FROM m{i}) WHERE rn = 1)""")
+    finals = " UNION ALL ".join(
+        f"SELECT qid, vec_id, {i} AS rnk, score FROM s{i}"
+        for i in range(1, _MMR_K + 1)
+    )
+    parts.append(f"\n{finals}")
+    return "".join(parts)
+
+
+@query(
+    "q_sim_rerank_mmr",
+    oracle=_mmr_oracle(),
+    tags=("llm", "similarity", "scale-design"),
+)
+def q_sim_rerank_mmr(spark, sf_dir):
+    """Maximal-Marginal-Relevance diversification of the retrieval
+    shortlist — the rerank RAG stacks run after ANN so the k results
+    are not five copies of the same passage: greedily select
+    argmax of lambda*rel(q,d) - (1-lambda)*max_{s in S} sim(d, s),
+    k times, over the binary cascade's Hamming shortlist.
+
+    The greedy recurrence is inherently sequential in k, so this is
+    the designed use of applyInPandas: one Arrow-batched group per
+    query (exactly _NCAND candidate rows — shortlist-sized, NEVER
+    corpus-sized), inside which a Python fold computes the pairwise
+    cosines left-to-right in float64 (the identical operation order
+    as the DuckDB oracle's list_aggregate fold, so the sims are
+    bit-equal), quantizes them at 1e-6 BEFORE any comparison, and
+    walks the k selections with a (score DESC, vec_id) tie-break.
+    The oracle unrolls the same greedy walk as five SQL CTE steps —
+    an engine-level differential test of a genuinely iterative
+    operator.  Relevance scores are computed JVM-side (shared
+    cosine fold) before the Python stage; candidate embeddings ride
+    into the group as Arrow arrays (20 x 64 floats per query).  At
+    100 TB the group size is constant: the shuffle carries
+    |Q| x _NCAND rows whatever the corpus."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    e = ensure_parallelism(Catalog(spark, sf_dir).embeddings)
+    sigs = e.selectExpr(
+        "vec_id",
+        f"{_sig_expr('embedding', 1, 32)} AS sig_lo",
+        f"{_sig_expr('embedding', 33, 64)} AS sig_hi",
+    )
+    q = (
+        sigs.filter("vec_id % 100 = 0")
+        .join(e.selectExpr("vec_id", "embedding AS qv"), "vec_id")
+        .selectExpr("vec_id AS qid", "qv", "sig_lo AS q_lo", "sig_hi AS q_hi")
+    )
+    ham = (
+        sigs.crossJoin(F.broadcast(q.drop("qv")))
+        .filter("vec_id <> qid")
+        .selectExpr(
+            "qid",
+            "vec_id",
+            "CAST(bit_count(sig_lo ^ q_lo) + bit_count(sig_hi ^ q_hi) "
+            "AS INT) AS ham",
+        )
+    )
+    wc = Window.partitionBy("qid").orderBy(F.asc("ham"), F.asc("vec_id"))
+    cand = (
+        ham.withColumn("cr", F.row_number().over(wc))
+        .filter(F.col("cr") <= _NCAND)
+        .select("qid", "vec_id")
+    )
+    rel = (
+        cand.join(e.selectExpr("vec_id", "embedding"), "vec_id")
+        .join(F.broadcast(q.select("qid", "qv")), "qid")
+        .selectExpr(
+            "qid",
+            "vec_id",
+            "embedding",
+            f"floor(({vectors.cosine_expr('embedding', 'qv')}) * 1000000"
+            " + 0.5) / 1000000 AS rel",
+        )
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("qid", T.LongType()),
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("rnk", T.IntegerType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+
+    def qz(x: float) -> float:
+        return math.floor(x * 1000000 + 0.5) / 1000000
+
+    def cos_fold(a, b) -> float:
+        # identical operation order to the DuckDB list_aggregate fold:
+        # left-to-right double sums, then sqrt/multiply/divide
+        dot = 0.0
+        na = 0.0
+        nb = 0.0
+        for i in range(len(a)):
+            x = float(a[i])
+            y = float(b[i])
+            dot += x * y
+            na += x * x
+            nb += y * y
+        return dot / (math.sqrt(na) * math.sqrt(nb))
+
+    def mmr_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        n = len(pdf)
+        embs = [np.asarray(v) for v in pdf["embedding"]]
+        ps = [[0.0] * n for _ in range(n)]
+        for i in range(n):
+            for j in range(n):
+                if i != j:
+                    ps[i][j] = qz(cos_fold(embs[i], embs[j]))
+        rels = [float(r) for r in pdf["rel"]]
+        vids = [int(v) for v in pdf["vec_id"]]
+        qid = int(pdf["qid"].iloc[0])
+        selected: list[int] = []
+        rows = []
+        for step in range(1, _MMR_K + 1):
+            best = None
+            for i in range(n):
+                if i in selected:
+                    continue
+                if step == 1:
+                    score = rels[i]
+                else:
+                    score = qz(
+                        _MMR_LAMBDA * rels[i]
+                        - _MMR_MU * max(ps[i][j] for j in selected)
+                    )
+                key = (-score, vids[i])
+                if best is None or key < best[0]:
+                    best = (key, i, score)
+            _, bi, bscore = best
+            selected.append(bi)
+            rows.append(
+                {
+                    "qid": qid,
+                    "vec_id": vids[bi],
+                    "rnk": step,
+                    "score": bscore,
+                }
+            )
+        return pd.DataFrame(rows, columns=["qid", "vec_id", "rnk", "score"])
+
+    return rel.groupBy("qid").applyInPandas(mmr_group, out_schema)

@@ -1436,3 +1436,19 @@ def test_phash_band_join_never_all_pairs(spark):
     # index, so the decode runs once at index-build time).  A fifth
     # instance would mean a new Python stage crept into the pipeline.
     assert plan.count("MapInPandas") == 4
+
+
+def test_mmr_python_stage_is_group_sized(spark):
+    """q_sim_rerank_mmr: the only Python stage is the per-query
+    FlatMapGroupsInPandas over the 20-row shortlist groups; every
+    window is qid-partitioned; no cartesian."""
+    df = q("q_sim_rerank_mmr", spark)
+    from skyhookdb_ceph_spark.plans.explain import (
+        count_unpartitioned_windows,
+    )
+
+    plan = explain_str(df, "simple")
+    assert plan.count("FlatMapGroupsInPandas") == 1
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert count_unpartitioned_windows(df) == 0
