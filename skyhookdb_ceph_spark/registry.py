@@ -87,6 +87,7 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q_sim_maxsim_pruned",  # new: PLAID cascade (coarse -> MaxSim)
     "q_sim_binary_recall",  # new: cascade recall audit vs exact top-k
     "q_sim_rerank_mmr",  # new: MMR diversification (applyInPandas)
+    "q_win_interval_union",  # new: per-key interval-union coverage
     # -- new / changed in round 12
     "q_transform_dedup_corpus",  # new: cluster-canonical survivors
     "q_pipeline_e2e_v2",  # new: recomposed curation pipeline
@@ -111,10 +112,9 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q_sql_values", "q_stats_constraints", "q_stats_profile",
     "q_text_bigram_lm", "q_text_bpe_merge", "q_text_html_strip",
     "q_text_proximity", "q_tpch_q4", "q_tpch_q7", "q_tpch_q8",
-    "q_tpch_q13",
     # ---- window boundary (50) — round 13 leads with the r5-era
-    # remainder displaced by the §2.24 wave (q_tpch_q15, q_tpch_q17,
-    # q_tpch_q18, q_tpch_q19, q_tpch_q22, q_ts_anomaly,
+    # remainder displaced by the §2.24 wave (q_tpch_q13, q_tpch_q15,
+    # q_tpch_q17, q_tpch_q18, q_tpch_q19, q_tpch_q22, q_ts_anomaly,
     # q_ts_rollup_two_level, q_vec_ivf_build, q_win_islands,
     # q_win_nth_value, q_win_retention_cohort), then the r6-era
     # remainder: q_agg_groupby, q_agg_scalar, q_tpch_q2, q_tpch_q9,

@@ -1452,3 +1452,18 @@ def test_mmr_python_stage_is_group_sized(spark):
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert count_unpartitioned_windows(df) == 0
+
+
+def test_interval_union_single_keyed_shuffle(spark):
+    """q_win_interval_union: both windows and both aggregations ride
+    ONE user_id partitioning — exactly one keyed Exchange, no global
+    window, no join."""
+    df = q("q_win_interval_union", spark)
+    from skyhookdb_ceph_spark.plans.explain import (
+        count_unpartitioned_windows,
+    )
+
+    plan = explain_str(df)
+    assert plan.count("hashpartitioning(user_id") <= 1
+    assert count_unpartitioned_windows(df) == 0
+    assert "Join" not in explain_str(df, "simple")
