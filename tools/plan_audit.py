@@ -508,6 +508,21 @@ AUDIT = {
         "shortlist after the vec_id equi-join-back; no Python, no "
         "cartesian, no global window."
     ),
+    "q_sim_rerank_mmr": (
+        "MMR diversification (r12 second wave). Wanted: exactly ONE "
+        "FlatMapGroupsInPandas (the per-query greedy walk over the "
+        "20-row shortlist group — the designed applyInPandas use for "
+        "an inherently sequential recurrence); relevance cosines "
+        "computed JVM-side BEFORE the Python stage; qid-partitioned "
+        "windows; no cartesian."
+    ),
+    "q_win_interval_union": (
+        "Per-key interval union (r12 second wave). Wanted: both "
+        "sweep windows (running max-end, island cumsum) and both "
+        "aggregations riding ONE user_id hashpartitioning — a single "
+        "keyed Exchange in the whole plan; no join; no global "
+        "window; pure BIGINT micros arithmetic in the Projects."
+    ),
 }
 
 
