@@ -163,3 +163,68 @@ def measured_dim_bytes(
     n = int(row["__n"] or 0)
     strlen = sum(int(row[f"__l{i}"] or 0) for i in range(len(string_cols)))
     return n * fixed_bytes_per_row + strlen
+
+
+def measured_grid_cell_width(
+    a: DataFrame,
+    a_ts: str,
+    b: DataFrame,
+    b_ts: str,
+    target_pairs_per_cell: int,
+    floor_sec: int = 60,
+    coarse_sec: int = 3600,
+) -> int | None:
+    """Pick the grid-cell width for an interval-overlap equi-join from
+    MEASURED arrival rates — the interval-join consumer of the
+    runstats idea (sixth measured-stats consumer, after the shuffle
+    width, window block width, dim-bytes and the two skew-share
+    branches).
+
+    Per-cell join work for a grid-bucketed interval join is
+    (rate_a * w) * (rate_b * w): QUADRATIC in the cell width, linear
+    in each side's arrival rate.  A static width (one hour) is only
+    right at one density — at 100x the arrival rate each hour cell
+    holds 100x the rows and per-cell pair work inflates 10,000x,
+    which is exactly how a grid join goes quadratic in production.
+    One probe job (both sides union-tagged into a single two-group
+    aggregate, column-pruned to the timestamp) measures each side's
+    arrival rate over its span; the width solves
+
+        (rate_a * w) * (rate_b * w) = target_pairs_per_cell
+        w = sqrt(target / (rate_a * rate_b))
+
+    floored at floor_sec (finer cells only multiply the explode
+    fan-out — an interval spanning k cells is emitted k times — for
+    no balance win) and surrendered as None at coarse_sec or wider:
+    the caller keeps its static coarse grid, because the probe just
+    proved per-cell work is already under target there.  Correctness
+    never depends on the branch — ANY width yields the same pairs
+    under the containing-cell responsibility rule — so callers'
+    oracles stay branch-invariant, like measured_shuffle_width's."""
+    import math
+
+    tagged = a.select(
+        F.col(a_ts).alias("__ts"), F.lit(0).alias("__s")
+    ).unionAll(b.select(F.col(b_ts).alias("__ts"), F.lit(1).alias("__s")))
+    rows = (
+        tagged.groupBy("__s")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            (
+                F.unix_timestamp(F.max("__ts"))
+                - F.unix_timestamp(F.min("__ts"))
+            ).alias("__span"),
+        )
+        .collect()
+    )
+    if len(rows) < 2:
+        return None  # a side is empty: nothing to balance
+    rates = []
+    for r in rows:
+        span = int(r["__span"] or 0)
+        if span <= 0 or not r["__n"]:
+            return None  # degenerate span: coarse grid is one cell
+        rates.append(int(r["__n"]) / span)
+    w = int(math.sqrt(target_pairs_per_cell / (rates[0] * rates[1])))
+    w = max(floor_sec, w)
+    return None if w >= coarse_sec else w

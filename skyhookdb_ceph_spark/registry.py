@@ -61,77 +61,55 @@ _LOADED = False
 # list pins the front of the registry each round; anything not listed
 # keeps module-import order after it.
 #
-# Round-12 rotation: cumulative driver-green after r11 = 319 distinct
-# QueryIDs; stamp distribution r5=36, r6=47, r7=48, r8=47, r9=46,
-# r10=45, r11=50 — no stamp older than r5.  The window stays
-# REGRESSION INSURANCE, new/changed-first then oldest-stamps-first:
-# lead with round-12 additions (q_transform_dedup_corpus,
-# q_pipeline_e2e_v2) and everything round 12 touched (the recall
-# audit's ORACLE changed — hashed sampling, r11 ADVICE; the strip
-# action's fold is now projected once; the streaming LSH index is
-# persisted; q_dedup_cluster / q_text_quality_cascade refactored onto
-# shared helpers the new ops reuse), then ALL 36 remaining r5-era
-# stamps (clearing the r5 era completely), then the front of the r6
-# era.  Everything outside the window stays covered by
-# tests/test_correctness.py's local oracle diff regardless.
+# Round-13 rotation: cumulative driver-green after r12 = 336 distinct
+# QueryIDs; stamp distribution r5=12, r6=44, r7=48, r8=47, r9=45,
+# r10=44, r11=46, r12=50 (recomputed from the CORRECTNESS files this
+# session).  The window stays REGRESSION INSURANCE, new/changed-first
+# then oldest-stamps-first: lead with the round-13 addition
+# (q_sql_empty_rollup — the fuzzer-found divergence pinned, r12
+# verdict item 7) and everything round 13 touched (the binary
+# cascade's shortlist widened 20 -> 100 to close the measured recall
+# gap — verdict item 1 — which changes q_sim_knn_binary,
+# q_sim_binary_recall and q_sim_maxsim_pruned; the interval-grid
+# join's cell width is now PROBED — item 6; the OOD gate pins the
+# singleton-label NaN/NULL edge and the MMR fold its short-group
+# edge — both r12 ADVICE), then ALL 12 remaining r5-era stamps
+# (clearing the r5 era completely), then the front of the r6 era
+# (31 of 44, alphabetical).  Everything outside the window stays
+# covered by tests/test_correctness.py's local oracle diff.
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # -- new in the round-12 SECOND wave (§2.24)
-    "q_sim_knn_binary",  # new: binary-quantized Hamming ANN + rerank
-    "q_sim_maxsim",  # new: multi-vector late-interaction MaxSim
-    "q_stats_ks_drift",  # new: exact two-sample KS, prefix-sum shape
-    "q_agg_mutual_info",  # new: token<->label MI feature audit
-    "q_vec_ood_filter",  # new: centroid-cosine OOD gate
-    "q_join_interval_grid",  # new: grid-bucketed interval overlap join
-    "q_dedup_phash",  # new: perceptual-hash image dedup (real codec)
-    "q_stream_drift",  # new: windowed JS drift monitor (stream core)
-    "q_sim_maxsim_pruned",  # new: PLAID cascade (coarse -> MaxSim)
-    "q_sim_binary_recall",  # new: cascade recall audit vs exact top-k
-    "q_sim_rerank_mmr",  # new: MMR diversification (applyInPandas)
-    "q_win_interval_union",  # new: per-key interval-union coverage
-    # -- new / changed in round 12
-    "q_transform_dedup_corpus",  # new: cluster-canonical survivors
-    "q_pipeline_e2e_v2",  # new: recomposed curation pipeline
-    "q_sample_token_budget",  # new: bucketed token-budget sampler
-    "q_transform_dedup_weights",  # new: count-preserving dedup
-    "q_sim_knn_ivfpq",  # new: IVF+PQ two-stage ANN
-    "q_data_split",  # overflow-guarded Knuth bucket (§L.7)
-    "q_sample_length_biased",  # overflow-guarded Knuth draw (§L.7)
-    "q_sample_poisson",  # overflow-guarded Knuth uniform (§L.7)
-    "q_dedup_minhash_recall",  # oracle changed: hashed audit sample
-    "q_transform_strip_dup_spans",  # fold projected once (ADVICE)
-    "q_stream_dedup_lsh",  # static index persisted (ADVICE)
-    "q_text_quality_cascade",  # refactored onto cascade_exprs
-    "q_dedup_cluster",  # refactored onto cluster_labels
-    "q_pipeline_e2e",  # v1 twin of the new v2 (r6 stamp)
-    # -- r5-era stamps, ALL 36 (externally checked last in round 5)
-    "q_fn_string_adv", "q_fn_try_cast", "q_fn_unpivot",
-    "q_gdpr_delete", "q_join_bucketed", "q_join_dpp", "q_join_scd2",
-    "q_join_spatial_grid", "q_multimodal_audio_windows",
-    "q_scan_partition_prune", "q_sim_knn_multiprobe",
-    "q_sort_pagination", "q_sql_cte", "q_sql_named_window",
-    "q_sql_values", "q_stats_constraints", "q_stats_profile",
-    "q_text_bigram_lm", "q_text_bpe_merge", "q_text_html_strip",
-    "q_text_proximity", "q_tpch_q4", "q_tpch_q7", "q_tpch_q8",
-    # ---- window boundary (50) — round 13 leads with the r5-era
-    # remainder displaced by the §2.24 wave (q_tpch_q13, q_tpch_q15,
-    # q_tpch_q17, q_tpch_q18, q_tpch_q19, q_tpch_q22, q_ts_anomaly,
-    # q_ts_rollup_two_level, q_vec_ivf_build, q_win_islands,
-    # q_win_nth_value, q_win_retention_cohort), then the r6-era
-    # remainder: q_agg_groupby, q_agg_scalar, q_tpch_q2, q_tpch_q9,
-    # q_win_dense_rank, q_multimodal_decode,
-    # q_agg_gini, q_agg_grouping_id, q_agg_median_exact,
-    # q_agg_weighted_avg, q_data_mix, q_data_split, q_fn_try_arith,
-    # q_gdpr_export, q_join_null_safe, q_join_null_skew,
-    # q_join_range_bucket, q_join_stats_driven, q_multimodal_image,
-    # q_sample_length_biased, q_scan_agg_pushdown, q_scan_binary_file,
-    # q_scan_corrupt_json, q_set_except_all, q_set_intersect_all,
-    # q_sql_exists_flag, q_sql_group_by_all, q_sql_lateral,
-    # q_sql_recursive, q_stream_cdc_apply, q_stream_foreach_batch,
-    # q_stream_resume, q_stream_session_live, q_stream_topk,
-    # q_stream_update_mode, q_stream_watermark_append, q_text_novelty,
-    # q_tpch_q11, q_tpch_q16, q_tpch_q20, q_tpch_q21, q_ts_seasonal,
-    # q_vec_matryoshka_eval, q_vec_pq_code, q_win_gaps,
-    # q_win_peak_concurrency; then the r7 era.
+    # -- new in round 13 (§2.25)
+    "q_sql_empty_rollup",  # new: empty-input ROLLUP divergence + idiom
+    # -- changed in round 13
+    "q_sim_knn_binary",  # shortlist 20 -> 100 (recall-gap close)
+    "q_sim_binary_recall",  # audits the NEW shipped operating point
+    "q_sim_maxsim_pruned",  # cascade shortlist 50 -> 100
+    "q_sim_rerank_mmr",  # short-group guard (r12 ADVICE)
+    "q_vec_ood_filter",  # singleton-label NaN/NULL pin (r12 ADVICE)
+    "q_join_interval_grid",  # probed cell width (verdict item 6)
+    # -- r5-era stamps, ALL 12 (externally checked last in round 5)
+    "q_tpch_q13", "q_tpch_q15", "q_tpch_q17", "q_tpch_q18",
+    "q_tpch_q19", "q_tpch_q22", "q_ts_anomaly",
+    "q_ts_rollup_two_level", "q_vec_ivf_build", "q_win_islands",
+    "q_win_nth_value", "q_win_retention_cohort",
+    # -- r6-era stamps, first 31 of 44 (alphabetical)
+    "q_agg_gini", "q_agg_groupby", "q_agg_grouping_id",
+    "q_agg_median_exact", "q_agg_scalar", "q_agg_weighted_avg",
+    "q_data_mix", "q_fn_try_arith", "q_gdpr_export",
+    "q_join_null_safe", "q_join_null_skew", "q_join_range_bucket",
+    "q_join_stats_driven", "q_multimodal_decode", "q_multimodal_image",
+    "q_scan_agg_pushdown", "q_scan_binary_file", "q_scan_corrupt_json",
+    "q_set_except_all", "q_set_intersect_all", "q_sql_exists_flag",
+    "q_sql_group_by_all", "q_sql_lateral", "q_sql_recursive",
+    "q_stream_cdc_apply", "q_stream_foreach_batch", "q_stream_resume",
+    "q_stream_session_live", "q_stream_topk", "q_stream_update_mode",
+    "q_stream_watermark_append",
+    # ---- window boundary (50) — round 14 leads with the r6-era
+    # remainder (q_text_novelty, q_tpch_q11, q_tpch_q16, q_tpch_q2,
+    # q_tpch_q20, q_tpch_q21, q_tpch_q9, q_ts_seasonal,
+    # q_vec_matryoshka_eval, q_vec_pq_code, q_win_dense_rank,
+    # q_win_gaps, q_win_peak_concurrency), then the r7 era (48
+    # stamps, oldest-first).
 )
 
 
@@ -161,6 +139,7 @@ def load_all() -> dict[str, QuerySpec]:
             pipeline12,
             pipeline13,
             pipeline14,
+            pipeline15,
             scans,
             setops,
             sorts,

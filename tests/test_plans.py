@@ -1467,3 +1467,112 @@ def test_interval_union_single_keyed_shuffle(spark):
     assert plan.count("hashpartitioning(user_id") <= 1
     assert count_unpartitioned_windows(df) == 0
     assert "Join" not in explain_str(df, "simple")
+
+
+# ---------------------------------------------------------------------------
+# §2.25 round-13: probed interval grid + empty-rollup divergence pin
+# ---------------------------------------------------------------------------
+
+
+def test_interval_grid_probed_branch(spark):
+    """Forced-zero per-cell target (floors the width at 60 s — the
+    only way to force the fine branch at sf0.001's sparse rates): the
+    probe must choose the FINE integer-second grid (unix_timestamp
+    cell ids), the join must stay an equi join, and the
+    responsibility filter must ride the same measured width — the
+    grid analogue of test_width_probed_join_probed_branch."""
+    from skyhookdb_ceph_spark.queries.pipeline14 import _interval_grid
+
+    df = _interval_grid(spark, SF, target_pairs=0)
+    plan = explain_str(df)
+    assert "unix_timestamp" in plan  # fine-grid cell derivation
+    assert "date_trunc" not in plan  # hour-grid path not taken
+    used = joins_used(df)
+    assert "BroadcastNestedLoopJoin" not in used
+    assert "CartesianProduct" not in used
+
+
+def test_interval_grid_plain_branch(spark):
+    """Shipped target at fixture density: the probe measures per-cell
+    work under budget and surrenders to the static hour grid — the
+    date_trunc derivation, no unix_timestamp cells."""
+    plan = explain_str(q("q_join_interval_grid", spark))
+    assert "date_trunc" in plan
+    assert "unix_timestamp" not in plan
+
+
+def test_interval_grid_branches_agree(spark):
+    """Both grid widths must return identical pairs under the
+    responsibility rule — the invariant that keeps the naive-theta
+    oracle branch-invariant."""
+    from skyhookdb_ceph_spark.queries.pipeline14 import _interval_grid
+
+    fine = sorted(
+        _interval_grid(spark, SF, target_pairs=0).collect()
+    )
+    coarse = sorted(
+        _interval_grid(spark, SF, target_pairs=10**9).collect()
+    )
+    assert fine == coarse and len(fine) > 0
+
+
+def test_measured_grid_cell_width_contract(spark):
+    """w = sqrt(target / (ra * rb)) floored at floor_sec, None at
+    coarse_sec or wider (caller keeps the static coarse grid) and on
+    degenerate inputs (empty side / zero span)."""
+    from pyspark.sql import functions as F
+
+    from skyhookdb_ceph_spark.operators.stats import (
+        measured_grid_cell_width,
+    )
+
+    # 1000 events over 100k s on each side: rate = 0.01/s each
+    a = spark.range(1000).select(
+        F.expr("timestamp_seconds(id * 100)").alias("ts")
+    )
+    b = spark.range(1000).select(
+        F.expr("timestamp_seconds(id * 100 + 7)").alias("ts")
+    )
+    # target 100 pairs: w = sqrt(100 / 1e-4) = 1000 s
+    w = measured_grid_cell_width(a, "ts", b, "ts", 100)
+    assert w is not None and 990 <= w <= 1010
+    # huge target -> width >= coarse_sec -> surrender
+    assert measured_grid_cell_width(a, "ts", b, "ts", 10**9) is None
+    # tiny target -> floored at floor_sec
+    assert measured_grid_cell_width(a, "ts", b, "ts", 0) == 60
+    # empty side -> None
+    assert (
+        measured_grid_cell_width(a.filter("false"), "ts", b, "ts", 100)
+        is None
+    )
+
+
+def test_empty_rollup_pins_the_engine_divergence(spark):
+    """The artifact exists BECAUSE Spark's grouped-aggregate-over-
+    Expand yields zero groups on empty input where the standard emits
+    the () grand-total row.  Pin both halves: the raw rollup returns
+    0 rows (if a Spark upgrade ever adopts the standard the shipped
+    idiom would double-count, and this assertion is the tripwire),
+    and the shipped idiom restores exactly one all-NULL grand row."""
+    from pyspark.sql import functions as F
+
+    from skyhookdb_ceph_spark.queries._util import Catalog
+
+    empty = Catalog(spark, SF).orders.filter("o_orderkey < 0")
+    raw = (
+        empty.rollup("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    assert raw == []  # the divergence itself (DuckDB: one row, cnt 0)
+    rows = q("q_sql_empty_rollup", spark).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["o_orderpriority"] is None
+    assert r["cnt"] == 0 and r["sum_price"] is None
+
+
+def test_empty_rollup_predicate_reaches_scan(spark):
+    """The provably-empty predicate must be a PushedFilter: the idiom's
+    extra guard aggregate costs row-group metadata, not data pages."""
+    assert has_pushed_filters(q("q_sql_empty_rollup", spark))
