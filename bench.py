@@ -253,6 +253,51 @@ def calibrate_spin() -> int:
     return 0
 
 
+GATE_WAIT_DELAYS = (5.0, 10.0, 20.0, 40.0, 75.0)  # ~2.5 min budget
+
+
+def await_quiet_box(
+    quiet_cal: dict | None,
+    delays: tuple[float, ...] = GATE_WAIT_DELAYS,
+    sleep=time.sleep,
+    sample=None,
+) -> tuple[dict, bool, str | None]:
+    """Sample box state; on a gate refusal, wait with backoff and
+    re-sample until certified or the delay budget runs out — the
+    bounded spin-gated wait of r12 verdict item 2, extending the r11
+    single 5-second rerun that proved too short (BENCH_r12's both
+    samples landed inside one co-tenant burst 5 s apart).  A
+    transient co-tenant — a cron tick, another session's pytest
+    teardown, a page-cache flush — usually clears within a couple of
+    minutes; a persistent one fails every attempt and the record
+    ships uncertified with EVERY sample visible under `attempts`.
+    The gate never certifies anything it didn't measure quiet: each
+    attempt is a full loadavg+spin re-measure, never a discount.
+
+    `sleep` / `sample` are injectable for the unit test
+    (tests/test_bench_gate.py) — production callers use the real
+    clock and box_state."""
+    sample = sample or box_state
+    box = sample()
+    certified, refusal = certify_gate(box, quiet_cal)
+    if certified:
+        return box, True, None
+    attempts = [{k: box[k] for k in ("loadavg", "spin_mops")}]
+    for delay in delays:
+        sleep(delay)
+        box_i = sample()
+        cert_i, refusal_i = certify_gate(box_i, quiet_cal)
+        attempts.append({k: box_i[k] for k in ("loadavg", "spin_mops")})
+        if cert_i:
+            box = {**box_i, "first_attempt": attempts[0]}
+            certified, refusal = True, None
+            break
+        box, refusal = box_i, refusal_i
+    box = dict(box)
+    box["attempts"] = attempts
+    return box, certified, refusal
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf_name = os.path.basename(sf_dir.rstrip("/"))
@@ -262,22 +307,7 @@ def main() -> int:
         sf = None
 
     quiet_cal = load_quiet_spin()
-    box = box_state()
-    certified, refusal = certify_gate(box, quiet_cal)
-    if not certified:
-        # auto-rerun ONCE (r11 verdict item 1): a transient co-tenant
-        # (cron tick, page-cache flush) often clears within seconds;
-        # a persistent one fails the re-measure too and the record
-        # ships uncertified with both samples visible.
-        time.sleep(5.0)
-        box2 = box_state()
-        cert2, refusal2 = certify_gate(box2, quiet_cal)
-        box["retry"] = box2
-        if cert2:
-            box = {**box2, "first_attempt": {k: box[k] for k in ("loadavg", "spin_mops")}}
-            certified, refusal = True, None
-        else:
-            refusal = refusal2
+    box, certified, refusal = await_quiet_box(quiet_cal)
 
     t0 = time.perf_counter()
     # Small-data profile: AQE's per-stage materialization + re-planning

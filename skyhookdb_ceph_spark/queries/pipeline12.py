@@ -344,7 +344,17 @@ FROM spans GROUP BY doc_id"""
 def _dup_spans(spark, sf_dir):
     """(doc_id, n, s, e) — maximal duplicated-substring spans, the
     Spark twin of _spans_ctes(); shared by the q_dedup_substring audit
-    and the q_transform_strip_dup_spans action."""
+    and the q_transform_strip_dup_spans action (and q_pipeline_e2e_v2).
+
+    The three consumers share this CODE (drift impossible) but each
+    EXECUTION recomputes the census — documented as the right trade
+    for a registry of independently-verifiable oracle-diffed queries
+    (BASELINE §P.3): a cross-query persisted census would couple the
+    correctness gate's isolated executions.  In production the census
+    is a materialized table written once by a maintenance action and
+    read by all consumers — the q_dedup_incremental bucketBy-index
+    pattern; the per-execution cost a deployment saves by doing so is
+    measured per decade in §L.6/§P.3."""
     from pyspark.sql import Window
 
     k = _SS_K

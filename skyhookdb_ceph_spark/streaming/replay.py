@@ -173,7 +173,7 @@ def drain_to_memory(
             writer = writer.option("checkpointLocation", ckpt)
         q = writer.start()
         q.awaitTermination()
-        # instrumentation hook (tools/stream_scale_smoke.py): when a
+        # instrumentation hook (tools/scale_smoke.py --stream): when a
         # caller sets PROGRESS_CAPTURE to a list, every drain appends
         # its engine-reported per-batch progress (stateOperators:
         # numRowsTotal / memoryUsedBytes, durationMs) — the state-bound

@@ -1121,6 +1121,139 @@ def gen_case2(seed: int) -> Case:
     return Case(seed, kind, spec)
 
 
+# --- grammar v3 (round 13, r12 verdict item 5): the surfaces v1+v2 ---------
+# left unfuzzed — batch-twin STREAMING window specs (random tumbling/
+# sliding/session widths vs DuckDB time_bucket / epoch arithmetic /
+# gap-island twins), interval theta-join shapes vs DuckDB IEJoin,
+# VARIANT/JSON path extraction over events.props, and set-ops over
+# grouped-rollup compositions (which EXERCISE the q_sql_empty_rollup
+# grand-row idiom across a whole sampled space: any branch a random
+# predicate empties hits the known Spark empty-rollup divergence, and
+# the idiom must restore standard semantics for the set op to agree).
+#
+# Window-twin parity assumptions, verified at the fuzz fixture
+# (sf0.001): event timestamps are whole seconds (the DuckDB twins
+# floor epoch(ts)); widths are divisors of 24 h so Spark's epoch-0
+# window origin and DuckDB's midnight-aligned time_bucket origin
+# (2000-01-01, itself a whole multiple of any day-dividing width
+# since 86400 | epoch(2000-01-01)) land on the same boundaries.
+
+
+@dataclass
+class TwinWindowSpec:
+    form: str  # tumbling | sliding | session
+    width_min: int  # window width (tumbling/sliding)
+    slide_min: int  # sliding only; divides width
+    gap_min: int  # session only
+    keyed: bool  # ALSO group by user_id (tumbling/sliding)
+    pred: Ex | None
+    aggs: list[AggEx]
+
+
+@dataclass
+class IvlJoinSpec:
+    ta: str  # left event type
+    tb: str  # right event type
+    la_min: int  # left interval length, minutes
+    lb_min: int  # right interval length, minutes
+    cell_sec: int  # grid-cell width for the Spark side
+    rel: str  # overlap | starts_within
+    pa: Ex | None
+    pb: Ex | None
+
+
+@dataclass
+class JsonPathSpec:
+    form: str  # project | group
+    derived: list[tuple[str, str, str]]  # (alias, path, cast: i/f/s)
+    pred: str | None  # SQL template over the first alias, {a} slot
+    group_mod: int  # group form: GROUP BY extracted % mod
+
+
+@dataclass
+class SetRollupSpec:
+    table: str
+    keys: list[str]
+    op: str  # unionall | union | exceptall | except | intersectall | intersect
+    p1: Ex | None
+    p2: Ex | None
+    aggs: list[AggEx]
+
+
+_TW_WIDTHS = (5, 10, 15, 30, 60, 120, 360)  # divisors of 24 h
+_JSON_PATHS = ("$.k", "$.k", "$.k", "$.missing", "$.k.x")
+_JSON_CASTS = ("i", "i", "f", "s")
+_JSON_PREDS = (
+    "{a} IS NULL",
+    "{a} IS NOT NULL",
+    "{a} % 3 != 2 OR {a} IS NULL",
+    "{a} > 40 OR {a} IS NULL",
+)
+
+
+def gen_case3(seed: int) -> Case:
+    """Grammar v3: sample one of the round-13 shapes."""
+    rng = random.Random(seed ^ 0x5EED13)
+    kind = rng.choice(["twin_window", "ivljoin", "jsonpath", "setrollup"])
+    ev = CATALOG["events"]
+    if kind == "twin_window":
+        form = rng.choice(["tumbling", "tumbling", "sliding", "session"])
+        width = rng.choice(_TW_WIDTHS)
+        divs = [d for d in _TW_WIDTHS if d < width and width % d == 0]
+        slide = rng.choice(divs) if divs else 5
+        if form == "sliding" and not divs:
+            form = "tumbling"
+        gap = rng.choice((5, 10, 20, 30, 60))
+        keyed = form != "session" and rng.random() < 0.5
+        pred = gen_pred(rng, ev, depth=1) if rng.random() < 0.5 else None
+        aggs = [gen_agg(rng, ev, f"a{i}") for i in range(rng.randint(1, 3))]
+        spec = TwinWindowSpec(form, width, slide, gap, keyed, pred, aggs)
+    elif kind == "ivljoin":
+        types = ["click", "view", "purchase", "signup", "error"]
+        ta, tb = rng.sample(types, 2)
+        spec = IvlJoinSpec(
+            ta,
+            tb,
+            rng.choice((5, 15, 30, 60)),
+            rng.choice((5, 15, 30, 60)),
+            rng.choice((300, 900, 1800, 3600)),
+            rng.choice(["overlap", "overlap", "starts_within"]),
+            gen_pred(rng, ev, depth=1) if rng.random() < 0.4 else None,
+            gen_pred(rng, ev, depth=1) if rng.random() < 0.4 else None,
+        )
+    elif kind == "jsonpath":
+        form = rng.choice(["project", "project", "group"])
+        derived = []
+        for i in range(rng.randint(1, 3)):
+            path = rng.choice(_JSON_PATHS)
+            cast = rng.choice(_JSON_CASTS)
+            derived.append((f"j{i}", path, cast))
+        pred = None
+        if form == "project" and rng.random() < 0.6:
+            tmpl = rng.choice(_JSON_PREDS)
+            if "%" in tmpl or ">" in tmpl:
+                # modulo/comparison templates pin an integer cast
+                derived[0] = (derived[0][0], derived[0][1], "i")
+            pred = tmpl
+        spec = JsonPathSpec(form, derived, pred, rng.choice((3, 5, 7)))
+    else:  # setrollup
+        t = CATALOG[rng.choice(["orders", "events", "documents", "lineitem"])]
+        nk = rng.randint(1, min(2, len(t.lowcard)))
+        keys = rng.sample(list(t.lowcard), nk)
+        op = rng.choice(
+            ["unionall", "union", "exceptall", "except",
+             "intersectall", "intersect"]
+        )
+        # predicate pools lean selective so some branches go EMPTY —
+        # that is the point: every empty branch exercises the
+        # empty-rollup idiom under a different set op
+        p1 = gen_pred(rng, t, depth=1) if rng.random() < 0.7 else None
+        p2 = gen_pred(rng, t, depth=1) if rng.random() < 0.7 else None
+        aggs = [gen_agg(rng, t, f"a{i}") for i in range(rng.randint(1, 2))]
+        spec = SetRollupSpec(t.name, keys, op, p1, p2, aggs)
+    return Case(seed, kind, spec)
+
+
 # --- renderers -------------------------------------------------------------
 
 
@@ -1413,6 +1546,272 @@ def _render_lambda_join(s: LambdaJoinSpec, spark, sf_dir: str):
     return out, sql
 
 
+def _render_twin_window(s: TwinWindowSpec, spark, sf_dir: str):
+    """Batch form of the streaming window specs vs a from-scratch
+    DuckDB twin: tumbling -> time_bucket; sliding -> per-row explode
+    of the covering windows in BIGINT epoch arithmetic; session ->
+    the lag/gap-island idiom (a new session starts when the gap is
+    >= the session gap, matching session_window's merge rule: an
+    event extends a session iff it lands strictly inside
+    last_event + gap).  Window identity crosses engines as BIGINT
+    epoch seconds of the window start — no timestamp-type parity
+    surface at all."""
+    ev = _base_df(spark, sf_dir, "events")
+    if s.pred is not None:
+        ev = ev.filter(s.pred.sp)
+    w_where = f" WHERE {s.pred.sql}" if s.pred is not None else ""
+    agg_sp = [a.sp for a in s.aggs]
+    agg_sql = ", ".join(a.sql for a in s.aggs)
+    names = [a.alias for a in s.aggs]
+    if s.form == "session":
+        gap = s.gap_min * 60
+        out = (
+            ev.groupBy(
+                "user_id",
+                F.session_window("ts", f"{s.gap_min} minutes").alias("w"),
+            )
+            .agg(*agg_sp)
+            .selectExpr(
+                "user_id",
+                "CAST(unix_timestamp(w.start) AS BIGINT) AS ws",
+                *names,
+            )
+        )
+        sql = f"""
+WITH e AS (SELECT *, CAST(floor(epoch(ts)) AS BIGINT) AS ep
+           FROM events{w_where}),
+m AS (SELECT *, CASE WHEN lag(ep) OVER pw IS NULL
+                       OR ep - lag(ep) OVER pw >= {gap}
+                     THEN 1 ELSE 0 END AS brk
+      FROM e WINDOW pw AS (PARTITION BY user_id ORDER BY ep, event_id)),
+i AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ep, event_id
+                               ROWS UNBOUNDED PRECEDING) AS isl
+      FROM m)
+SELECT user_id, CAST(min(ep) AS BIGINT) AS ws, {agg_sql}
+FROM i GROUP BY user_id, isl"""
+        return out, sql
+    width = s.width_min * 60
+    keys_sp = (["user_id"] if s.keyed else [])
+    keys_sql = "user_id, " if s.keyed else ""
+    grp_extra = ", user_id" if s.keyed else ""
+    if s.form == "tumbling":
+        out = (
+            ev.groupBy(
+                *keys_sp, F.window("ts", f"{s.width_min} minutes").alias("w")
+            )
+            .agg(*agg_sp)
+            .selectExpr(
+                *keys_sp,
+                "CAST(unix_timestamp(w.start) AS BIGINT) AS ws",
+                *names,
+            )
+        )
+        sql = (
+            f"SELECT {keys_sql}CAST(epoch(time_bucket("
+            f"INTERVAL {s.width_min} MINUTE, ts)) AS BIGINT) AS ws, "
+            f"{agg_sql} FROM events{w_where} GROUP BY ws{grp_extra}"
+        )
+        return out, sql
+    slide = s.slide_min * 60
+    out = (
+        ev.groupBy(
+            *keys_sp,
+            F.window(
+                "ts", f"{s.width_min} minutes", f"{s.slide_min} minutes"
+            ).alias("w"),
+        )
+        .agg(*agg_sp)
+        .selectExpr(
+            *keys_sp,
+            "CAST(unix_timestamp(w.start) AS BIGINT) AS ws",
+            *names,
+        )
+    )
+    sql = f"""
+WITH e AS (SELECT *, CAST(floor(epoch(ts)) AS BIGINT) AS ep
+           FROM events{w_where}),
+x AS (SELECT *, ((ep // {slide}) - k) * {slide} AS ws
+      FROM e, (SELECT unnest(generate_series(0, {width // slide - 1})) AS k)
+      WHERE ep < ((ep // {slide}) - k) * {slide} + {width})
+SELECT {keys_sql}ws, {agg_sql} FROM x GROUP BY ws{grp_extra}"""
+    return out, sql
+
+
+def _render_ivljoin(s: IvlJoinSpec, spark, sf_dir: str):
+    """Grid-bucketed interval join (the q_join_interval_grid
+    machinery at a RANDOM cell width / interval lengths / overlap
+    relation) vs the naive theta join DuckDB plans as IEJoin.  The
+    responsibility rule — only the cell containing
+    greatest(a_ts, b_ts) emits — is width-invariant, which is
+    exactly what this shape fuzzes."""
+    ev = _base_df(spark, sf_dir, "events")
+    cell = s.cell_sec
+
+    def side(etype, ln, pred, p):
+        df = ev.filter(F.col("event_type") == etype)
+        if pred is not None:
+            df = df.filter(pred.sp)
+        return df.selectExpr(
+            f"ts AS {p}_ts", f"ts + INTERVAL {ln} MINUTE AS {p}_end"
+        ).withColumn(
+            "cell",
+            F.explode(
+                F.expr(
+                    f"sequence(CAST(floor(unix_timestamp({p}_ts) / {cell})"
+                    f" AS BIGINT), CAST(floor(unix_timestamp({p}_end) / "
+                    f"{cell}) AS BIGINT))"
+                )
+            ),
+        )
+
+    rel_sp = (
+        "a_ts <= b_end AND b_ts <= a_end"
+        if s.rel == "overlap"
+        else "b_ts >= a_ts AND b_ts <= a_end"
+    )
+    out = (
+        side(s.ta, s.la_min, s.pa, "a")
+        .join(side(s.tb, s.lb_min, s.pb, "b"), "cell")
+        .filter(rel_sp)
+        .filter(
+            f"CAST(floor(unix_timestamp(greatest(a_ts, b_ts)) / {cell}) "
+            "AS BIGINT) = cell"
+        )
+        .selectExpr("CAST(to_date(greatest(a_ts, b_ts)) AS STRING) AS day")
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    )
+
+    def sql_side(etype, ln, pred, p):
+        w = f" AND ({pred.sql})" if pred is not None else ""
+        return (
+            f"SELECT ts AS {p}_ts, ts + INTERVAL {ln} MINUTE AS {p}_end "
+            f"FROM events WHERE event_type = '{etype}'{w}"
+        )
+
+    sql = f"""
+WITH a AS ({sql_side(s.ta, s.la_min, s.pa, 'a')}),
+b AS ({sql_side(s.tb, s.lb_min, s.pb, 'b')})
+SELECT CAST(CAST(greatest(a_ts, b_ts) AS DATE) AS VARCHAR) AS day,
+  CAST(count(*) AS BIGINT) AS n_pairs
+FROM a, b WHERE {rel_sp}
+GROUP BY 1"""
+    return out, sql
+
+
+_JSON_SPARK_T = {"i": "BIGINT", "f": "DOUBLE", "s": None}
+
+
+def _render_jsonpath(s: JsonPathSpec, spark, sf_dir: str):
+    """JSON path extraction over events.props: get_json_object +
+    CAST vs json_extract_string + CAST, including absent keys and
+    paths past a leaf (NULL on both engines), lateral-alias
+    predicates, and grouping by the extracted value."""
+    ev = _base_df(spark, sf_dir, "events")
+
+    def ex(path, cast, duck):
+        fn = "json_extract_string" if duck else "get_json_object"
+        base = f"{fn}(props, '{path}')"
+        t = _JSON_SPARK_T[cast]
+        return f"CAST({base} AS {t})" if t else base
+
+    if s.form == "group":
+        a, path, _ = s.derived[0]
+        g_sp = f"CAST({ex(path, 'i', False)} % {s.group_mod} AS BIGINT)"
+        g_du = f"CAST({ex(path, 'i', True)} % {s.group_mod} AS BIGINT)"
+        out = (
+            ev.selectExpr(f"{g_sp} AS g")
+            .groupBy("g")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        )
+        sql = (
+            f"SELECT {g_du} AS g, CAST(count(*) AS BIGINT) AS cnt "
+            f"FROM events GROUP BY 1"
+        )
+        return out, sql
+    sp_cols = ["event_id"] + [
+        f"{ex(p, c, False)} AS {a}" for a, p, c in s.derived
+    ]
+    du_cols = ["event_id"] + [
+        f"{ex(p, c, True)} AS {a}" for a, p, c in s.derived
+    ]
+    out = ev.selectExpr(*sp_cols)
+    sql = f"SELECT {', '.join(du_cols)} FROM events"
+    if s.pred is not None:
+        cond = s.pred.format(a=s.derived[0][0])
+        out = out.filter(cond)
+        sql += f" WHERE {cond}"
+    return out, sql
+
+
+_SETROLLUP_OPS = {
+    "unionall": (lambda a, b: a.unionAll(b), "UNION ALL"),
+    "union": (lambda a, b: a.union(b).distinct(), "UNION"),
+    "exceptall": (lambda a, b: a.exceptAll(b), "EXCEPT ALL"),
+    "except": (lambda a, b: a.subtract(b), "EXCEPT"),
+    "intersectall": (lambda a, b: a.intersectAll(b), "INTERSECT ALL"),
+    "intersect": (lambda a, b: a.intersect(b), "INTERSECT"),
+}
+
+
+def _render_setrollup(s: SetRollupSpec, spark, sf_dir: str):
+    """Set op between two ROLLUP branches of the same table under
+    different random predicates.  The Spark side applies the
+    q_sql_empty_rollup grand-row idiom to EACH branch (union the
+    global aggregate guarded by its own count = 0), because a branch
+    a predicate empties hits the known Spark divergence — zero rows
+    where the standard emits the () grand-total row — and the set op
+    would otherwise diverge.  The DuckDB side is the plain standard
+    composition, so every seed certifies the idiom, not just the one
+    registered artifact."""
+    grand_gid = 2 ** len(s.keys) - 1
+    null_keys = [
+        f"CAST(NULL AS STRING) AS {k}"
+        if next(c for c in CATALOG[s.table].cols if c.name == k).typ == "s"
+        else f"CAST(NULL AS BIGINT) AS {k}"
+        for k in s.keys
+    ]
+
+    def branch(pred):
+        df = _base_df(spark, sf_dir, s.table)
+        if pred is not None:
+            df = df.filter(pred.sp)
+        rolled = (
+            df.rollup(*s.keys)
+            .agg(
+                F.grouping_id().cast("bigint").alias("gid"),
+                *[a.sp for a in s.aggs],
+            )
+            .select(*s.keys, "gid", *[a.alias for a in s.aggs])
+        )
+        grand = (
+            df.agg(
+                F.count(F.lit(1)).alias("__n"), *[a.sp for a in s.aggs]
+            )
+            .filter("__n = 0")
+            .selectExpr(
+                *null_keys,
+                f"CAST({grand_gid} AS BIGINT) AS gid",
+                *[a.alias for a in s.aggs],
+            )
+        )
+        return rolled.unionByName(grand)
+
+    def branch_sql(pred):
+        w = f" WHERE {pred.sql}" if pred is not None else ""
+        return (
+            f"SELECT {', '.join(s.keys)}, "
+            f"CAST(GROUPING({', '.join(s.keys)}) AS BIGINT) AS gid, "
+            f"{', '.join(a.sql for a in s.aggs)} "
+            f"FROM {s.table}{w} GROUP BY ROLLUP({', '.join(s.keys)})"
+        )
+
+    sp_fn, sql_op = _SETROLLUP_OPS[s.op]
+    out = sp_fn(branch(s.p1), branch(s.p2))
+    sql = f"({branch_sql(s.p1)}) {sql_op} ({branch_sql(s.p2)})"
+    return out, sql
+
+
 _V2_RENDER = {
     "join3": _render_join3,
     "subq": _render_subq,
@@ -1422,6 +1821,11 @@ _V2_RENDER = {
     "rangewin": _render_rangewin,
     "winjoin": _render_winjoin,
     "lambda_join": _render_lambda_join,
+    # grammar v3
+    "twin_window": _render_twin_window,
+    "ivljoin": _render_ivljoin,
+    "jsonpath": _render_jsonpath,
+    "setrollup": _render_setrollup,
 }
 
 
@@ -1695,6 +2099,52 @@ def _reductions(case: Case):
     """Query-level shrink candidates (drop one optional part)."""
     s = case.spec
     outs = []
+    if case.kind == "twin_window":
+        if s.pred is not None:
+            outs.append(replace(s, pred=None))
+        if s.keyed:
+            outs.append(replace(s, keyed=False))
+        if len(s.aggs) > 1:
+            for i in range(len(s.aggs)):
+                outs.append(replace(s, aggs=s.aggs[:i] + s.aggs[i + 1:]))
+        if s.form == "sliding":
+            outs.append(replace(s, form="tumbling"))
+        return outs
+    if case.kind == "ivljoin":
+        if s.pa is not None:
+            outs.append(replace(s, pa=None))
+        if s.pb is not None:
+            outs.append(replace(s, pb=None))
+        if s.rel != "overlap":
+            outs.append(replace(s, rel="overlap"))
+        if s.cell_sec != 3600:
+            outs.append(replace(s, cell_sec=3600))
+        return outs
+    if case.kind == "jsonpath":
+        if s.pred is not None:
+            outs.append(replace(s, pred=None))
+        if len(s.derived) > 1:
+            for i in range(1, len(s.derived)):
+                outs.append(
+                    replace(s, derived=s.derived[:i] + s.derived[i + 1:])
+                )
+        if s.form == "group":
+            outs.append(replace(s, form="project", pred=None))
+        return outs
+    if case.kind == "setrollup":
+        if s.p1 is not None:
+            outs.append(replace(s, p1=None))
+        if s.p2 is not None:
+            outs.append(replace(s, p2=None))
+        if s.op != "unionall":
+            outs.append(replace(s, op="unionall"))
+        if len(s.aggs) > 1:
+            for i in range(len(s.aggs)):
+                outs.append(replace(s, aggs=s.aggs[:i] + s.aggs[i + 1:]))
+        if len(s.keys) > 1:
+            for i in range(len(s.keys)):
+                outs.append(replace(s, keys=s.keys[:i] + s.keys[i + 1:]))
+        return outs
     if case.kind == "filter":
         if s.pred is not None:
             outs.append(replace(s, pred=None))
@@ -1869,7 +2319,7 @@ def run(
             f"CREATE VIEW {t} AS SELECT * FROM "
             f"read_parquet('{sf_dir}/{t}.parquet')"
         )
-    gen = gen_case2 if grammar == "v2" else gen_case
+    gen = {"v2": gen_case2, "v3": gen_case3}.get(grammar, gen_case)
     failures = []
     for seed in range(seed0, seed0 + n):
         case = gen(seed)

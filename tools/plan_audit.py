@@ -477,12 +477,25 @@ AUDIT = {
         "Python, no global window."
     ),
     "q_join_interval_grid": (
-        "Grid interval-overlap join (r12 second wave). Wanted: the "
-        "overlap theta-join executed as an EQUI join on the hour "
-        "cell (hash join — broadcast at fixture scale, shuffled at "
-        "scale), never BroadcastNestedLoopJoin/CartesianProduct; "
+        "Grid interval-overlap join (r12 second wave; r13: cell "
+        "width PROBED from measured arrival rates, surrendering to "
+        "the static hour grid when per-cell work is under target — "
+        "fixture densities land there, so this plan shows the "
+        "hour-grid branch; the fine-grid branch is pinned in "
+        "tests/test_plans.py::test_interval_grid_probed_branch). "
+        "Wanted: the overlap theta-join executed as an EQUI join on "
+        "the cell (hash join — broadcast at fixture scale, shuffled "
+        "at scale), never BroadcastNestedLoopJoin/CartesianProduct; "
         "explode = the grid replication; responsibility filter after "
         "the join."
+    ),
+    "q_sql_empty_rollup": (
+        "Empty-input ROLLUP divergence pin + idiom (r13, §2.25). "
+        "Wanted: the provably-empty predicate as a PushedFilter on "
+        "BOTH aggregates' scans (idiom overhead = row-group metadata "
+        "only); the rollup side an Expand -> HashAggregate; the "
+        "guard side a plain two-phase global HashAggregate with the "
+        "cnt = 0 filter ABOVE it; Union of the two."
     ),
     "q_dedup_phash": (
         "Perceptual-hash image dedup (r12 second wave, v2 after the "
