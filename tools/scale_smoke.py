@@ -325,17 +325,29 @@ def outer_join_stream(spark, split_dir):
     return drain_to_memory(joined, output_mode="append")
 
 
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+)
+
+
 def run_stream(
     streams: list[str], dirs: list[str], shuffle: int,
-    n_files: int = N_FILES,
+    n_files: int = N_FILES, provider: str | None = None,
 ) -> None:
     """The §M table.  `shuffle` sizes spark.sql.shuffle.partitions,
     which for stateful operators is the STATE-STORE partition count —
     the production knob for per-batch latency once users-per-batch
     grows (r12 verdict item 8); pass different values (fresh process
     each: getOrCreate pins the session) to measure its curve."""
+    extra = (
+        {"spark.sql.streaming.stateStore.providerClass": ROCKSDB_PROVIDER}
+        if provider == "rocksdb"
+        else None
+    )
     spark = get_spark(
-        app_name="stream_scale_smoke", shuffle_partitions=shuffle
+        app_name="stream_scale_smoke", shuffle_partitions=shuffle,
+        extra_conf=extra,
     )
     spark.range(1).collect()
 
@@ -390,6 +402,7 @@ def run_stream(
                                 "stream": name,
                                 "shuffle_partitions": shuffle,
                                 "n_files": n_files,
+                                "state_provider": provider or "hdfs",
                                 "wall_s": round(wall, 2),
                                 "out_rows": rows,
                                 "n_data_batches": len(data),
@@ -435,6 +448,8 @@ def main() -> int:
                     choices=STREAMS)
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     ap.add_argument("--n-files", type=int, default=N_FILES)
+    ap.add_argument("--state-provider", choices=["hdfs", "rocksdb"],
+                    default=None)
     ap.add_argument("--list", action="store_true")
     args = ap.parse_args()
     if args.list:
@@ -445,7 +460,7 @@ def main() -> int:
     if args.stream:
         run_stream(
             args.streams, args.dirs, args.shuffle_partitions or 8,
-            args.n_files,
+            args.n_files, args.state_provider,
         )
         return 0
     names = args.names or SETS.get(args.set_name or "", [])
