@@ -75,11 +75,13 @@ _LOADED = False
 # singleton-label NaN/NULL edge and the MMR fold its short-group
 # edge — both r12 ADVICE), then ALL 12 remaining r5-era stamps
 # (clearing the r5 era completely), then the front of the r6 era
-# (31 of 44, alphabetical).  Everything outside the window stays
+# (29 of 44, alphabetical).  Everything outside the window stays
 # covered by tests/test_correctness.py's local oracle diff.
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # -- new in round 13 (§2.25)
     "q_sql_empty_rollup",  # new: empty-input ROLLUP divergence + idiom
+    "q_sim_knn_2bit",  # new: 2-bit thermometer ANN tier
+    "q_sim_2bit_recall",  # new: its recall audit (0.92 @ shortlist 100)
     # -- changed in round 13
     "q_sim_knn_binary",  # shortlist 20 -> 100 (recall-gap close)
     "q_sim_binary_recall",  # audits the NEW shipped operating point
@@ -92,7 +94,7 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q_tpch_q19", "q_tpch_q22", "q_ts_anomaly",
     "q_ts_rollup_two_level", "q_vec_ivf_build", "q_win_islands",
     "q_win_nth_value", "q_win_retention_cohort",
-    # -- r6-era stamps, first 31 of 44 (alphabetical)
+    # -- r6-era stamps, first 29 of 44 (alphabetical)
     "q_agg_gini", "q_agg_groupby", "q_agg_grouping_id",
     "q_agg_median_exact", "q_agg_scalar", "q_agg_weighted_avg",
     "q_data_mix", "q_fn_try_arith", "q_gdpr_export",
@@ -102,10 +104,10 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q_set_except_all", "q_set_intersect_all", "q_sql_exists_flag",
     "q_sql_group_by_all", "q_sql_lateral", "q_sql_recursive",
     "q_stream_cdc_apply", "q_stream_foreach_batch", "q_stream_resume",
-    "q_stream_session_live", "q_stream_topk", "q_stream_update_mode",
-    "q_stream_watermark_append",
+    "q_stream_session_live", "q_stream_topk",
     # ---- window boundary (50) — round 14 leads with the r6-era
-    # remainder (q_text_novelty, q_tpch_q11, q_tpch_q16, q_tpch_q2,
+    # remainder (q_stream_update_mode, q_stream_watermark_append,
+    # q_text_novelty, q_tpch_q11, q_tpch_q16, q_tpch_q2,
     # q_tpch_q20, q_tpch_q21, q_tpch_q9, q_ts_seasonal,
     # q_vec_matryoshka_eval, q_vec_pq_code, q_win_dense_rank,
     # q_win_gaps, q_win_peak_concurrency), then the r7 era (48

@@ -1576,3 +1576,40 @@ def test_empty_rollup_predicate_reaches_scan(spark):
     """The provably-empty predicate must be a PushedFilter: the idiom's
     extra guard aggregate costs row-group metadata, not data pages."""
     assert has_pushed_filters(q("q_sql_empty_rollup", spark))
+
+
+def test_knn_2bit_coarse_is_narrow_and_windows_partitioned(spark):
+    """q_sim_knn_2bit: same plan contract as the 1-bit tier — every
+    window qid-partitioned, bounded query set broadcasts, the float
+    corpus never rides the L1 cross-score (only 6 BIGINT plane
+    columns do), the rerank re-enters by vec_id equi-join, and the
+    64-row threshold table is a broadcast join."""
+    df = q("q_sim_knn_2bit", spark)
+    from skyhookdb_ceph_spark.plans.explain import (
+        count_unpartitioned_windows,
+    )
+
+    assert count_unpartitioned_windows(df) == 0
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+    used = joins_used(df)
+    assert used & {"BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin"}
+    simple = explain_str(df, "simple")
+    assert "BatchEvalPython" not in simple  # packing is all JVM
+    assert "ArrowEvalPython" not in simple
+
+
+def test_2bit_recall_audit_shares_the_shipped_coarse_stage(spark):
+    """q_sim_2bit_recall must measure the SHIPPED cascade: its plan
+    contains the same broadcast query set + qid windows and no
+    cartesian; the exact ground-truth pass is the bounded broadcast
+    cross-score, like q_sim_binary_recall's."""
+    df = q("q_sim_2bit_recall", spark)
+    from skyhookdb_ceph_spark.plans.explain import (
+        count_unpartitioned_windows,
+    )
+
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    assert count_unpartitioned_windows(df) == 0

@@ -489,6 +489,14 @@ AUDIT = {
         "explode = the grid replication; responsibility filter after "
         "the join."
     ),
+    "q_sim_knn_2bit": (
+        "2-bit thermometer-code ANN tier (r13, §2.25). Wanted: the "
+        "posexplode packing aggregation all-JVM (no Python stage); "
+        "the 64-row quartile-threshold table a broadcast join; the "
+        "bounded query set broadcast into a narrow plane-column "
+        "cross-score (float corpus never rides it); qid-partitioned "
+        "candidate window; rerank re-enters by vec_id equi-join."
+    ),
     "q_sql_empty_rollup": (
         "Empty-input ROLLUP divergence pin + idiom (r13, §2.25). "
         "Wanted: the provably-empty predicate as a PushedFilter on "

@@ -99,6 +99,8 @@ SETS: dict[str, list[str]] = {
         "q_sim_binary_recall", "q_join_interval_grid",
         "q_pipeline_e2e_v2",
     ],
+    # §P.8: the 2-bit thermometer tier's decades
+    "r13b": ["q_sim_knn_2bit"],
 }
 
 N_FILES = 8  # default replay granularity (--n-files overrides)
