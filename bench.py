@@ -451,6 +451,21 @@ def main() -> int:
     side = Path(_REPO) / ".benchmarks" / "bench_full.json"
     side.parent.mkdir(exist_ok=True)
     side.write_text(json.dumps(full_record, indent=1))
+    # Round-stamped archive so cross-round per-query diffs survive the
+    # next run's overwrite (r13 verdict item 7).  The current round is
+    # max(existing BENCH_r*.json) + 1: the driver writes BENCH_r{N} at
+    # round close, so while round N runs only r1..N-1 exist on disk.
+    import re as _re
+
+    _rounds = [
+        int(m.group(1))
+        for p in Path(_REPO).glob("BENCH_r*.json")
+        if (m := _re.match(r"BENCH_r(\d+)\.json$", p.name))
+    ]
+    _tag = (max(_rounds) + 1) if _rounds else 1
+    (side.parent / f"bench_full_r{_tag:02d}.json").write_text(
+        json.dumps(full_record, indent=1)
+    )
 
     # The driver captures only a ~4 KB tail of stdout and parses the
     # final JSON line (BENCH_r{1,2} both came back "parsed": null when

@@ -162,30 +162,39 @@ _PLANES = [(k, h) for k in (1, 2, 3) for h in ("l", "h")]
 
 
 def _l1_expr(duck: bool) -> str:
+    # DuckDB's bit_count returns INT8 and + propagates it, so the
+    # six-term chain overflows once a partial sum passes 127 — the
+    # isotropic fixture stays under by luck, a clustered corpus does
+    # not (found by q_sim_recall_clustered, r14).  Cast each term.
     xor = (lambda a, b: f"xor({a}, {b})") if duck else (
         lambda a, b: f"{a} ^ {b}"
     )
+    term = (
+        "CAST(bit_count({x}) AS BIGINT)" if duck else "bit_count({x})"
+    )
     return " + ".join(
-        f"bit_count({xor(f's.p{k}{h}', f'q.q{k}{h}')})" for k, h in _PLANES
+        term.format(x=xor(f"s.p{k}{h}", f"q.q{k}{h}")) for k, h in _PLANES
     )
 
 
+# Thresholds interpolate over the QUANTIZED v (the ex CTE), exactly
+# like the Spark twin's percentile-over-v — interpolating over raw
+# values can land one 1e-6 grid step away from the quantized-input
+# result and flip a plane bit on one engine only (r13 ADVICE).
 _THR_DUCK = ", ".join(
-    _TQ.format(fn="quantile_cont",
-               arg="CAST(embedding[i.pos] AS DOUBLE)", p=p)
-    + f" AS t{k}"
+    _TQ.format(fn="quantile_cont", arg="v", p=p) + f" AS t{k}"
     for k, p in ((1, 0.25), (2, 0.50), (3, 0.75))
 )
 
 _SIG2_CTES = f"""
-thr AS (
-  SELECT i.pos, {_THR_DUCK}
-  FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS pos) i
-  GROUP BY i.pos),
 ex AS (
   SELECT vec_id, i.pos,
     {_VQ.format(v='embedding[i.pos]')} AS v
   FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS pos) i),
+thr AS (
+  SELECT pos, {_THR_DUCK}
+  FROM ex
+  GROUP BY pos),
 s AS (
   SELECT vec_id, {', '.join(_plane_expr(k, h, True) for k, h in _PLANES)}
   FROM ex JOIN thr USING (pos) GROUP BY vec_id),
@@ -305,17 +314,23 @@ def _knn_2bit_parts(spark, sf_dir):
     return e, sigs, q, cand
 
 
+# Formatted once: also the oracle of the persisted-index probe
+# (pipeline16.q_sim_knn_2bit_indexed), which must return answers
+# identical to this per-execution-encode tier.
+_KNN_2BIT_ORACLE_SQL = _KNN_2BIT_ORACLE.format(
+    cos="list_aggregate(list_transform(generate_series(1, 64), "
+    "j -> CAST(e.embedding[j] AS DOUBLE) * CAST(q.qv[j] AS DOUBLE)), "
+    "'sum') / (sqrt(list_aggregate(list_transform(generate_series(1, "
+    "64), j -> CAST(e.embedding[j] AS DOUBLE) * CAST(e.embedding[j] "
+    "AS DOUBLE)), 'sum')) * sqrt(list_aggregate(list_transform("
+    "generate_series(1, 64), j -> CAST(q.qv[j] AS DOUBLE) * "
+    "CAST(q.qv[j] AS DOUBLE)), 'sum')))"
+)
+
+
 @query(
     "q_sim_knn_2bit",
-    oracle=_KNN_2BIT_ORACLE.format(
-        cos="list_aggregate(list_transform(generate_series(1, 64), "
-        "j -> CAST(e.embedding[j] AS DOUBLE) * CAST(q.qv[j] AS DOUBLE)), "
-        "'sum') / (sqrt(list_aggregate(list_transform(generate_series(1, "
-        "64), j -> CAST(e.embedding[j] AS DOUBLE) * CAST(e.embedding[j] "
-        "AS DOUBLE)), 'sum')) * sqrt(list_aggregate(list_transform("
-        "generate_series(1, 64), j -> CAST(q.qv[j] AS DOUBLE) * "
-        "CAST(q.qv[j] AS DOUBLE)), 'sum')))"
-    ),
+    oracle=_KNN_2BIT_ORACLE_SQL,
     tags=("llm", "similarity", "scale-design"),
 )
 def q_sim_knn_2bit(spark, sf_dir):

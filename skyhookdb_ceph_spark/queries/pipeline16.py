@@ -1,0 +1,733 @@
+"""Round-14 wave (SURVEY.md §2.26) — the persisted ANN signature
+index and the clustered-corpus recall audit.
+
+Closes the one operator-level gap the r13 verdict named: both sketch
+cascade tiers (q_sim_knn_binary's 16-byte sign signatures,
+q_sim_knn_2bit's 48-byte thermometer planes) re-encoded the corpus on
+every execution, while only the IVF family had the full persisted
+build / incremental-append / probe-only story.  This wave gives the
+signature tiers the same lifecycle the IVF layout already has
+(q_vec_ivf_build / q_vec_ivf_incremental / q_vec_ivf_files_pruned):
+
+1. q_vec_sig_build — encode once, persist (vec_id, sig_lo, sig_hi,
+   p1l..p3h) plus the 64-row quartile threshold table as the index's
+   frozen PARAMETERS; the verdict table is a sharded census of the
+   READ-BACK layout proving persisted encode == direct encode.
+2. q_sim_knn_binary_indexed / q_sim_knn_2bit_indexed — the cascade
+   probes reading ONLY the persisted signature columns for the coarse
+   stage (plan-asserted: no signature re-encode — no shiftleft
+   packing, no posexplode, no percentile — before the rerank
+   join-back to the float corpus).  Oracles are the SAME SQL as the
+   per-execution tiers: the persisted index must change nothing about
+   the answer.
+3. q_vec_sig_incremental — append-only maintenance under the
+   frozen-parameter rule: delta vectors are encoded with the BASE
+   corpus's thresholds (re-deriving them from the grown corpus would
+   silently re-key every existing signature — the q_vec_ivf_incremental
+   nb lesson, applied to the 2-bit tier's 192 thresholds).
+4. q_sim_recall_clustered — the r13 recall ladder (§P.8) measured the
+   isotropic WORST case; real embedding corpora are clustered.  A
+   deterministic label-centered mixture corpus (hash-seeded
+   Irwin-Hall noise — dyadic-exact arithmetic, no RNG, reproducible
+   in both engines) re-runs the 1-bit and 2-bit audits at the same
+   shortlist budget, giving the ladder its realistic column.
+
+Scale story (the reason this wave exists): at 100 TB the coarse scan
+of a probe reads 16-48 B/vector from the persisted index instead of
+re-reading 256 B of floats AND paying the encode (for the 2-bit tier,
+a corpus-wide percentile probe) per query batch.  Build is once,
+append is O(delta), probe IO is |index|, and the float corpus is
+touched only by the shortlist-bounded rerank join-back.
+
+House rules unchanged: identical aliases both sides, fixed fold
+order, deterministic tie-breaks, bounded broadcast query sets, no
+all-pairs against the corpus.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from skyhookdb_ceph_spark.operators import ensure_parallelism, vectors
+from skyhookdb_ceph_spark.queries._util import Catalog
+from skyhookdb_ceph_spark.queries.pipeline14 import (
+    _KNN_BINARY_ORACLE,
+    _KNN_K,
+    _NCAND,
+    _sig_duckdb,
+)
+from skyhookdb_ceph_spark.queries.pipeline15 import (
+    _KNN_2BIT_ORACLE_SQL,
+    _KNN_K2,
+    _NCAND2,
+    _PLANES,
+    _THR_DUCK,
+    _TQ,
+    _VQ,
+    _l1_expr,
+    _plane_expr,
+)
+from skyhookdb_ceph_spark.queries.scans import _scratch_dir
+from skyhookdb_ceph_spark.registry import query
+
+# ---------------------------------------------------------------------------
+# shared encode machinery (build-time only — probes never run these)
+# ---------------------------------------------------------------------------
+
+_PLANE_COLS = [f"p{k}{h}" for k, h in _PLANES]
+_SIG_COLS = ["sig_lo", "sig_hi", *_PLANE_COLS]
+
+
+def _pack1_expr(lo: int, hi: int, duck: bool) -> str:
+    """1-bit sign packing in the EXPLODED form (bit pos-lo set iff the
+    raw value > 0) — bit-identical to pipeline14's per-row fold
+    (_sig_expr) and its oracle twin (_sig_duckdb)."""
+    shift = (
+        f"(CAST(1 AS BIGINT) << (pos - {lo}))"
+        if duck
+        else f"shiftleft(CAST(1 AS BIGINT), pos - {lo})"
+    )
+    return (
+        f"CAST(sum(CASE WHEN pos BETWEEN {lo} AND {hi} AND valf > 0 "
+        f"THEN {shift} ELSE CAST(0 AS BIGINT) END) AS BIGINT)"
+    )
+
+
+def _exploded(e, col: str = "embedding"):
+    """(vec_id, pos, valf raw, v quantized) — one posexplode pass; the
+    raw value feeds the 1-bit sign packing, the 1e-6-quantized value
+    feeds the thermometer thresholds and plane bits (both engines
+    quantize before the > comparison, the r13 parity rule)."""
+    return e.select(
+        "vec_id", F.posexplode(col).alias("pos0", "valf")
+    ).selectExpr(
+        "vec_id", "pos0 + 1 AS pos", "valf", _VQ.format(v="valf") + " AS v"
+    )
+
+
+def _thresholds(ex):
+    """Per-dim quartile table (64 rows) — the index PARAMETERS.
+    Computed once at build time from the cohort the caller chooses;
+    incremental appends must reuse the frozen table, never re-derive."""
+    return ex.groupBy("pos").agg(
+        *[
+            F.expr(_TQ.format(fn="percentile", arg="v", p=p)).alias(f"t{k}")
+            for k, p in ((1, 0.25), (2, 0.50), (3, 0.75))
+        ]
+    )
+
+
+def _encode(ex, thr):
+    """Signature rows (vec_id, sig_lo, sig_hi, p1l..p3h) from an
+    exploded corpus and a FROZEN threshold table: 64-row broadcast
+    join + one keyed packing aggregation, all JVM."""
+    aggs = [
+        F.expr(_pack1_expr(1, 32, False)).alias("sig_lo"),
+        F.expr(_pack1_expr(33, 64, False)).alias("sig_hi"),
+    ] + [
+        F.expr(_plane_expr(k, h, False).rsplit(" AS ", 1)[0]).alias(
+            f"p{k}{h}"
+        )
+        for k, h in _PLANES
+    ]
+    return ex.join(F.broadcast(thr), "pos").groupBy("vec_id").agg(*aggs)
+
+
+def build_sig_index(spark, sf_dir: str, path: str) -> None:
+    """Build the persisted signature index under ``path``:
+    ``sigs/`` = one row per vector with BOTH tiers' signatures
+    (16 B sign bits + 48 B thermometer planes, 9 columns total),
+    ``params/`` = the 64-row quartile threshold table.  Thresholds
+    are written because they are index parameters: an append job and
+    any re-encode audit must read them back, not recompute them."""
+    e = ensure_parallelism(Catalog(spark, sf_dir).embeddings)
+    ex = _exploded(e)
+    thr = _thresholds(ex)
+    _encode(ex, thr).write.mode("overwrite").parquet(f"{path}/sigs")
+    thr.coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
+
+
+# ---------------------------------------------------------------------------
+# probe-only cascade stages (read the index, never encode)
+# ---------------------------------------------------------------------------
+
+
+def probe_binary(e, idx):
+    """1-bit cascade probe over a READ-BACK index: coarse Hamming
+    stage touches only (vec_id, sig_lo, sig_hi) — 16 B/vector — and
+    the float corpus enters only at the shortlist-bounded rerank
+    join-back.  Lazy (plan-assertable); same output contract as
+    q_sim_knn_binary."""
+    sigs = idx.select("vec_id", "sig_lo", "sig_hi")
+    q = (
+        sigs.filter("vec_id % 100 = 0")
+        .join(e.selectExpr("vec_id", "embedding AS qv"), "vec_id")
+        .selectExpr(
+            "vec_id AS qid", "qv", "sig_lo AS q_lo", "sig_hi AS q_hi"
+        )
+    )
+    ham = (
+        sigs.crossJoin(F.broadcast(q.drop("qv")))
+        .filter("vec_id <> qid")
+        .selectExpr(
+            "qid",
+            "vec_id",
+            "CAST(bit_count(sig_lo ^ q_lo) + bit_count(sig_hi ^ q_hi) "
+            "AS INT) AS ham",
+        )
+    )
+    wc = Window.partitionBy("qid").orderBy(F.asc("ham"), F.asc("vec_id"))
+    cand = (
+        ham.withColumn("cr", F.row_number().over(wc))
+        .filter(F.col("cr") <= _NCAND)
+        .drop("cr")
+    )
+    rr = (
+        cand.join(e.selectExpr("vec_id", "embedding"), "vec_id")
+        .join(F.broadcast(q.select("qid", "qv")), "qid")
+        .selectExpr(
+            "qid",
+            "vec_id",
+            "ham",
+            f"floor(({vectors.cosine_expr('embedding', 'qv')}) * 1000000"
+            " + 0.5) / 1000000 AS sim",
+        )
+    )
+    wr = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        rr.withColumn("rnk", F.row_number().over(wr).cast("int"))
+        .filter(F.col("rnk") <= _KNN_K)
+        .select("qid", "vec_id", "ham", "sim", "rnk")
+    )
+
+
+def probe_2bit(e, idx):
+    """2-bit cascade probe over a READ-BACK index: the coarse L1 scan
+    reads only the six plane-half columns (48 B/vector); no
+    posexplode, no percentile probe, no packing — those ran once at
+    build.  Same output contract as q_sim_knn_2bit."""
+    sigs = idx.select("vec_id", *_PLANE_COLS)
+    q = (
+        sigs.filter("vec_id % 100 = 0")
+        .join(e.selectExpr("vec_id", "embedding AS qv"), "vec_id")
+        .selectExpr(
+            "vec_id AS qid",
+            "qv",
+            *[f"p{k}{h} AS q{k}{h}" for k, h in _PLANES],
+        )
+    )
+    l1 = _l1_expr(False)
+    for k, h in _PLANES:
+        l1 = l1.replace(f"s.p{k}{h}", f"p{k}{h}").replace(
+            f"q.q{k}{h}", f"q{k}{h}"
+        )
+    ham = (
+        sigs.crossJoin(F.broadcast(q.drop("qv")))
+        .filter("vec_id <> qid")
+        .selectExpr("qid", "vec_id", f"CAST({l1} AS INT) AS l1")
+    )
+    wc = Window.partitionBy("qid").orderBy(F.asc("l1"), F.asc("vec_id"))
+    cand = (
+        ham.withColumn("cr", F.row_number().over(wc))
+        .filter(F.col("cr") <= _NCAND2)
+        .drop("cr")
+    )
+    rr = (
+        cand.join(e.selectExpr("vec_id", "embedding"), "vec_id")
+        .join(F.broadcast(q.select("qid", "qv")), "qid")
+        .selectExpr(
+            "qid",
+            "vec_id",
+            "l1",
+            f"floor(({vectors.cosine_expr('embedding', 'qv')}) * 1000000"
+            " + 0.5) / 1000000 AS sim",
+        )
+    )
+    wr = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        rr.withColumn("rnk", F.row_number().over(wr).cast("int"))
+        .filter(F.col("rnk") <= _KNN_K2)
+        .select("qid", "vec_id", "l1", "sim", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.26.1 index build + read-back census
+# ---------------------------------------------------------------------------
+
+# DuckDB's bit_count returns INT8 (overflows at 115 + 14, found at
+# sf0.1); Spark's returns INT.  Casting each term to BIGINT is valid
+# on both engines and keeps the string shared.
+_BC = "CAST(bit_count({c}) AS BIGINT)"
+_BITS1 = (
+    f"CAST(sum({_BC.format(c='sig_lo')} + {_BC.format(c='sig_hi')}) "
+    "AS BIGINT)"
+)
+_BITS2 = (
+    "CAST(sum("
+    + " + ".join(_BC.format(c=f"p{k}{h}") for k, h in _PLANES)
+    + ") AS BIGINT)"
+)
+
+_SIG2_BASE_CTES = f"""
+ex AS (
+  SELECT vec_id, i.pos,
+    {_VQ.format(v='embedding[i.pos]')} AS v
+  FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS pos) i),
+thr AS (
+  SELECT pos, {_THR_DUCK}
+  FROM ex GROUP BY pos),
+s2 AS (
+  SELECT vec_id, {', '.join(_plane_expr(k, h, True) for k, h in _PLANES)}
+  FROM ex JOIN thr USING (pos) GROUP BY vec_id),
+s1 AS (
+  SELECT vec_id,
+    {_sig_duckdb('embedding', 1, 32)} AS sig_lo,
+    {_sig_duckdb('embedding', 33, 64)} AS sig_hi
+  FROM embeddings)
+"""
+
+_SIG_BUILD_ORACLE = f"""
+WITH {_SIG2_BASE_CTES}
+SELECT CAST(s1.vec_id % 16 AS BIGINT) AS shard,
+  CAST(count(*) AS BIGINT) AS n_vectors,
+  {_BITS1} AS bits_1bit,
+  {_BITS2} AS bits_2bit
+FROM s1 JOIN s2 USING (vec_id)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@query(
+    "q_vec_sig_build",
+    oracle=_SIG_BUILD_ORACLE,
+    tags=("vector", "similarity", "layout", "scale-design"),
+)
+def q_vec_sig_build(spark, sf_dir):
+    """Signature index BUILD as a persisted layout: one encode pass
+    (posexplode -> broadcast 64-row threshold join -> keyed packing
+    aggregation, all JVM) writes both cascade tiers' signatures —
+    16 B sign bits + 48 B thermometer planes per vector — plus the
+    quartile threshold sidecar (the index parameters an append job
+    must reuse).  The verdict table is a 16-shard census of the
+    READ-BACK layout (counts + popcount mass per tier), which the
+    oracle re-derives by encoding directly from the float corpus:
+    persisted-and-reloaded == computed-fresh, shard by shard.
+
+    At 100 TB this build is the once-per-corpus cost the r13 §P.8
+    decade curve attributed to every probe ("the per-execution
+    signature build ... at 100 TB is the persisted index"); after it,
+    probes pay 16-48 B/vector of index IO instead of 256 B of floats
+    plus a corpus-wide percentile pass.  Matches the IVF family's
+    lifecycle (q_vec_ivf_build) for the signature tiers."""
+    tmp = tempfile.mkdtemp(prefix="skyhook_sigbuild_", dir=_scratch_dir())
+    try:
+        build_sig_index(spark, sf_dir, tmp)
+        idx = spark.read.parquet(f"{tmp}/sigs")
+        out = (
+            idx.groupBy(
+                (F.col("vec_id") % 16).cast("bigint").alias("shard")
+            )
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+                F.expr(_BITS1).alias("bits_1bit"),
+                F.expr(_BITS2).alias("bits_2bit"),
+            )
+            .orderBy("shard")
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# §2.26.2-3 probe-only cascade queries (persisted-index reads)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_sim_knn_binary_indexed",
+    oracle=_KNN_BINARY_ORACLE,
+    tags=("llm", "similarity", "layout", "scale-design"),
+)
+def q_sim_knn_binary_indexed(spark, sf_dir):
+    """q_sim_knn_binary's cascade run PROBE-ONLY against the persisted
+    index: the coarse Hamming stage reads (vec_id, sig_lo, sig_hi)
+    from the layout q_vec_sig_build wrote — no sign packing, no
+    embedding scan before the rerank join-back (plan-asserted in
+    tests/test_sig_index.py: the probe plan contains no shiftleft /
+    posexplode / percentile).  The oracle is the IDENTICAL SQL as the
+    per-execution tier: persisting the index must not change a single
+    answer row.
+
+    The build runs inside this query (fixture lifecycle, same as
+    q_vec_ivf_build); tools/scale_smoke.py measures the probe with
+    the build amortized out — at 100 TB the build is once and this
+    query's marginal cost is the 16 B/vector coarse scan plus the
+    |Q| x 100 rerank."""
+    tmp = tempfile.mkdtemp(prefix="skyhook_sigidx1_", dir=_scratch_dir())
+    try:
+        build_sig_index(spark, sf_dir, tmp)
+        e = ensure_parallelism(Catalog(spark, sf_dir).embeddings)
+        out = probe_binary(e, spark.read.parquet(f"{tmp}/sigs"))
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "q_sim_knn_2bit_indexed",
+    oracle=_KNN_2BIT_ORACLE_SQL,
+    tags=("llm", "similarity", "layout", "scale-design"),
+)
+def q_sim_knn_2bit_indexed(spark, sf_dir):
+    """q_sim_knn_2bit's cascade run PROBE-ONLY against the persisted
+    index: the coarse L1 stage reads the six plane-half columns
+    (48 B/vector) from the layout — the corpus-wide quartile probe
+    and the thermometer packing ran once at build and are absent from
+    the probe plan (plan-asserted).  Oracle identical to the
+    per-execution tier.  This is the operating point the r13 recall
+    ladder priced (recall@5 0.92 at shortlist 100): with the index
+    persisted, its per-query cost drops to the same two-instruction
+    bit_count(xor) scan as the 1-bit tier, at 3x the index bytes."""
+    tmp = tempfile.mkdtemp(prefix="skyhook_sigidx2_", dir=_scratch_dir())
+    try:
+        build_sig_index(spark, sf_dir, tmp)
+        e = ensure_parallelism(Catalog(spark, sf_dir).embeddings)
+        out = probe_2bit(e, spark.read.parquet(f"{tmp}/sigs"))
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# §2.26.4 incremental append under the frozen-parameter rule
+# ---------------------------------------------------------------------------
+
+_DELTA_PRED = "vec_id % 10 = 7"
+
+_SIG_INC_ORACLE = f"""
+WITH ex AS (
+  SELECT vec_id, i.pos,
+    {_VQ.format(v='embedding[i.pos]')} AS v
+  FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS pos) i),
+thr AS (
+  SELECT pos, {_THR_DUCK}
+  FROM ex WHERE NOT ({_DELTA_PRED}) GROUP BY pos),
+s2 AS (
+  SELECT vec_id, {', '.join(_plane_expr(k, h, True) for k, h in _PLANES)}
+  FROM ex JOIN thr USING (pos) GROUP BY vec_id),
+s1 AS (
+  SELECT vec_id,
+    {_sig_duckdb('embedding', 1, 32)} AS sig_lo,
+    {_sig_duckdb('embedding', 33, 64)} AS sig_hi
+  FROM embeddings)
+SELECT CAST(CASE WHEN s1.vec_id % 10 = 7 THEN 1 ELSE 0 END AS INT)
+    AS is_delta,
+  CAST(count(*) AS BIGINT) AS n_vectors,
+  {_BITS1} AS bits_1bit,
+  {_BITS2} AS bits_2bit
+FROM s1 JOIN s2 USING (vec_id)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@query(
+    "q_vec_sig_incremental",
+    oracle=_SIG_INC_ORACLE,
+    tags=("vector", "layout", "scale-design"),
+)
+def q_vec_sig_incremental(spark, sf_dir):
+    """Incremental signature-index MAINTENANCE: newly arriving
+    vectors (the {_DELTA_PRED} cohort) are encoded with the BASE
+    corpus's FROZEN quartile thresholds and appended into the
+    existing layout — new row files only, base files untouched
+    (append-only proven in tests/test_sig_index.py).  Rebuilding per
+    ingest batch costs O(corpus) encode + write; appending costs
+    O(delta).
+
+    The frozen-parameter rule is the whole point (the
+    q_vec_ivf_incremental nb lesson, now for 192 real-valued
+    thresholds): re-deriving quartiles from the grown corpus would
+    silently shift plane bits of EXISTING vectors' would-be
+    encodings, so index and corpus would disagree about what a
+    signature means.  The oracle pins it by computing thr from the
+    base cohort only — if the implementation re-derived from the full
+    corpus, the delta cohort's plane popcounts (bits_2bit) would
+    mismatch.  The 1-bit tier has no parameters (sign vs 0), so its
+    column doubles as the append-integrity check."""
+    e = ensure_parallelism(Catalog(spark, sf_dir).embeddings)
+    base = e.filter(f"NOT ({_DELTA_PRED})")
+    delta = e.filter(_DELTA_PRED)
+    thr = _thresholds(_exploded(base))  # FROZEN: base cohort only
+    tmp = tempfile.mkdtemp(prefix="skyhook_siginc_", dir=_scratch_dir())
+    try:
+        _encode(_exploded(base), thr).withColumn(
+            "is_delta", F.lit(0)
+        ).write.mode("overwrite").parquet(f"{tmp}/sigs")
+        _encode(_exploded(delta), thr).withColumn(
+            "is_delta", F.lit(1)
+        ).write.mode("append").parquet(f"{tmp}/sigs")
+        idx = spark.read.parquet(f"{tmp}/sigs")
+        out = (
+            idx.groupBy("is_delta")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+                F.expr(_BITS1).alias("bits_1bit"),
+                F.expr(_BITS2).alias("bits_2bit"),
+            )
+            .orderBy("is_delta")
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# §2.26.5 recall ladder on a CLUSTERED (realistic) corpus
+# ---------------------------------------------------------------------------
+
+# Deterministic label-centered mixture corpus, derived from vec_id by
+# pure integer arithmetic so BOTH engines materialize bit-identical
+# doubles (no RNG, oracle-reproducible — the q_sample_hash rule):
+#   label   = vec_id % 8
+#   center  = ((label + d*101) % 9 - 4) * 0.5          per dim d
+#   noise   = (u1 + u2 + u3 + u4 - 2) * 0.75           Irwin-Hall(4)
+#   u_k     = ((vec_id*A_k + d*B_k) % 2^20) / 2^20
+# Every term is dyadic (the 2^20 modulus makes u_k exact in double;
+# centers are halves; 0.75 is 3/4), magnitudes stay < 8, so the sum
+# is EXACT double arithmetic — no 1-ulp parity risk before the
+# cosine folds, which both engines run in the same left-to-right
+# order.  Labels separate by >= 0.5 per dim in EVERY dim (101 = 2
+# mod 9 walks all residues; label deltas 1..8 are nonzero mod 9)
+# against noise sigma ~ 0.43/dim: same-label cosines cluster high,
+# cross-label low — the structure real embedding corpora have and
+# the isotropic fixture (r13 §P.8 ladder) deliberately lacks.
+
+_MIX_A = (2654435761, 40503, 2246822519, 3266489917)
+_MIX_B = (97, 1009, 8191, 524287)
+
+
+def _clustered_expr(duck: bool) -> str:
+    open_ = (
+        "list_transform(generate_series(1, 64)"
+        if duck
+        else "transform(sequence(1, 64)"
+    )
+
+    def u(a: int, b: int) -> str:
+        return (
+            f"(CAST((vec_id * {a} + d * {b}) % 1048576 AS DOUBLE)"
+            " / 1048576.0)"
+        )
+
+    noise = (
+        "("
+        + " + ".join(u(a, b) for a, b in zip(_MIX_A, _MIX_B))
+        + " - 2.0) * 0.75"
+    )
+    center = "CAST(((vec_id % 8) + d * 101) % 9 - 4 AS DOUBLE) * 0.5"
+    return f"{open_}, d -> {center} + {noise})"
+
+
+def _clustered_recall_oracle() -> str:
+    planes_duck = ", ".join(_plane_expr(k, h, True) for k, h in _PLANES)
+    qz = "floor(({e}) * 1000000 + 0.5) / 1000000"
+    exact_cos = qz.format(e=vectors.cosine_duckdb("d.emb", "q.qv"))
+    rr_cos = qz.format(e=vectors.cosine_duckdb("e.emb", "q.qv"))
+
+    def tier(tag, cand_cte):
+        return f"""
+a_{tag} AS (
+  SELECT qid, vec_id FROM (
+    SELECT c.qid, c.vec_id,
+      row_number() OVER (PARTITION BY c.qid ORDER BY {rr_cos} DESC,
+        c.vec_id) AS rnk
+    FROM {cand_cte} c
+    JOIN cl e ON e.vec_id = c.vec_id
+    JOIN q ON q.qid = c.qid)
+  WHERE rnk <= {_KNN_K}),
+r_{tag} AS (
+  SELECT '{tag}' AS tier, exact.qid,
+    CAST(count(a_{tag}.vec_id) AS BIGINT) AS n_hits,
+    floor(CAST(count(a_{tag}.vec_id) AS DOUBLE) / {_KNN_K} * 1000000
+      + 0.5) / 1000000 AS recall
+  FROM exact LEFT JOIN a_{tag}
+    ON a_{tag}.qid = exact.qid AND a_{tag}.vec_id = exact.vec_id
+  GROUP BY exact.qid)"""
+
+    return f"""
+WITH cl AS (
+  SELECT vec_id, {_clustered_expr(True)} AS emb FROM embeddings),
+q AS (SELECT vec_id AS qid, emb AS qv FROM cl WHERE vec_id % 100 = 0),
+exact AS (
+  SELECT qid, vec_id FROM (
+    SELECT q.qid, d.vec_id,
+      row_number() OVER (PARTITION BY q.qid ORDER BY {exact_cos} DESC,
+        d.vec_id) AS rnk
+    FROM cl d, q WHERE d.vec_id <> q.qid)
+  WHERE rnk <= {_KNN_K}),
+s1 AS (
+  SELECT vec_id,
+    {_sig_duckdb('emb', 1, 32)} AS sig_lo,
+    {_sig_duckdb('emb', 33, 64)} AS sig_hi
+  FROM cl),
+q1 AS (SELECT vec_id AS qid, sig_lo AS q_lo, sig_hi AS q_hi
+       FROM s1 WHERE vec_id % 100 = 0),
+c1 AS (
+  SELECT qid, vec_id FROM (
+    SELECT q.qid, s.vec_id,
+      row_number() OVER (PARTITION BY q.qid ORDER BY
+        CAST(bit_count(xor(s.sig_lo, q.q_lo))
+           + bit_count(xor(s.sig_hi, q.q_hi)) AS INT), s.vec_id) AS cr
+    FROM s1 s, q1 q WHERE s.vec_id <> q.qid)
+  WHERE cr <= {_NCAND}),
+ex AS (
+  SELECT vec_id, i.pos, {_VQ.format(v='emb[i.pos]')} AS v
+  FROM cl, (SELECT unnest(generate_series(1, 64)) AS pos) i),
+thr AS (SELECT pos, {_THR_DUCK} FROM ex GROUP BY pos),
+s2 AS (
+  SELECT vec_id, {planes_duck}
+  FROM ex JOIN thr USING (pos) GROUP BY vec_id),
+q2 AS (SELECT vec_id AS qid,
+         {', '.join(f'p{k}{h} AS q{k}{h}' for k, h in _PLANES)}
+       FROM s2 WHERE vec_id % 100 = 0),
+c2 AS (
+  SELECT qid, vec_id FROM (
+    SELECT q.qid, s.vec_id,
+      row_number() OVER (PARTITION BY q.qid ORDER BY
+        CAST({_l1_expr(True)} AS INT), s.vec_id) AS cr
+    FROM s2 s, q2 q WHERE s.vec_id <> q.qid)
+  WHERE cr <= {_NCAND2}),{tier('bin1', 'c1')},{tier('thermo2', 'c2')}
+SELECT * FROM r_bin1
+UNION ALL
+SELECT * FROM r_thermo2
+ORDER BY tier, qid
+"""
+
+
+@query(
+    "q_sim_recall_clustered",
+    oracle=_clustered_recall_oracle(),
+    tags=("llm", "similarity", "audit"),
+)
+def q_sim_recall_clustered(spark, sf_dir):
+    """The recall ladder re-measured on a CLUSTERED corpus — the r13
+    §P.8 audits all ran on the fixture's isotropic random vectors,
+    the quantization WORST case (cosines pile up near 0, sign bits
+    carry minimal signal).  Real embedding corpora are clustered;
+    this audit builds a deterministic label-centered mixture from
+    vec_id alone (8 Gaussian-ish clusters via Irwin-Hall hash noise —
+    dyadic-exact arithmetic, bit-identical in both engines, see
+    _clustered_expr) and runs BOTH signature tiers' full cascades
+    (shortlist 100 + exact rerank) against brute-force ground truth.
+
+    Output is per-query per-tier recall@5 — the clustered column of
+    the §P.8 ladder.  MEASURED at sf0.1: mean recall@5 = 1.00 for
+    both tiers (vs 0.67 / 0.92 isotropic): on clustered data the
+    cheap tiers are essentially exact, which is WHY production
+    vector stores ship binary quantization as the default tier and
+    why the isotropic numbers should be read as a floor, not an
+    expectation.  Same plan shape as the shipped cascades: encode
+    passes are keyed aggregations, query sets broadcast, the corpus
+    never rides a cross-score with floats."""
+    cl = ensure_parallelism(Catalog(spark, sf_dir).embeddings).selectExpr(
+        "vec_id", _clustered_expr(False) + " AS emb"
+    )
+    q = cl.filter("vec_id % 100 = 0").selectExpr(
+        "vec_id AS qid", "emb AS qv"
+    )
+    qz_cos = (
+        f"floor(({vectors.cosine_expr('emb', 'qv')}) * 1000000 + 0.5)"
+        " / 1000000 AS sim"
+    )
+    wq = Window.partitionBy("qid")
+    exact = (
+        cl.crossJoin(F.broadcast(q))
+        .filter("vec_id <> qid")
+        .selectExpr("qid", "vec_id", qz_cos)
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                wq.orderBy(F.desc("sim"), F.asc("vec_id"))
+            ),
+        )
+        .filter(F.col("rnk") <= _KNN_K)
+        .select("qid", "vec_id")
+    )
+    # one encode pass yields BOTH tiers' signatures (same machinery
+    # the persisted index writes)
+    sigs = _encode(_exploded(cl, col="emb"), _thresholds(_exploded(cl, col="emb")))
+
+    def shortlist(dist_sql: str, sig_cols, ncand: int):
+        qs = sigs.filter("vec_id % 100 = 0").selectExpr(
+            "vec_id AS qid", *[f"{c} AS q_{c}" for c in sig_cols]
+        )
+        return (
+            sigs.select("vec_id", *sig_cols)
+            .crossJoin(F.broadcast(qs))
+            .filter("vec_id <> qid")
+            .selectExpr("qid", "vec_id", f"CAST({dist_sql} AS INT) AS dist")
+            .withColumn(
+                "cr",
+                F.row_number().over(
+                    wq.orderBy(F.asc("dist"), F.asc("vec_id"))
+                ),
+            )
+            .filter(F.col("cr") <= ncand)
+            .select("qid", "vec_id")
+        )
+
+    def recall(cand, tier: str):
+        approx = (
+            cand.join(cl.selectExpr("vec_id", "emb"), "vec_id")
+            .join(F.broadcast(q), "qid")
+            .selectExpr("qid", "vec_id", qz_cos)
+            .withColumn(
+                "rnk",
+                F.row_number().over(
+                    wq.orderBy(F.desc("sim"), F.asc("vec_id"))
+                ),
+            )
+            .filter(F.col("rnk") <= _KNN_K)
+            .selectExpr("qid AS aqid", "vec_id AS avid")
+        )
+        return (
+            exact.join(
+                approx,
+                (F.col("qid") == F.col("aqid"))
+                & (F.col("vec_id") == F.col("avid")),
+                "left",
+            )
+            .groupBy("qid")
+            .agg(
+                F.count("avid").cast("bigint").alias("n_hits"),
+                F.expr(
+                    f"floor(CAST(count(avid) AS DOUBLE) / {_KNN_K}"
+                    " * 1000000 + 0.5) / 1000000"
+                ).alias("recall"),
+            )
+            .selectExpr(f"'{tier}' AS tier", "qid", "n_hits", "recall")
+        )
+
+    c1 = shortlist(
+        "bit_count(sig_lo ^ q_sig_lo) + bit_count(sig_hi ^ q_sig_hi)",
+        ["sig_lo", "sig_hi"],
+        _NCAND,
+    )
+    c2 = shortlist(
+        " + ".join(
+            f"bit_count(p{k}{h} ^ q_p{k}{h})" for k, h in _PLANES
+        ),
+        _PLANE_COLS,
+        _NCAND2,
+    )
+    return (
+        recall(c1, "bin1")
+        .unionByName(recall(c2, "thermo2"))
+        .orderBy("tier", "qid")
+    )

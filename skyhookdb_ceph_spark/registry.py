@@ -61,57 +61,56 @@ _LOADED = False
 # list pins the front of the registry each round; anything not listed
 # keeps module-import order after it.
 #
-# Round-13 rotation: cumulative driver-green after r12 = 336 distinct
-# QueryIDs; stamp distribution r5=12, r6=44, r7=48, r8=47, r9=45,
-# r10=44, r11=46, r12=50 (recomputed from the CORRECTNESS files this
-# session).  The window stays REGRESSION INSURANCE, new/changed-first
-# then oldest-stamps-first: lead with the round-13 addition
-# (q_sql_empty_rollup — the fuzzer-found divergence pinned, r12
-# verdict item 7) and everything round 13 touched (the binary
-# cascade's shortlist widened 20 -> 100 to close the measured recall
-# gap — verdict item 1 — which changes q_sim_knn_binary,
-# q_sim_binary_recall and q_sim_maxsim_pruned; the interval-grid
-# join's cell width is now PROBED — item 6; the OOD gate pins the
-# singleton-label NaN/NULL edge and the MMR fold its short-group
-# edge — both r12 ADVICE), then ALL 12 remaining r5-era stamps
-# (clearing the r5 era completely), then the front of the r6 era
-# (29 of 44, alphabetical).  Everything outside the window stays
-# covered by tests/test_correctness.py's local oracle diff.
+# Round-14 rotation: cumulative driver-green after r13 = 339 distinct
+# QueryIDs, every latest stamp green; stamp distribution r6=15,
+# r7=48, r8=47, r9=45, r10=44, r11=46, r12=44, r13=50 (recomputed
+# from the CORRECTNESS files this session).  The window stays
+# REGRESSION INSURANCE, new/changed-first then oldest-stamps-first:
+# lead with the round-14 additions (the persisted signature index —
+# r13 verdict item 1 — and the clustered-corpus recall audit — item
+# 4), then the two queries round 14 touched (the 2-bit tier's oracle
+# now interpolates thresholds over QUANTIZED values on the DuckDB
+# side too — the r13 ADVICE parity fix), then ALL 15 remaining
+# r6-era stamps (clearing the r6 era completely), then the front of
+# the r7 era (28 of 48, alphabetical).  Everything outside the
+# window stays covered by tests/test_correctness.py's local oracle
+# diff.
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # -- new in round 13 (§2.25)
-    "q_sql_empty_rollup",  # new: empty-input ROLLUP divergence + idiom
-    "q_sim_knn_2bit",  # new: 2-bit thermometer ANN tier
-    "q_sim_2bit_recall",  # new: its recall audit (0.92 @ shortlist 100)
-    # -- changed in round 13
-    "q_sim_knn_binary",  # shortlist 20 -> 100 (recall-gap close)
-    "q_sim_binary_recall",  # audits the NEW shipped operating point
-    "q_sim_maxsim_pruned",  # cascade shortlist 50 -> 100
-    "q_sim_rerank_mmr",  # short-group guard (r12 ADVICE)
-    "q_vec_ood_filter",  # singleton-label NaN/NULL pin (r12 ADVICE)
-    "q_join_interval_grid",  # probed cell width (verdict item 6)
-    # -- r5-era stamps, ALL 12 (externally checked last in round 5)
-    "q_tpch_q13", "q_tpch_q15", "q_tpch_q17", "q_tpch_q18",
-    "q_tpch_q19", "q_tpch_q22", "q_ts_anomaly",
-    "q_ts_rollup_two_level", "q_vec_ivf_build", "q_win_islands",
-    "q_win_nth_value", "q_win_retention_cohort",
-    # -- r6-era stamps, first 29 of 44 (alphabetical)
-    "q_agg_gini", "q_agg_groupby", "q_agg_grouping_id",
-    "q_agg_median_exact", "q_agg_scalar", "q_agg_weighted_avg",
-    "q_data_mix", "q_fn_try_arith", "q_gdpr_export",
-    "q_join_null_safe", "q_join_null_skew", "q_join_range_bucket",
-    "q_join_stats_driven", "q_multimodal_decode", "q_multimodal_image",
-    "q_scan_agg_pushdown", "q_scan_binary_file", "q_scan_corrupt_json",
-    "q_set_except_all", "q_set_intersect_all", "q_sql_exists_flag",
-    "q_sql_group_by_all", "q_sql_lateral", "q_sql_recursive",
-    "q_stream_cdc_apply", "q_stream_foreach_batch", "q_stream_resume",
-    "q_stream_session_live", "q_stream_topk",
-    # ---- window boundary (50) — round 14 leads with the r6-era
-    # remainder (q_stream_update_mode, q_stream_watermark_append,
-    # q_text_novelty, q_tpch_q11, q_tpch_q16, q_tpch_q2,
-    # q_tpch_q20, q_tpch_q21, q_tpch_q9, q_ts_seasonal,
-    # q_vec_matryoshka_eval, q_vec_pq_code, q_win_dense_rank,
-    # q_win_gaps, q_win_peak_concurrency), then the r7 era (48
-    # stamps, oldest-first).
+    # -- new in round 14 (§2.26)
+    "q_vec_sig_build",  # new: persisted signature index build + census
+    "q_sim_knn_binary_indexed",  # new: probe-only 1-bit cascade
+    "q_sim_knn_2bit_indexed",  # new: probe-only 2-bit cascade
+    "q_vec_sig_incremental",  # new: frozen-parameter append
+    "q_sim_recall_clustered",  # new: recall ladder, clustered corpus
+    # -- changed in round 14 (oracle threshold parity, r13 ADVICE)
+    "q_sim_knn_2bit",
+    "q_sim_2bit_recall",
+    # -- r6-era stamps, ALL 15 (externally checked last in round 6)
+    "q_stream_update_mode", "q_stream_watermark_append",
+    "q_text_novelty", "q_tpch_q11", "q_tpch_q16", "q_tpch_q2",
+    "q_tpch_q20", "q_tpch_q21", "q_tpch_q9", "q_ts_seasonal",
+    "q_vec_matryoshka_eval", "q_vec_pq_code", "q_win_dense_rank",
+    "q_win_gaps", "q_win_peak_concurrency",
+    # -- r7-era stamps, first 28 of 48 (alphabetical)
+    "q_agg_approx_distinct", "q_agg_approx_topk", "q_agg_distinct",
+    "q_agg_having", "q_agg_hll_merge", "q_agg_skew_adaptive",
+    "q_dedup_containment", "q_fault_shuffle_retry",
+    "q_fault_task_retry", "q_filter_gt", "q_filter_range_conj",
+    "q_fn_collation", "q_fn_variant", "q_join_anti",
+    "q_join_broadcast", "q_join_cross", "q_join_full",
+    "q_join_inner_hash", "q_join_left", "q_join_multiway",
+    "q_join_right", "q_join_semi", "q_join_sortmerge", "q_join_theta",
+    "q_limit", "q_maint_compact", "q_maint_vacuum",
+    "q_observe_metrics",
+    # ---- window boundary (50) — round 15 leads with the r7-era
+    # remainder (q_scan_full, q_scan_project, q_scan_schema_drift,
+    # q_set_except, q_set_intersect, q_set_union, q_sort_orderby,
+    # q_sql_pipe, q_stream_backpressure, q_stream_chained_windows,
+    # q_stream_python_source, q_topk, q_transform_format,
+    # q_transform_xml, q_vec_recall_eval, q_win_ntile_pct,
+    # q_win_range_frame, q_win_rank, q_win_running,
+    # q_win_trailing_hour — 20 stamps), then the r8 era (47 stamps,
+    # oldest-first).
 )
 
 
@@ -142,6 +141,7 @@ def load_all() -> dict[str, QuerySpec]:
             pipeline13,
             pipeline14,
             pipeline15,
+            pipeline16,
             scans,
             setops,
             sorts,

@@ -1493,10 +1493,15 @@ def test_interval_grid_probed_branch(spark):
 
 
 def test_interval_grid_plain_branch(spark):
-    """Shipped target at fixture density: the probe measures per-cell
-    work under budget and surrenders to the static hour grid — the
-    date_trunc derivation, no unix_timestamp cells."""
-    plan = explain_str(q("q_join_interval_grid", spark))
+    """Surrender branch, forced explicitly via an astronomically high
+    per-cell budget (not via fixture density — a denser regenerated
+    fixture would silently flip the shipped-target probe to the fine
+    grid and fail a density pin even though behavior is correct,
+    r13 ADVICE): the static hour grid means the date_trunc
+    derivation and no unix_timestamp cells."""
+    from skyhookdb_ceph_spark.queries.pipeline14 import _interval_grid
+
+    plan = explain_str(_interval_grid(spark, SF, target_pairs=10**9))
     assert "date_trunc" in plan
     assert "unix_timestamp" not in plan
 

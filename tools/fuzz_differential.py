@@ -1227,6 +1227,15 @@ def gen_case3(seed: int) -> Case:
         for i in range(rng.randint(1, 3)):
             path = rng.choice(_JSON_PATHS)
             cast = rng.choice(_JSON_CASTS)
+            if cast == "s" and path != "$.k":
+                # The uncast string path compares engine JSON-text
+                # serialization verbatim; only $.k is known scalar in
+                # the fixture schema, so any other path under 's'
+                # could surface formatting (not semantics) as a
+                # spurious divergence (r13 ADVICE).  Casts to
+                # BIGINT/DOUBLE normalize non-scalars to NULL on both
+                # engines, so they stay legal on every path.
+                cast = "i"
             derived.append((f"j{i}", path, cast))
         pred = None
         if form == "project" and rng.random() < 0.6:
