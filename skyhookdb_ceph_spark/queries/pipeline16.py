@@ -520,9 +520,13 @@ def _clustered_expr(duck: bool) -> str:
     )
 
     def u(a: int, b: int) -> str:
+        # vec_id pre-modded by 2^31-1: the scale fixtures carry
+        # vec_ids up to ~3e11, and id * 3.3e9 overflows BIGINT under
+        # ANSI (the q_sample_hash / r12-sf3 lesson) — the registered
+        # fixture never trips it, a 100 TB corpus would.
         return (
-            f"(CAST((vec_id * {a} + d * {b}) % 1048576 AS DOUBLE)"
-            " / 1048576.0)"
+            f"(CAST(((vec_id % 2147483647) * {a} + d * {b}) % 1048576 "
+            "AS DOUBLE) / 1048576.0)"
         )
 
     noise = (

@@ -101,6 +101,13 @@ SETS: dict[str, list[str]] = {
     ],
     # §P.8: the 2-bit thermometer tier's decades
     "r13b": ["q_sim_knn_2bit"],
+    # §Q (r14): persisted signature index — build cost vs PROBE-ONLY
+    # cost (the r13 verdict asked for the decade curve with the build
+    # amortized out), plus the registered build-inside forms
+    "r14": [
+        "sig_build", "sig_probe_binary", "sig_probe_2bit",
+        "q_sim_knn_binary_indexed", "q_sim_knn_2bit_indexed",
+    ],
 }
 
 N_FILES = 8  # default replay granularity (--n-files overrides)
@@ -177,7 +184,61 @@ def ks_drift_events(spark, sf_dir):
     )
 
 
-TWINS = {"ks_drift_events": ks_drift_events}
+# -- persisted-signature-index twins (§Q, r14): the registered
+# indexed queries build + probe in one execution (fixture lifecycle);
+# these twins separate the two costs.  sig_build times the encode +
+# write alone (fresh dir each run).  sig_probe_* memoize ONE build
+# per sf_dir, so under the smoke protocol the warm run pays the
+# build and the TIMED run is probe-only — the per-query-batch cost a
+# deployment actually pays once the index is persisted.
+_SIG_INDEX_CACHE: dict[str, str] = {}
+
+
+def _sig_index_dir(spark, sf_dir: str) -> str:
+    from skyhookdb_ceph_spark.queries.pipeline16 import build_sig_index
+    from skyhookdb_ceph_spark.queries.scans import _scratch_dir
+
+    if sf_dir not in _SIG_INDEX_CACHE:
+        tmp = tempfile.mkdtemp(prefix="ssmoke_sigidx_", dir=_scratch_dir())
+        build_sig_index(spark, sf_dir, tmp)
+        _SIG_INDEX_CACHE[sf_dir] = tmp
+    return _SIG_INDEX_CACHE[sf_dir]
+
+
+def sig_build(spark, sf_dir):
+    """Index BUILD cost alone: encode both tiers + write the layout
+    to a fresh dir, return the 64-row params table as the
+    materialization handle (the data work is the sigs write)."""
+    from skyhookdb_ceph_spark.queries.pipeline16 import build_sig_index
+    from skyhookdb_ceph_spark.queries.scans import _scratch_dir
+
+    tmp = tempfile.mkdtemp(prefix="ssmoke_sigbuild_", dir=_scratch_dir())
+    build_sig_index(spark, sf_dir, tmp)
+    return spark.read.parquet(f"{tmp}/params")
+
+
+def sig_probe_binary(spark, sf_dir):
+    from skyhookdb_ceph_spark.queries._util import Catalog
+    from skyhookdb_ceph_spark.queries.pipeline16 import probe_binary
+
+    idx = spark.read.parquet(f"{_sig_index_dir(spark, sf_dir)}/sigs")
+    return probe_binary(Catalog(spark, sf_dir).embeddings, idx)
+
+
+def sig_probe_2bit(spark, sf_dir):
+    from skyhookdb_ceph_spark.queries._util import Catalog
+    from skyhookdb_ceph_spark.queries.pipeline16 import probe_2bit
+
+    idx = spark.read.parquet(f"{_sig_index_dir(spark, sf_dir)}/sigs")
+    return probe_2bit(Catalog(spark, sf_dir).embeddings, idx)
+
+
+TWINS = {
+    "ks_drift_events": ks_drift_events,
+    "sig_build": sig_build,
+    "sig_probe_binary": sig_probe_binary,
+    "sig_probe_2bit": sig_probe_2bit,
+}
 
 
 # ---------------------------------------------------------------------------
