@@ -331,9 +331,170 @@ def run4(
     return failures
 
 
+
+
+# ---------------------------------------------------------------------------
+# grammar v4b — stream-stream joins + update-mode reconciliation
+# (separate generator so the v4 seed corpus stays bit-reproducible)
+# ---------------------------------------------------------------------------
+
+_JOIN_RANGES_MIN = (15, 30, 60, 120)
+_TYPE_PAIRS = (
+    ("purchase", "click"), ("view", "click"), ("purchase", "view"),
+)
+
+
+def gen_case4b(seed: int) -> StreamSpec:
+    """Kinds: join_inner — TRUE stream-stream inner join (two
+    watermarked legs, user key + time-range band); with time-ordered
+    replay no match can be lost to eviction (a row is evicted only
+    once the watermark passes ts + range, and any future partner's
+    ts is >= the watermark by admission order), so streamed == batch
+    inner join EXACTLY while the state-eviction machinery still runs.
+    wm_update — UPDATE-mode windowed agg: the memory sink collects
+    every per-batch re-emission of a key, so the batch twin is
+    reconciled per key via the MONOTONE envelope (max of cnt /
+    sum-of-nonneg-cents / mx, min of mn) — fuzzing that update-mode
+    re-emissions converge on the true aggregate across any replay
+    batching."""
+    rng = random.Random((seed + 10_000_019) * 40503 % (2**31 - 1))
+    kind = rng.choice(["join_inner", "join_inner", "wm_update"])
+    width = rng.choice(_WIDTHS_MIN)
+    return StreamSpec(
+        kind=kind,
+        n_files=rng.choice(_N_FILES),
+        pred=rng.choice(_PREDS) if kind == "wm_update" else None,
+        keys=rng.choice([[], ["event_type"], ["user_id % 3"]])
+        if kind == "wm_update"
+        else list(rng.choice(_TYPE_PAIRS)),  # join legs ride in keys
+        aggs=rng.sample(sorted(_AGGS), rng.randint(1, 3)),
+        width_min=width,
+        slide_min=rng.choice(_JOIN_RANGES_MIN),  # join: band range
+        delay_min=rng.choice(_DELAYS_MIN),
+        gap_min=rng.choice(_GAPS_MIN),
+        dedup_cols=[],
+    )
+
+
+def _join_legs(df, s: StreamSpec, watermark: bool):
+    ta, tb = s.keys
+    a = df.filter(F.col("event_type") == ta).select(
+        F.col("event_id").alias("a_id"),
+        F.col("user_id").alias("a_user"),
+        F.col("ts").alias("a_ts"),
+    )
+    b = df.filter(F.col("event_type") == tb).select(
+        F.col("event_id").alias("b_id"),
+        F.col("user_id").alias("b_user"),
+        F.col("ts").alias("b_ts"),
+    )
+    if watermark:
+        a = a.withWatermark("a_ts", f"{s.delay_min} minutes")
+        b = b.withWatermark("b_ts", f"{s.delay_min} minutes")
+    return a.join(
+        b,
+        (F.col("a_user") == F.col("b_user"))
+        & (F.col("b_ts") <= F.col("a_ts"))
+        & (
+            F.col("b_ts")
+            >= F.col("a_ts") - F.expr(f"INTERVAL {s.slide_min} MINUTE")
+        ),
+        "inner",
+    ).select("a_id", "b_id", "a_user")
+
+
+def compare4b(spec: StreamSpec, spark, sf_dir: str) -> str | None:
+    batch = Catalog(spark, sf_dir).events
+    sdir = _split_dir(sf_dir, spec.n_files)
+    opts = {"maxFilesPerTrigger": "1"} if spec.n_files > 1 else None
+    glob = "*.parquet" if spec.n_files > 1 else "events.parquet"
+    stream = replay.events_stream(spark, sdir, glob=glob, options=opts)
+    try:
+        if spec.kind == "join_inner":
+            got = replay.drain_to_memory(
+                _join_legs(stream, spec, watermark=True),
+                output_mode="append",
+            )
+            want = _join_legs(batch, spec, watermark=False)
+            g, w = _rows(got), _rows(want)
+        else:  # wm_update
+            # slide_min is the JOIN range slot in this generator;
+            # update-mode windows are tumbling
+            from dataclasses import replace as _rep
+
+            spec = _rep(spec, slide_min=None)
+            got = replay.drain_to_memory(
+                _windowed(stream, spec, watermark=True),
+                output_mode="update",
+            )
+            # reconcile re-emissions: per key, the monotone envelope
+            # of every update equals the final (= batch) aggregate —
+            # cnt and the non-negative-cents sum only grow, mx only
+            # grows, mn only shrinks
+            env = {
+                "cnt": "max", "sum_cents": "max", "mx": "max", "mn": "min"
+            }
+            gb = [c for c in got.columns if c not in _AGGS]
+            got_r = got.groupBy(*gb).agg(
+                *[
+                    F.expr(f"{env[a]}({a})").alias(a)
+                    for a in spec.aggs
+                ]
+            )
+            want = _windowed(batch, spec, watermark=False)
+            g, w = _rows(got_r), _rows(want)
+    except Exception as exc:  # noqa: BLE001
+        return f"raised {type(exc).__name__}: {exc}"[:400]
+    if len(g) != len(w):
+        return f"rowcount streamed={len(g)} batch={len(w)}"
+    if g != w:
+        i = next(i for i, (a, b) in enumerate(zip(g, w)) if a != b)
+        return (
+            f"values differ at sorted row {i}: streamed={g[i]}"
+            f" batch={w[i]}"
+        )
+    return None
+
+
+def run4b(
+    n: int,
+    seed0: int,
+    sf_dir: str,
+    stop_on_fail: bool = False,
+    spark=None,
+    progress_every: int = 25,
+) -> list[tuple[int, str]]:
+    from skyhookdb_ceph_spark.session import get_spark
+
+    if spark is None:
+        spark = get_spark(app_name="fuzz_streaming", shuffle_partitions=8)
+    failures = []
+    for seed in range(seed0, seed0 + n):
+        spec = gen_case4b(seed)
+        problem = compare4b(spec, spark, sf_dir)
+        if problem is not None:
+            out_dir = Path(__file__).parent / "fuzz_failures"
+            out_dir.mkdir(exist_ok=True)
+            (out_dir / f"stream4b_seed_{seed}.json").write_text(
+                json.dumps(
+                    {"seed": seed, "spec": asdict(spec), "problem": problem},
+                    indent=2,
+                )
+            )
+            print(f"DIVERGE seed={seed} [{spec.kind}] {problem}")
+            print(f"  spec: {asdict(spec)}")
+            failures.append((seed, problem))
+            if stop_on_fail:
+                break
+        elif progress_every and (seed - seed0 + 1) % progress_every == 0:
+            print(f"... {seed - seed0 + 1}/{n} green", flush=True)
+    return failures
+
+
 def main() -> int:
     args = sys.argv[1:]
     n, seed0, sf_dir, stop = 200, 0, "/root/testdata/sf0.001", False
+    gen = "v4"
     it = iter(args)
     for a in it:
         if a == "--n":
@@ -344,8 +505,11 @@ def main() -> int:
             sf_dir = next(it)
         elif a == "--stop-on-fail":
             stop = True
-    failures = run4(n, seed0, sf_dir, stop)
-    print(f"\n{n - len(failures)}/{n} agree [v4]")
+        elif a == "--gen":
+            gen = next(it)
+    runner = run4b if gen == "v4b" else run4
+    failures = runner(n, seed0, sf_dir, stop)
+    print(f"\n{n - len(failures)}/{n} agree [{gen}]")
     return 1 if failures else 0
 
 
