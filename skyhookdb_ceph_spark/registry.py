@@ -82,6 +82,7 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q_sim_knn_2bit_indexed",  # new: probe-only 2-bit cascade
     "q_vec_sig_incremental",  # new: frozen-parameter append
     "q_sim_recall_clustered",  # new: recall ladder, clustered corpus
+    "q_stream_late_data",  # new: the late-data contract, pinned
     # -- changed in round 14 (oracle threshold parity, r13 ADVICE)
     "q_sim_knn_2bit",
     "q_sim_2bit_recall",
@@ -101,9 +102,9 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q_join_inner_hash", "q_join_left", "q_join_multiway",
     "q_join_right", "q_join_semi", "q_join_sortmerge", "q_join_theta",
     "q_limit", "q_maint_compact", "q_maint_vacuum",
-    "q_observe_metrics",
     # ---- window boundary (50) — round 15 leads with the r7-era
-    # remainder (q_scan_full, q_scan_project, q_scan_schema_drift,
+    # remainder (q_observe_metrics, q_scan_full, q_scan_project,
+    # q_scan_schema_drift,
     # q_set_except, q_set_intersect, q_set_union, q_sort_orderby,
     # q_sql_pipe, q_stream_backpressure, q_stream_chained_windows,
     # q_stream_python_source, q_topk, q_transform_format,
