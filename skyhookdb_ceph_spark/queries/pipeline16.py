@@ -147,7 +147,11 @@ def build_sig_index(spark, sf_dir: str, path: str) -> None:
     e = ensure_parallelism(Catalog(spark, sf_dir).embeddings)
     ex = _exploded(e)
     thr = _thresholds(ex)
-    _encode(ex, thr).write.mode("overwrite").parquet(f"{path}/sigs")
+    # pin the layout's column order (readers select by name, but a
+    # stable on-disk schema keeps appended files byte-compatible)
+    _encode(ex, thr).select("vec_id", *_SIG_COLS).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/sigs")
     thr.coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
 
 
