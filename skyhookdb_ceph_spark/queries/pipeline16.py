@@ -860,3 +860,156 @@ def q_stream_late_data(spark, sf_dir):
         import shutil as _sh
 
         _sh.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# §2.26.7 hybrid retrieval fusion (BM25 + ANN -> reciprocal-rank fusion)
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60  # the standard RRF constant
+_RRF_SHORTLIST = 50  # per-leg candidates
+_RRF_TOPK = 10
+
+_RRF_ORACLE = f"""
+WITH u AS (
+  SELECT d.doc_id, d.text, e.embedding
+  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+  WHERE d.doc_id <> 0),
+qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
+d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM u),
+dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl
+          FROM dl),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM (
+    SELECT doc_id, unnest(toks) AS term FROM d) x
+  WHERE term IN ('table', 'query')
+  GROUP BY doc_id, term),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+lex AS (
+  SELECT doc_id, CAST(row_number() OVER (
+      ORDER BY floor(raw * 1000000 + 0.5) / 1000000 DESC, doc_id)
+    AS INT) AS r_lex
+  FROM (
+    SELECT tf.doc_id,
+      sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+          * tf.tf * (1.2 + 1)
+          / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))) AS raw
+    FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats s
+    GROUP BY tf.doc_id) sc
+  QUALIFY r_lex <= {_RRF_SHORTLIST}),
+vec AS (
+  SELECT doc_id, CAST(row_number() OVER (
+      ORDER BY floor(({{cos}}) * 1000000 + 0.5) / 1000000 DESC, doc_id)
+    AS INT) AS r_vec
+  FROM u, qv
+  QUALIFY r_vec <= {_RRF_SHORTLIST}),
+fused AS (
+  SELECT coalesce(lex.doc_id, vec.doc_id) AS doc_id, r_lex, r_vec,
+    floor((coalesce(CAST(1.0 AS DOUBLE) / ({_RRF_K} + r_lex), 0)
+         + coalesce(CAST(1.0 AS DOUBLE) / ({_RRF_K} + r_vec), 0))
+        * 1000000 + 0.5)
+      / 1000000 AS rrf
+  FROM lex FULL JOIN vec ON lex.doc_id = vec.doc_id)
+SELECT doc_id, r_lex, r_vec, rrf,
+  CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS INT) AS rnk
+FROM fused QUALIFY rnk <= {_RRF_TOPK}
+"""
+
+
+@query(
+    "q_text_hybrid_rrf",
+    oracle=_RRF_ORACLE.format(
+        cos=vectors.cosine_duckdb("u.embedding", "qv.v")
+    ),
+    tags=("llm", "retrieval", "similarity", "text"),
+)
+def q_text_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval FUSION — the shape modern RAG stacks actually
+    serve: a lexical leg (BM25 over the inverted-index postings, the
+    q_text_bm25 scorer) and a vector leg (exact cosine vs a broadcast
+    query embedding, the rerank tier of the ANN cascade) each
+    shortlist top-50 over the SAME universe (documents that carry an
+    embedding, query doc 0 excluded), then reciprocal-rank fusion
+    combines them: score = sum over legs of 1/(60 + rank), absent leg
+    contributes 0.  RRF needs no score calibration between legs —
+    which is why it is the default fusion everywhere — and its
+    arithmetic is engine-exact here: ranks are integers (quantized
+    scores + doc_id tiebreaks), 1/(60+r) divides identical integers
+    to identical doubles, and the two-term sum has a fixed order.
+
+    Plan shape: both legs are shortlist-bounded (50 rows each) before
+    the FULL OUTER fusion join, so fusion cost is independent of
+    corpus size; the lexical leg shuffles only (doc, term) postings
+    matching the 2 query terms; the vector leg broadcasts one query
+    vector and never shuffles the corpus; stats/df are tiny
+    broadcasts.  At 100 TB each leg is its own indexed retrieval
+    (inverted index / ANN cascade) and RRF stays a 100-row join."""
+    docs = Catalog(spark, sf_dir).documents
+    emb = ensure_parallelism(Catalog(spark, sf_dir).embeddings)
+    u = docs.join(
+        emb.selectExpr("vec_id AS doc_id", "embedding"), "doc_id"
+    ).filter("doc_id <> 0")
+    qv = emb.filter("vec_id = 0").selectExpr("embedding AS v")
+
+    d = u.select("doc_id", F.split("text", " ").alias("toks"))
+    dl = d.select("doc_id", F.size("toks").cast("bigint").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        d.select("doc_id", F.explode("toks").alias("term"))
+        .where(F.col("term").isin("table", "query"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w_lex = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    lex = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                "floor(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))"
+                " * tf * (1.2 + 1)"
+                " / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))"
+                " * 1000000 + 0.5) / 1000000"
+            ).alias("bm25")
+        )
+        .withColumn("r_lex", F.row_number().over(w_lex).cast("int"))
+        .filter(F.col("r_lex") <= _RRF_SHORTLIST)
+        .select("doc_id", "r_lex")
+    )
+    w_vec = Window.orderBy(F.desc("sim"), F.asc("doc_id"))
+    vec = (
+        u.crossJoin(F.broadcast(qv))
+        .selectExpr(
+            "doc_id",
+            f"floor(({vectors.cosine_expr('embedding', 'v')}) * 1000000"
+            " + 0.5) / 1000000 AS sim",
+        )
+        .withColumn("r_vec", F.row_number().over(w_vec).cast("int"))
+        .filter(F.col("r_vec") <= _RRF_SHORTLIST)
+        .select("doc_id", "r_vec")
+    )
+    fused = (
+        lex.join(vec, "doc_id", "full")
+        .selectExpr(
+            "doc_id",
+            "r_lex",
+            "r_vec",
+            # CAST the literal: both engines parse bare 1.0 as DECIMAL
+            # and the decimal quotient leaks into the output dtype
+            f"floor((coalesce(CAST(1.0 AS DOUBLE) / ({_RRF_K} + r_lex), 0)"
+            f" + coalesce(CAST(1.0 AS DOUBLE) / ({_RRF_K} + r_vec), 0))"
+            " * 1000000 + 0.5) / 1000000 AS rrf",
+        )
+    )
+    w = Window.orderBy(F.desc("rrf"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= _RRF_TOPK)
+        .select("doc_id", "r_lex", "r_vec", "rrf", "rnk")
+    )

@@ -72,7 +72,7 @@ _LOADED = False
 # now interpolates thresholds over QUANTIZED values on the DuckDB
 # side too — the r13 ADVICE parity fix), then ALL 15 remaining
 # r6-era stamps (clearing the r6 era completely), then the front of
-# the r7 era (28 of 48, alphabetical).  Everything outside the
+# the r7 era (26 of 48, alphabetical).  Everything outside the
 # window stays covered by tests/test_correctness.py's local oracle
 # diff.
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
@@ -83,6 +83,7 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q_vec_sig_incremental",  # new: frozen-parameter append
     "q_sim_recall_clustered",  # new: recall ladder, clustered corpus
     "q_stream_late_data",  # new: the late-data contract, pinned
+    "q_text_hybrid_rrf",  # new: BM25 + ANN reciprocal-rank fusion
     # -- changed in round 14 (oracle threshold parity, r13 ADVICE)
     "q_sim_knn_2bit",
     "q_sim_2bit_recall",
@@ -92,7 +93,7 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q_tpch_q20", "q_tpch_q21", "q_tpch_q9", "q_ts_seasonal",
     "q_vec_matryoshka_eval", "q_vec_pq_code", "q_win_dense_rank",
     "q_win_gaps", "q_win_peak_concurrency",
-    # -- r7-era stamps, first 28 of 48 (alphabetical)
+    # -- r7-era stamps, first 26 of 48 (alphabetical)
     "q_agg_approx_distinct", "q_agg_approx_topk", "q_agg_distinct",
     "q_agg_having", "q_agg_hll_merge", "q_agg_skew_adaptive",
     "q_dedup_containment", "q_fault_shuffle_retry",
@@ -101,16 +102,16 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q_join_broadcast", "q_join_cross", "q_join_full",
     "q_join_inner_hash", "q_join_left", "q_join_multiway",
     "q_join_right", "q_join_semi", "q_join_sortmerge", "q_join_theta",
-    "q_limit", "q_maint_compact", "q_maint_vacuum",
+    "q_limit", "q_maint_compact",
     # ---- window boundary (50) — round 15 leads with the r7-era
-    # remainder (q_observe_metrics, q_scan_full, q_scan_project,
-    # q_scan_schema_drift,
+    # remainder (q_maint_vacuum, q_observe_metrics, q_scan_full,
+    # q_scan_project, q_scan_schema_drift,
     # q_set_except, q_set_intersect, q_set_union, q_sort_orderby,
     # q_sql_pipe, q_stream_backpressure, q_stream_chained_windows,
     # q_stream_python_source, q_topk, q_transform_format,
     # q_transform_xml, q_vec_recall_eval, q_win_ntile_pct,
     # q_win_range_frame, q_win_rank, q_win_running,
-    # q_win_trailing_hour — 20 stamps), then the r8 era (47 stamps,
+    # q_win_trailing_hour — 22 stamps), then the r8 era (47 stamps,
     # oldest-first).
 )
 
