@@ -964,6 +964,12 @@ def q_text_hybrid_rrf(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # each leg: distributed TakeOrdered top-50 FIRST, then ranks over
+    # the 50-row result — the global row_number never sees more than
+    # the shortlist (a bare corpus-wide ranking window would funnel
+    # the whole leg through one task at 100 TB); the (score DESC,
+    # doc_id) total order makes limit-then-rank identical to
+    # rank-then-filter
     w_lex = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
     lex = (
         tf.join(F.broadcast(df), "term")
@@ -978,8 +984,9 @@ def q_text_hybrid_rrf(spark, sf_dir):
                 " * 1000000 + 0.5) / 1000000"
             ).alias("bm25")
         )
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(_RRF_SHORTLIST)
         .withColumn("r_lex", F.row_number().over(w_lex).cast("int"))
-        .filter(F.col("r_lex") <= _RRF_SHORTLIST)
         .select("doc_id", "r_lex")
     )
     w_vec = Window.orderBy(F.desc("sim"), F.asc("doc_id"))
@@ -990,8 +997,9 @@ def q_text_hybrid_rrf(spark, sf_dir):
             f"floor(({vectors.cosine_expr('embedding', 'v')}) * 1000000"
             " + 0.5) / 1000000 AS sim",
         )
+        .orderBy(F.desc("sim"), F.asc("doc_id"))
+        .limit(_RRF_SHORTLIST)
         .withColumn("r_vec", F.row_number().over(w_vec).cast("int"))
-        .filter(F.col("r_vec") <= _RRF_SHORTLIST)
         .select("doc_id", "r_vec")
     )
     fused = (
