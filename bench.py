@@ -97,6 +97,8 @@ WINDOW_ALLOWLIST = {
     "q_fn_histogram",
     "q_text_bm25",
     "q_text_rerank",  # rank over 10 rows post-limit (bm25 precedent)
+    "q_text_hybrid_rrf",  # leg ranks over 50 rows post-TakeOrdered +
+    # fusion rank over <=100 fused rows — all shortlist-bounded
     "q_text_zipf",
     "q_stats_ks_drift",  # bucket-offset carry over ~120 SUMMARY rows
     "q_vocab_pairs",
