@@ -108,6 +108,8 @@ SETS: dict[str, list[str]] = {
         "sig_build", "sig_probe_binary", "sig_probe_2bit",
         "q_sim_knn_binary_indexed", "q_sim_knn_2bit_indexed",
     ],
+    # §Q (r14, late wave): hybrid fusion + the late-data pin's replay
+    "r14b": ["q_text_hybrid_rrf", "q_stream_late_data"],
 }
 
 N_FILES = 8  # default replay granularity (--n-files overrides)
