@@ -1,0 +1,279 @@
+"""Round-15 wave (SURVEY.md §2.11) — the persisted INVERTED TEXT
+index: build / probe-only retrieval / incremental append.
+
+Closes the last index-lifecycle asymmetry the r14 verdict named: the
+ANN signature tiers (pipeline16) and the IVF family both have the
+full persisted build / probe-only / append story, while the text
+side's inverted index (operators/text_index.py — the Spark
+re-expression of SkyhookDM's SIT_IDX_TXT omap keyword index
+[U: cls_tabular_utils.h — SkyIdxType; cls_tabular.cc —
+exec_build_sky_index_op]) was built per execution by every retrieval
+query (q_text_keyword, q_text_bm25, q_text_hybrid_rrf all re-explode
+``documents.text``).  This wave gives the text index the same
+lifecycle:
+
+1. build_text_index — tokenize once (the FROZEN rule:
+   ``split(text, ' ')``, empty tokens dropped) and persist three
+   pieces: ``postings/`` = (token, doc_id, tf) partitioned by first
+   token letter (tok0 — the partition prune IS the omap consult),
+   ``dlens/`` = (doc_id, dl) document lengths, ``stats/`` = the
+   1-row (n_docs, avgdl) corpus statistics BM25 needs.
+2. q_text_bm25_indexed — BM25 ranked retrieval PROBE-ONLY against
+   the persisted layout: the posting fetch is a tok0 partition prune
+   + token filter (plan-asserted in tests/test_text_index.py: no
+   explode, no split, no documents scan anywhere in the probe plan);
+   per-term df comes from counting the pruned postings themselves.
+   The oracle is the IDENTICAL SQL as q_text_bm25: persisting the
+   index must not change a single answer row.
+3. q_text_index_incremental — append a delta corpus's postings into
+   the existing layout under the frozen-tokenization rule: new row
+   files only, base files byte-untouched (pinned in
+   tests/test_text_index.py, mirroring test_sig_index.py).  The
+   tokenization rule and the tok0 partition key are the index's
+   frozen PARAMETERS — a delta tokenized differently would split
+   postings for the same logical term across keys, silently
+   corrupting every future lookup.
+
+Scale story: at 100 TB the corpus tokenize+shuffle runs once at
+build; a keyword/BM25 probe reads exactly the query terms' tok0
+partitions (a few posting lists) plus the doc-length sidecar, never
+the document bodies.  Append is O(delta) — re-tokenizing only new
+documents — vs O(corpus) for a rebuild per ingest batch.
+
+House rules unchanged: identical aliases both sides, quantize before
+rank, deterministic doc_id tie-breaks, broadcast-sized dims only.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from skyhookdb_ceph_spark.operators import ensure_parallelism
+from skyhookdb_ceph_spark.queries._util import Catalog, quantize
+from skyhookdb_ceph_spark.queries.pipeline3 import (
+    _BM25_B,
+    _BM25_K1,
+    _BM25_ORACLE,
+    _BM25_TERMS,
+)
+from skyhookdb_ceph_spark.queries.scans import _scratch_dir
+from skyhookdb_ceph_spark.registry import query
+
+# ---------------------------------------------------------------------------
+# build-time machinery (probes never run these)
+# ---------------------------------------------------------------------------
+
+
+def _postings(docs: DataFrame) -> DataFrame:
+    """(token, doc_id, tf) under the FROZEN tokenization rule —
+    ``split(text, ' ')`` with empty tokens dropped, the same rule
+    q_text_bm25 scores with (so the persisted index answers the same
+    queries).  One explode + one keyed aggregation; this is the
+    build-side pass a probe must never contain."""
+    return (
+        docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .groupBy("token", "doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+
+
+def _dlens(docs: DataFrame) -> DataFrame:
+    """(doc_id, dl) — BM25's length-normalization sidecar.  dl counts
+    ALL split positions (empties included), exactly q_text_bm25's
+    ``size(split(text, ' '))`` so scores are bit-identical."""
+    return docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("dl")
+    )
+
+
+def _with_tok0(postings: DataFrame) -> DataFrame:
+    return postings.withColumn("tok0", F.substring("token", 1, 1))
+
+
+def build_text_index(spark, sf_dir: str, path: str) -> None:
+    """Build the persisted inverted text index under ``path``:
+    ``postings/`` partitioned by tok0 (a keyword lookup prunes to one
+    directory — the omap point-lookup analog), ``dlens/`` +
+    ``stats/`` = the corpus statistics BM25 needs at probe time.
+    Stats are written because they are index parameters: the probe
+    must read them back, never re-derive them from document bodies."""
+    d = ensure_parallelism(Catalog(spark, sf_dir).documents)
+    _with_tok0(_postings(d)).write.mode("overwrite").partitionBy(
+        "tok0"
+    ).parquet(f"{path}/postings")
+    dl = _dlens(d)
+    dl.write.mode("overwrite").parquet(f"{path}/dlens")
+    dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
+
+
+# ---------------------------------------------------------------------------
+# probe-only BM25 (reads the index, never tokenizes)
+# ---------------------------------------------------------------------------
+
+
+def probe_bm25(
+    spark, path: str, terms: tuple[str, ...] = _BM25_TERMS, k: int = 10
+) -> DataFrame:
+    """BM25 top-k over a READ-BACK index: the posting fetch filters
+    tok0 (partition prune — only the query terms' first-letter
+    directories are listed) then token (row-group stats finish inside
+    the partition); per-term df is a count over those same pruned
+    postings (a |terms|-row broadcast).  Document bodies never enter
+    the plan — no explode, no split (plan-asserted).  Lazy, same
+    output contract as q_text_bm25.
+
+    At 100 TB the probe reads a few posting lists (KBs–MBs) + the
+    doc-length sidecar instead of re-tokenizing the corpus; the dlens
+    join keys on doc_id with the term-matched postings as the small
+    side."""
+    first = sorted({t[:1] for t in terms})
+    post = (
+        spark.read.parquet(f"{path}/postings")
+        .filter(F.col("tok0").isin(first) & F.col("token").isin(*terms))
+        .select("token", "doc_id", "tf")
+    )
+    dfreq = post.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    dl = spark.read.parquet(f"{path}/dlens")
+    stats = spark.read.parquet(f"{path}/stats")
+    k1, b = _BM25_K1, _BM25_B
+    scored = (
+        post.join(F.broadcast(dfreq), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.log(
+                    1
+                    + (F.col("n_docs") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                )
+                * F.col("tf")
+                * (k1 + 1)
+                / (
+                    F.col("tf")
+                    + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("raw")
+        )
+    )
+    ranked = scored.select("doc_id", quantize(F.col("raw"), 6).alias("bm25"))
+    top = ranked.orderBy(F.desc("bm25"), "doc_id").limit(k)
+    w = Window.orderBy(F.desc("bm25"), "doc_id")  # k rows post-limit
+    return top.withColumn("rnk", F.row_number().over(w).cast("int"))
+
+
+@query(
+    "q_text_bm25_indexed",
+    oracle=_BM25_ORACLE,
+    tags=("pipeline", "text", "layout", "scale-design"),
+)
+def q_text_bm25_indexed(spark, sf_dir):
+    """q_text_bm25's ranked retrieval run PROBE-ONLY against the
+    persisted inverted index: the posting fetch is a tok0 partition
+    prune + token filter over the layout build_text_index wrote — no
+    explode, no split, no scan of document bodies anywhere in the
+    probe plan (plan-asserted in tests/test_text_index.py, mirroring
+    test_sig_index.py::test_probe_plan_never_encodes).  The oracle is
+    the IDENTICAL SQL as the per-execution q_text_bm25: the index
+    must change nothing about the answer.
+
+    The build runs inside this query (fixture lifecycle, same as
+    q_vec_sig_build); tools/scale_smoke.py measures the probe with
+    the build amortized out — at 100 TB the build is once per corpus
+    and this query's marginal cost is |postings(terms)| + the
+    doc-length join, independent of corpus text bytes."""
+    tmp = tempfile.mkdtemp(prefix="skyhook_txtidx_", dir=_scratch_dir())
+    try:
+        build_text_index(spark, sf_dir, tmp)
+        out = probe_bm25(spark, tmp)
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# incremental append under the frozen-tokenization rule
+# ---------------------------------------------------------------------------
+
+_TXT_DELTA_PRED = "doc_id % 10 = 7"
+
+_TXT_INC_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+  FROM documents),
+p AS (
+  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+  FROM toks WHERE token <> '' GROUP BY doc_id, token)
+SELECT CAST(CASE WHEN {_TXT_DELTA_PRED} THEN 1 ELSE 0 END AS INT)
+    AS is_delta,
+  CAST(count(*) AS BIGINT) AS n_postings,
+  CAST(count(DISTINCT token) AS BIGINT) AS n_tokens,
+  CAST(sum(tf) AS BIGINT) AS sum_tf
+FROM p GROUP BY 1 ORDER BY 1
+"""
+
+
+@query(
+    "q_text_index_incremental",
+    oracle=_TXT_INC_ORACLE,
+    tags=("pipeline", "text", "layout", "scale-design"),
+)
+def q_text_index_incremental(spark, sf_dir):
+    """Incremental inverted-index MAINTENANCE: a delta corpus (the
+    {_TXT_DELTA_PRED} cohort) is tokenized with the SAME frozen rule
+    as the base build and its postings appended into the existing
+    tok0-partitioned layout — new row files only, base files
+    byte-untouched (pinned in tests/test_text_index.py).  Rebuilding
+    per ingest batch re-tokenizes the corpus; appending re-tokenizes
+    only the delta.
+
+    The frozen-parameter rule here is the tokenization + partition
+    key (the q_vec_sig_incremental thresholds lesson, applied to
+    text): a delta split on a different delimiter or case-folded
+    differently would file postings for the same logical term under
+    different tokens/tok0 directories, so lookups would silently miss
+    the delta's documents.  The verdict is a census of the READ-BACK
+    layout by cohort (posting count, distinct vocabulary, tf mass);
+    the oracle re-derives both cohorts' postings from the raw text —
+    persisted-and-appended == computed-fresh, cohort by cohort."""
+    d = ensure_parallelism(Catalog(spark, sf_dir).documents)
+    base = d.filter(f"NOT ({_TXT_DELTA_PRED})")
+    delta = d.filter(_TXT_DELTA_PRED)
+    tmp = tempfile.mkdtemp(prefix="skyhook_txtinc_", dir=_scratch_dir())
+    try:
+        _with_tok0(_postings(base)).withColumn(
+            "is_delta", F.lit(0).cast("int")
+        ).write.mode("overwrite").partitionBy("tok0").parquet(
+            f"{tmp}/postings"
+        )
+        _with_tok0(_postings(delta)).withColumn(
+            "is_delta", F.lit(1).cast("int")
+        ).write.mode("append").partitionBy("tok0").parquet(
+            f"{tmp}/postings"
+        )
+        idx = spark.read.parquet(f"{tmp}/postings")
+        out = (
+            idx.groupBy("is_delta")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_postings"),
+                F.countDistinct("token").cast("bigint").alias("n_tokens"),
+                F.sum("tf").cast("bigint").alias("sum_tf"),
+            )
+            .orderBy("is_delta")
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

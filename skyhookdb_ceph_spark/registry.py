@@ -61,58 +61,47 @@ _LOADED = False
 # list pins the front of the registry each round; anything not listed
 # keeps module-import order after it.
 #
-# Round-14 rotation: cumulative driver-green after r13 = 339 distinct
-# QueryIDs, every latest stamp green; stamp distribution r6=15,
-# r7=48, r8=47, r9=45, r10=44, r11=46, r12=44, r13=50 (recomputed
+# Round-15 rotation: cumulative driver-green after r14 = 346 distinct
+# QueryIDs, every latest stamp green; stamp distribution r7=22,
+# r8=47, r9=45, r10=44, r11=46, r12=44, r13=48, r14=50 (recomputed
 # from the CORRECTNESS files this session).  The window stays
 # REGRESSION INSURANCE, new/changed-first then oldest-stamps-first:
-# lead with the round-14 additions (the persisted signature index —
-# r13 verdict item 1 — and the clustered-corpus recall audit — item
-# 4), then the two queries round 14 touched (the 2-bit tier's oracle
-# now interpolates thresholds over QUANTIZED values on the DuckDB
-# side too — the r13 ADVICE parity fix), then ALL 15 remaining
-# r6-era stamps (clearing the r6 era completely), then the front of
-# the r7 era (26 of 48, alphabetical).  Everything outside the
-# window stays covered by tests/test_correctness.py's local oracle
-# diff.
+# lead with the round-15 additions (the persisted inverted TEXT
+# index — r14 verdict item 1), then the ENTIRE r7-era remainder (22
+# stamps — clearing the r7 era completely), then the front of the r8
+# era (26 of 47, alphabetical).  Everything outside the window stays
+# covered by tests/test_correctness.py's local oracle diff.
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # -- new in round 14 (§2.26)
-    "q_vec_sig_build",  # new: persisted signature index build + census
-    "q_sim_knn_binary_indexed",  # new: probe-only 1-bit cascade
-    "q_sim_knn_2bit_indexed",  # new: probe-only 2-bit cascade
-    "q_vec_sig_incremental",  # new: frozen-parameter append
-    "q_sim_recall_clustered",  # new: recall ladder, clustered corpus
-    "q_stream_late_data",  # new: the late-data contract, pinned
-    "q_text_hybrid_rrf",  # new: BM25 + ANN reciprocal-rank fusion
-    # -- changed in round 14 (oracle threshold parity, r13 ADVICE)
-    "q_sim_knn_2bit",
-    "q_sim_2bit_recall",
-    # -- r6-era stamps, ALL 15 (externally checked last in round 6)
-    "q_stream_update_mode", "q_stream_watermark_append",
-    "q_text_novelty", "q_tpch_q11", "q_tpch_q16", "q_tpch_q2",
-    "q_tpch_q20", "q_tpch_q21", "q_tpch_q9", "q_ts_seasonal",
-    "q_vec_matryoshka_eval", "q_vec_pq_code", "q_win_dense_rank",
-    "q_win_gaps", "q_win_peak_concurrency",
-    # -- r7-era stamps, first 26 of 48 (alphabetical)
-    "q_agg_approx_distinct", "q_agg_approx_topk", "q_agg_distinct",
-    "q_agg_having", "q_agg_hll_merge", "q_agg_skew_adaptive",
-    "q_dedup_containment", "q_fault_shuffle_retry",
-    "q_fault_task_retry", "q_filter_gt", "q_filter_range_conj",
-    "q_fn_collation", "q_fn_variant", "q_join_anti",
-    "q_join_broadcast", "q_join_cross", "q_join_full",
-    "q_join_inner_hash", "q_join_left", "q_join_multiway",
-    "q_join_right", "q_join_semi", "q_join_sortmerge", "q_join_theta",
-    "q_limit", "q_maint_compact",
-    # ---- window boundary (50) — round 15 leads with the r7-era
-    # remainder (q_maint_vacuum, q_observe_metrics, q_scan_full,
-    # q_scan_project, q_scan_schema_drift,
-    # q_set_except, q_set_intersect, q_set_union, q_sort_orderby,
-    # q_sql_pipe, q_stream_backpressure, q_stream_chained_windows,
-    # q_stream_python_source, q_topk, q_transform_format,
-    # q_transform_xml, q_vec_recall_eval, q_win_ntile_pct,
-    # q_win_range_frame, q_win_rank, q_win_running,
-    # q_win_trailing_hour — 22 stamps), then the r8 era (47 stamps,
-    # oldest-first).
+    # -- new in round 15 (§2.11 text-index lifecycle)
+    "q_text_bm25_indexed",  # new: probe-only BM25 over persisted postings
+    "q_text_index_incremental",  # new: frozen-tokenization append
+    # -- r7-era stamps, ALL 22 (externally checked last in round 7)
+    "q_maint_vacuum", "q_observe_metrics", "q_scan_full",
+    "q_scan_project", "q_scan_schema_drift", "q_set_except",
+    "q_set_intersect", "q_set_union", "q_sort_orderby", "q_sql_pipe",
+    "q_stream_backpressure", "q_stream_chained_windows",
+    "q_stream_python_source", "q_topk", "q_transform_format",
+    "q_transform_xml", "q_vec_recall_eval", "q_win_ntile_pct",
+    "q_win_range_frame", "q_win_rank", "q_win_running",
+    "q_win_trailing_hour",
+    # -- r8-era stamps, first 26 of 47 (alphabetical)
+    "q_agg_avg_stddev", "q_agg_cube", "q_agg_filtered",
+    "q_agg_grouping_sets", "q_agg_listagg", "q_agg_percentiles",
+    "q_agg_pivot", "q_agg_rollup", "q_dedup_exact", "q_dedup_ngram",
+    "q_dedup_passage", "q_dedup_simhash", "q_dedup_url",
+    "q_filter_between", "q_filter_eq_point", "q_filter_in",
+    "q_filter_like", "q_filter_null", "q_filter_null_safe_eq",
+    "q_filter_or_not", "q_filter_regex", "q_fn_array", "q_fn_bitwise",
+    "q_fn_case", "q_fn_cast", "q_fn_date",
+    # ---- window boundary (50) — round 16 leads with the r8-era
+    # remainder (q_fn_date_arith, q_fn_map, q_fn_math,
+    # q_fn_posexplode, q_fn_regex_extract, q_fn_split, q_fn_sql_udf,
+    # q_fn_string, q_graph_components, q_join_skew_adaptive,
+    # q_multimodal_resize, q_project_compute, q_scan_ignore_corrupt,
+    # q_sql_parameterized, q_stream_full_outer_join,
+    # q_stream_outer_join, q_tpch_q10, q_tpch_q3, q_tpch_q5,
+    # q_transform_text, q_vec_ivf_files_pruned — 21 stamps), then the
+    # r9 era (45 stamps, oldest-first).
 )
 
 
@@ -144,6 +133,7 @@ def load_all() -> dict[str, QuerySpec]:
             pipeline14,
             pipeline15,
             pipeline16,
+            pipeline17,
             scans,
             setops,
             sorts,

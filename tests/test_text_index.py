@@ -1,13 +1,21 @@
-"""Inverted-index persistence: the on-disk index must prune to one
-token-prefix partition and return the same ranking as the in-memory
-index (§2.11 IDX_TXT analog, end to end)."""
+"""Persisted inverted TEXT index (SURVEY.md §2.11): keyword search
+(the original IDX_TXT analog — the on-disk index must prune to one
+token-prefix partition and match the in-memory ranking), plus the
+round-15 lifecycle suite: the BM25 probe must READ the layout — tok0
+partition prune + token filter — never re-tokenize the corpus, and
+the incremental append must be append-only under the
+frozen-tokenization rule.  Mirrors tests/test_sig_index.py for the
+text side of the index lifecycle."""
 
 from __future__ import annotations
 
+import os
+import re
 import shutil
 import tempfile
 
 import pytest
+from pyspark.sql import functions as F
 
 from skyhookdb_ceph_spark.catalog import Catalog
 from skyhookdb_ceph_spark.operators.text_index import (
@@ -17,15 +25,28 @@ from skyhookdb_ceph_spark.operators.text_index import (
     write_index,
 )
 from skyhookdb_ceph_spark.plans.explain import explain_str
+from skyhookdb_ceph_spark.queries.pipeline17 import (
+    _postings,
+    _with_tok0,
+    build_text_index,
+    probe_bm25,
+)
+from skyhookdb_ceph_spark.registry import load_all
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# keyword search over the persisted index (pre-r15 suite, kept intact)
+# ---------------------------------------------------------------------------
 
 
 @pytest.fixture(scope="module")
 def persisted_index(spark):
-    sf = "/root/testdata/sf0.001"
     tmp = tempfile.mkdtemp(prefix="skyhook_idx_")
-    docs = Catalog(spark, sf).documents
+    docs = Catalog(spark, SF).documents
     write_index(build_inverted_index(docs), f"{tmp}/idx")
-    yield spark, sf, f"{tmp}/idx"
+    yield spark, SF, f"{tmp}/idx"
     shutil.rmtree(tmp, ignore_errors=True)
 
 
@@ -40,7 +61,146 @@ def test_persisted_search_prunes_partitions(persisted_index):
 def test_persisted_search_matches_in_memory(persisted_index):
     spark, sf, path = persisted_index
     docs = Catalog(spark, sf).documents
-    mem = [tuple(r) for r in keyword_search(build_inverted_index(docs), "join").collect()]
-    disk = [tuple(r) for r in search_persisted_index(spark, path, "join").collect()]
+    mem = [
+        tuple(r)
+        for r in keyword_search(build_inverted_index(docs), "join").collect()
+    ]
+    disk = [
+        tuple(r)
+        for r in search_persisted_index(spark, path, "join").collect()
+    ]
     assert disk == mem
     assert len(disk) > 0
+
+
+# ---------------------------------------------------------------------------
+# round-15 lifecycle suite: BM25 probe-only + incremental append
+# ---------------------------------------------------------------------------
+
+# Tokenize-only physical markers: the build pass is an explode over a
+# split of the document text.  None may appear in a probe-only plan —
+# and neither may the documents table itself.
+_TOKENIZE_MARKERS = ("explode", "split", "documents")
+
+
+def _snapshot_parquet(root: str) -> dict[str, tuple[int, int]]:
+    out = {}
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            if f.endswith(".parquet"):
+                p = os.path.join(dirpath, f)
+                st = os.stat(p)
+                out[os.path.relpath(p, root)] = (st.st_size, st.st_mtime_ns)
+    return out
+
+
+def test_probe_plan_never_tokenizes(spark, tmp_path):
+    """The probe plan contains no explode, no split, and no scan of
+    the documents table — at 100 TB that absence IS the index: a few
+    posting lists + the doc-length sidecar instead of re-tokenizing
+    every document body per query."""
+    tmp = str(tmp_path / "txtidx")
+    build_text_index(spark, SF, tmp)
+    plan = explain_str(probe_bm25(spark, tmp))
+    for marker in _TOKENIZE_MARKERS:
+        assert marker not in plan, f"probe plan re-tokenizes: {marker}"
+
+
+def test_probe_plan_prunes_tok0_partitions(spark, tmp_path):
+    """The posting fetch is a PARTITION PRUNE: the scan's
+    PartitionFilters carry the tok0 predicate (the omap point-lookup
+    analog — only the query terms' first-letter directories are
+    read), and the token equality is pushed into the pruned scan."""
+    tmp = str(tmp_path / "txtidx")
+    build_text_index(spark, SF, tmp)
+    plan = explain_str(probe_bm25(spark, tmp))
+    assert re.search(r"PartitionFilters: \[[^\]]*tok0", plan)
+    assert re.search(r"PushedFilters: \[[^\]]*token", plan)
+
+
+def test_probe_matches_inline_bm25(spark, tmp_path):
+    """Persisting the index must not change a single answer row vs
+    the per-execution q_text_bm25 (the indexed query also shares the
+    inline oracle, so the driver pins this at sf0.01; this is the
+    sf0.001 fast path)."""
+    tmp = str(tmp_path / "txtidx")
+    build_text_index(spark, SF, tmp)
+    indexed = sorted(map(tuple, probe_bm25(spark, tmp).collect()))
+    reg = load_all()
+    ref = sorted(map(tuple, reg["q_text_bm25"].fn(spark, SF).collect()))
+    assert indexed == ref and len(indexed) == 10
+
+
+def test_incremental_append_leaves_base_files_untouched(spark):
+    """Appending delta postings writes NEW files only — every base
+    data file (across all tok0 partition directories) survives with
+    identical name, size, and mtime.  O(delta) maintenance; a rebuild
+    is O(corpus)."""
+    d = Catalog(spark, SF).documents
+    base = d.filter("doc_id % 10 <> 7")
+    delta = d.filter("doc_id % 10 = 7")
+    tmp = tempfile.mkdtemp(prefix="skyhook_txtinc_test_")
+    try:
+        _with_tok0(_postings(base)).withColumn(
+            "is_delta", F.lit(0).cast("int")
+        ).write.mode("overwrite").partitionBy("tok0").parquet(
+            f"{tmp}/postings"
+        )
+        before = _snapshot_parquet(f"{tmp}/postings")
+        _with_tok0(_postings(delta)).withColumn(
+            "is_delta", F.lit(1).cast("int")
+        ).write.mode("append").partitionBy("tok0").parquet(
+            f"{tmp}/postings"
+        )
+        after = _snapshot_parquet(f"{tmp}/postings")
+        assert set(before) <= set(after)  # strictly additive
+        assert len(after) > len(before)  # delta landed as new files
+        for f, meta in before.items():
+            assert after[f] == meta, f"base file rewritten: {f}"
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_frozen_tokenization_is_a_real_parameter(spark):
+    """The frozen-tokenization rule has teeth on the fixture: the
+    delta cohort tokenized with the frozen rule (space split) differs
+    from a case-folding variant in at least the tok0 routing of some
+    posting — i.e. the census q_text_index_incremental pins would
+    actually catch a delta job that drifted.  The documents fixture
+    is lowercase, so drift is modeled on the delimiter (split on 'e'
+    stands in for any rule change); if the fixture ever makes both
+    rules agree, this fails loudly rather than letting the pin rot."""
+    d = Catalog(spark, SF).documents.filter("doc_id % 10 = 7")
+    frozen = sorted(map(tuple, _postings(d).collect()))
+    drifted = sorted(
+        map(
+            tuple,
+            d.select(
+                "doc_id", F.explode(F.split("text", "e")).alias("token")
+            )
+            .filter(F.col("token") != "")
+            .groupBy("token", "doc_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+            .collect(),
+        )
+    )
+    assert frozen != drifted
+
+
+def test_stats_sidecar_roundtrips(spark, tmp_path):
+    """The persisted (n_docs, avgdl) equals a fresh derivation from
+    the corpus — the BM25 parameters the probe reads back instead of
+    re-deriving from document bodies."""
+    tmp = str(tmp_path / "txtidx")
+    build_text_index(spark, SF, tmp)
+    stored = spark.read.parquet(f"{tmp}/stats").collect()
+    d = Catalog(spark, SF).documents
+    fresh = (
+        d.select(F.size(F.split("text", " ")).cast("bigint").alias("dl"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.avg("dl").alias("avgdl"),
+        )
+        .collect()
+    )
+    assert [tuple(r) for r in stored] == [tuple(r) for r in fresh]
