@@ -48,8 +48,10 @@ Failures land in tools/fuzz_failures/stream_seed_N.json.
 
 from __future__ import annotations
 
+import atexit
 import json
 import random
+import shutil
 import sys
 import tempfile
 from dataclasses import asdict, dataclass
@@ -101,6 +103,10 @@ class StreamSpec:
     delay_min: int
     gap_min: int
     dedup_cols: list[str]
+    # v4c additions (defaulted so v4/v4b seed corpora stay
+    # bit-reproducible): right-leg watermark delay and join-key skew
+    delay_b_min: int = 0
+    key_mod: int | None = None  # join key = user_id % key_mod (None: raw)
 
 
 def gen_case4(seed: int) -> StreamSpec:
@@ -138,6 +144,15 @@ def gen_case4(seed: int) -> StreamSpec:
 # ---------------------------------------------------------------------------
 
 _SPLIT_CACHE: dict[tuple[str, int], str] = {}
+
+
+@atexit.register
+def _drop_split_cache() -> None:
+    # Split replays land in scratch (possibly /dev/shm tmpfs); don't
+    # leak RAM-disk space past process exit (r14 ADVICE).
+    for d in _SPLIT_CACHE.values():
+        shutil.rmtree(d, ignore_errors=True)
+    _SPLIT_CACHE.clear()
 
 
 def _split_dir(sf_dir: str, n_files: int) -> str:
@@ -296,7 +311,10 @@ def compare4(spec: StreamSpec, spark, sf_dir: str) -> str | None:
     return None
 
 
-def run4(
+def _run_generic(
+    gen,
+    cmp_fn,
+    tag: str,
     n: int,
     seed0: int,
     sf_dir: str,
@@ -310,12 +328,12 @@ def run4(
         spark = get_spark(app_name="fuzz_streaming", shuffle_partitions=8)
     failures = []
     for seed in range(seed0, seed0 + n):
-        spec = gen_case4(seed)
-        problem = compare4(spec, spark, sf_dir)
+        spec = gen(seed)
+        problem = cmp_fn(spec, spark, sf_dir)
         if problem is not None:
             out_dir = Path(__file__).parent / "fuzz_failures"
             out_dir.mkdir(exist_ok=True)
-            (out_dir / f"stream_seed_{seed}.json").write_text(
+            (out_dir / f"{tag}_seed_{seed}.json").write_text(
                 json.dumps(
                     {"seed": seed, "spec": asdict(spec), "problem": problem},
                     indent=2,
@@ -329,6 +347,20 @@ def run4(
         elif progress_every and (seed - seed0 + 1) % progress_every == 0:
             print(f"... {seed - seed0 + 1}/{n} green", flush=True)
     return failures
+
+
+def run4(
+    n: int,
+    seed0: int,
+    sf_dir: str,
+    stop_on_fail: bool = False,
+    spark=None,
+    progress_every: int = 25,
+) -> list[tuple[int, str]]:
+    return _run_generic(
+        gen_case4, compare4, "stream", n, seed0, sf_dir,
+        stop_on_fail, spark, progress_every,
+    )
 
 
 
@@ -423,6 +455,19 @@ def compare4b(spec: StreamSpec, spark, sf_dir: str) -> str | None:
             from dataclasses import replace as _rep
 
             spec = _rep(spec, slide_min=None)
+            # The max(sum_cents) envelope below is valid ONLY if every
+            # value increment is non-negative; verify the premise on
+            # the same filtered cohort the windowed agg consumes so a
+            # fixture change can never silently falsify the oracle
+            # (r14 ADVICE).
+            flt = batch.filter(spec.pred) if spec.pred else batch
+            neg = flt.agg(F.min("value")).collect()[0][0]
+            if neg is not None and float(neg) < 0:
+                return (
+                    f"wm_update envelope premise violated: min(value)={neg}"
+                    " < 0 — sum_cents is not monotone under updates;"
+                    " reconcile by last emission per key instead"
+                )
             got = replay.drain_to_memory(
                 _windowed(stream, spec, watermark=True),
                 output_mode="update",
@@ -464,31 +509,166 @@ def run4b(
     spark=None,
     progress_every: int = 25,
 ) -> list[tuple[int, str]]:
-    from skyhookdb_ceph_spark.session import get_spark
+    return _run_generic(
+        gen_case4b, compare4b, "stream4b", n, seed0, sf_dir,
+        stop_on_fail, spark, progress_every,
+    )
 
-    if spark is None:
-        spark = get_spark(app_name="fuzz_streaming", shuffle_partitions=8)
-    failures = []
-    for seed in range(seed0, seed0 + n):
-        spec = gen_case4b(seed)
-        problem = compare4b(spec, spark, sf_dir)
-        if problem is not None:
-            out_dir = Path(__file__).parent / "fuzz_failures"
-            out_dir.mkdir(exist_ok=True)
-            (out_dir / f"stream4b_seed_{seed}.json").write_text(
-                json.dumps(
-                    {"seed": seed, "spec": asdict(spec), "problem": problem},
-                    indent=2,
-                )
-            )
-            print(f"DIVERGE seed={seed} [{spec.kind}] {problem}")
-            print(f"  spec: {asdict(spec)}")
-            failures.append((seed, problem))
-            if stop_on_fail:
-                break
-        elif progress_every and (seed - seed0 + 1) % progress_every == 0:
-            print(f"... {seed - seed0 + 1}/{n} green", flush=True)
-    return failures
+
+# ---------------------------------------------------------------------------
+# grammar v4c — stream-stream OUTER-join emission gates
+# (separate generator so the v4/v4b seed corpora stay bit-reproducible)
+# ---------------------------------------------------------------------------
+
+
+def gen_case4c(seed: int) -> StreamSpec:
+    """Kinds: join_left / join_right / join_full — TRUE stream-stream
+    OUTER joins over two watermarked legs (key-equality + time-band
+    b_ts in [a_ts - band, a_ts]), randomized over watermark delay PER
+    SIDE, band width, join-key skew (user_id % k for k down to 1 —
+    every row one key), and replay batching.  The streamed emission
+    set is diffed against the declarative gate the registered
+    artifacts pinned (q_stream_outer_join / q_stream_full_outer_join):
+    matches emit on arrival (= the batch inner join, exactly);
+    NULL-padded rows emit at the per-side eviction schedule against
+    the GLOBAL watermark wm = MIN over nodes of (max event time seen
+    by that node - its delay) — the a-side evicts at a_ts < wm (no
+    future b_ts <= a_ts can arrive), the b-side a full BAND later at
+    b_ts < wm - band (a b-row can match any future a up to
+    b_ts + band)."""
+    rng = random.Random((seed + 77_000_003) * 2246822519 % (2**31 - 1))
+    kind = rng.choice(["join_left", "join_left", "join_full", "join_right"])
+    return StreamSpec(
+        kind=kind,
+        n_files=rng.choice(_N_FILES),
+        pred=None,
+        keys=list(rng.choice(_TYPE_PAIRS)),  # join legs ride in keys
+        aggs=[],
+        width_min=0,
+        slide_min=rng.choice(_JOIN_RANGES_MIN),  # band width
+        delay_min=rng.choice(_DELAYS_MIN),  # a-side watermark delay
+        gap_min=0,
+        dedup_cols=[],
+        delay_b_min=rng.choice(_DELAYS_MIN),  # b-side watermark delay
+        key_mod=rng.choice((None, 1, 2, 3, 5)),  # 1 = maximal skew
+    )
+
+
+def _outer_legs(df, s: StreamSpec, watermark: bool):
+    """The two join legs + band condition; key = user_id % key_mod
+    (key skew is a gate-independence check: eviction schedules are
+    time-derived, so skewing every row onto one key must change
+    nothing about WHICH rows emit NULL-padded)."""
+    ta, tb = s.keys
+    kx = f"user_id % {s.key_mod}" if s.key_mod else "user_id"
+    a = df.filter(F.col("event_type") == ta).selectExpr(
+        "event_id AS a_id", f"{kx} AS a_key", "ts AS a_ts"
+    )
+    b = df.filter(F.col("event_type") == tb).selectExpr(
+        "event_id AS b_id", f"{kx} AS b_key", "ts AS b_ts"
+    )
+    if watermark:
+        a = a.withWatermark("a_ts", f"{s.delay_min} minutes")
+        b = b.withWatermark("b_ts", f"{s.delay_b_min} minutes")
+    cond = (
+        (F.col("a_key") == F.col("b_key"))
+        & (F.col("b_ts") <= F.col("a_ts"))
+        & (
+            F.col("b_ts")
+            >= F.col("a_ts") - F.expr(f"INTERVAL {s.slide_min} MINUTE")
+        )
+    )
+    return a, b, cond
+
+
+_HOW = {
+    "join_left": "leftOuter",
+    "join_right": "rightOuter",
+    "join_full": "fullOuter",
+}
+
+
+def _outer_want(batch, s: StreamSpec):
+    """The declarative emission gate, stated in batch: inner matches
+    unconditionally; unmatched a where a_ts < wm; unmatched b where
+    b_ts < wm - band; wm = least over sides of (max own event time -
+    own delay) — multipleWatermarkPolicy=min, the default, as pinned
+    by q_stream_outer_join."""
+    a, b, cond = _outer_legs(batch, s, watermark=False)
+    wm = (
+        a.agg(F.max("a_ts").alias("_mxa"))
+        .crossJoin(b.agg(F.max("b_ts").alias("_mxb")))
+        .selectExpr(
+            f"least(_mxa - INTERVAL {s.delay_min} MINUTE,"
+            f" _mxb - INTERVAL {s.delay_b_min} MINUTE) AS _wm"
+        )
+    )
+    m = a.join(b, cond, "inner").select("a_id", "b_id")
+    parts = [m]
+    if s.kind in ("join_left", "join_full"):
+        parts.append(
+            a.join(m.select("a_id"), "a_id", "left_anti")
+            .crossJoin(F.broadcast(wm))
+            .filter("a_ts < _wm")
+            .selectExpr("a_id", "CAST(NULL AS BIGINT) AS b_id")
+        )
+    if s.kind in ("join_right", "join_full"):
+        parts.append(
+            b.join(m.select("b_id"), "b_id", "left_anti")
+            .crossJoin(F.broadcast(wm))
+            .filter(f"b_ts < _wm - INTERVAL {s.slide_min} MINUTE")
+            .selectExpr("CAST(NULL AS BIGINT) AS a_id", "b_id")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def compare4c(spec: StreamSpec, spark, sf_dir: str) -> str | None:
+    batch = Catalog(spark, sf_dir).events
+    sdir = _split_dir(sf_dir, spec.n_files)
+    opts = {"maxFilesPerTrigger": "1"} if spec.n_files > 1 else None
+    glob = "*.parquet" if spec.n_files > 1 else "events.parquet"
+    stream = replay.events_stream(spark, sdir, glob=glob, options=opts)
+    try:
+        a, b, cond = _outer_legs(stream, spec, watermark=True)
+        got = replay.drain_to_memory(
+            a.join(b, cond, _HOW[spec.kind]).select("a_id", "b_id"),
+            output_mode="append",
+            needs_watermark_batch=True,
+        )
+        want = _outer_want(batch, spec)
+        # NULL-padded rows make bare tuple sort raise (None < int);
+        # sort on a None-first key instead
+        nk = lambda t: tuple((v is None, v or 0) for v in t)  # noqa: E731
+        g = sorted(map(tuple, got.collect()), key=nk)
+        w = sorted(map(tuple, want.collect()), key=nk)
+    except Exception as exc:  # noqa: BLE001
+        return f"raised {type(exc).__name__}: {exc}"[:400]
+    if len(g) != len(w):
+        return f"rowcount streamed={len(g)} batch-gate={len(w)}"
+    if g != w:
+        i = next(i for i, (x, y) in enumerate(zip(g, w)) if x != y)
+        return (
+            f"values differ at sorted row {i}: streamed={g[i]}"
+            f" batch-gate={w[i]}"
+        )
+    return None
+
+
+def run4c(
+    n: int,
+    seed0: int,
+    sf_dir: str,
+    stop_on_fail: bool = False,
+    spark=None,
+    progress_every: int = 25,
+) -> list[tuple[int, str]]:
+    return _run_generic(
+        gen_case4c, compare4c, "stream4c", n, seed0, sf_dir,
+        stop_on_fail, spark, progress_every,
+    )
 
 
 def main() -> int:
@@ -507,7 +687,7 @@ def main() -> int:
             stop = True
         elif a == "--gen":
             gen = next(it)
-    runner = run4b if gen == "v4b" else run4
+    runner = {"v4b": run4b, "v4c": run4c}.get(gen, run4)
     failures = runner(n, seed0, sf_dir, stop)
     print(f"\n{n - len(failures)}/{n} agree [{gen}]")
     return 1 if failures else 0
