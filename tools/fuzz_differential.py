@@ -1710,6 +1710,14 @@ GROUP BY 1"""
 
 _JSON_SPARK_T = {"i": "BIGINT", "f": "DOUBLE", "s": None}
 
+# Paths whose extraction is a SCALAR under the fixture schema
+# (events.props = {"k": int}).  The uncast 's' form compares engine
+# JSON-text serialization verbatim, which is only semantics (not
+# formatting) for scalars — the generator coerces 's' off other
+# paths, and the renderer enforces it structurally so a future
+# grammar edit cannot silently reopen the hole (r13/r14 ADVICE).
+_JSON_SCALAR_PATHS = frozenset({"$.k"})
+
 
 def _render_jsonpath(s: JsonPathSpec, spark, sf_dir: str):
     """JSON path extraction over events.props: get_json_object +
@@ -1722,6 +1730,12 @@ def _render_jsonpath(s: JsonPathSpec, spark, sf_dir: str):
         fn = "json_extract_string" if duck else "get_json_object"
         base = f"{fn}(props, '{path}')"
         t = _JSON_SPARK_T[cast]
+        if t is None and path not in _JSON_SCALAR_PATHS:
+            raise ValueError(
+                f"uncast 's' jsonpath on non-schema-known path {path!r}:"
+                " JSON-text serialization would be compared verbatim;"
+                " cast to BIGINT/DOUBLE (NULL-normalizing) instead"
+            )
         return f"CAST({base} AS {t})" if t else base
 
     if s.form == "group":
