@@ -459,12 +459,25 @@ def main() -> int:
     # round close, so while round N runs only r1..N-1 exist on disk.
     import re as _re
 
-    _rounds = [
-        int(m.group(1))
-        for p in Path(_REPO).glob("BENCH_r*.json")
-        if (m := _re.match(r"BENCH_r(\d+)\.json$", p.name))
-    ]
-    _tag = (max(_rounds) + 1) if _rounds else 1
+    _env_tag = os.environ.get("SPARK_GRAFT_BENCH_ROUND")
+    if _env_tag:
+        _tag = int(_env_tag)
+    else:
+        _rounds = [
+            int(m.group(1))
+            for p in Path(_REPO).glob("BENCH_r*.json")
+            if (m := _re.match(r"BENCH_r(\d+)\.json$", p.name))
+        ]
+        _tag = (max(_rounds) + 1) if _rounds else 1
+        # The heuristic mislabels in a fresh checkout (BENCH_r* are
+        # driver-written) or an out-of-round run; log it so a wrong
+        # tag is visible rather than silent (r14 ADVICE).  stderr —
+        # stdout stays the one-JSON-line contract.
+        print(
+            f"[bench] archive round tag inferred as r{_tag:02d} "
+            "(override with SPARK_GRAFT_BENCH_ROUND)",
+            file=sys.stderr,
+        )
     (side.parent / f"bench_full_r{_tag:02d}.json").write_text(
         json.dumps(full_record, indent=1)
     )

@@ -160,15 +160,18 @@ def build_sig_index(spark, sf_dir: str, path: str) -> None:
 # ---------------------------------------------------------------------------
 
 
-def probe_binary(e, idx):
+def probe_binary(e, idx, q_pred: str = "vec_id % 100 = 0"):
     """1-bit cascade probe over a READ-BACK index: coarse Hamming
     stage touches only (vec_id, sig_lo, sig_hi) — 16 B/vector — and
     the float corpus enters only at the shortlist-bounded rerank
     join-back.  Lazy (plan-assertable); same output contract as
-    q_sim_knn_binary."""
+    q_sim_knn_binary.  q_pred picks the query cohort (default = the
+    registered oracle's; tools/scale_smoke.py passes a FIXED 20-query
+    set so decade curves measure per-query probe cost, not |Q|
+    growth)."""
     sigs = idx.select("vec_id", "sig_lo", "sig_hi")
     q = (
-        sigs.filter("vec_id % 100 = 0")
+        sigs.filter(q_pred)
         .join(e.selectExpr("vec_id", "embedding AS qv"), "vec_id")
         .selectExpr(
             "vec_id AS qid", "qv", "sig_lo AS q_lo", "sig_hi AS q_hi"
@@ -209,14 +212,15 @@ def probe_binary(e, idx):
     )
 
 
-def probe_2bit(e, idx):
+def probe_2bit(e, idx, q_pred: str = "vec_id % 100 = 0"):
     """2-bit cascade probe over a READ-BACK index: the coarse L1 scan
     reads only the six plane-half columns (48 B/vector); no
     posexplode, no percentile probe, no packing — those ran once at
-    build.  Same output contract as q_sim_knn_2bit."""
+    build.  Same output contract as q_sim_knn_2bit.  q_pred as in
+    probe_binary (fixed-|Q| decade smokes)."""
     sigs = idx.select("vec_id", *_PLANE_COLS)
     q = (
-        sigs.filter("vec_id % 100 = 0")
+        sigs.filter(q_pred)
         .join(e.selectExpr("vec_id", "embedding AS qv"), "vec_id")
         .selectExpr(
             "vec_id AS qid",
@@ -641,8 +645,10 @@ def q_sim_recall_clustered(spark, sf_dir):
     vector stores ship binary quantization as the default tier and
     why the isotropic numbers should be read as a floor, not an
     expectation.  Same plan shape as the shipped cascades: encode
-    passes are keyed aggregations, query sets broadcast, the corpus
-    never rides a cross-score with floats."""
+    passes are keyed aggregations, query sets broadcast; the exact
+    ground-truth stage is brute force vs the BROADCAST query set
+    (|corpus| x |Q| float cosines — the accepted audit pattern), and
+    corpus-x-corpus is what is avoided."""
     cl = ensure_parallelism(Catalog(spark, sf_dir).embeddings).selectExpr(
         "vec_id", _clustered_expr(False) + " AS emb"
     )

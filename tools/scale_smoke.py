@@ -33,6 +33,7 @@ plan shape over a table gen_scale actually grows (events).
 from __future__ import annotations
 
 import argparse
+import atexit
 import json
 import shutil
 import sys
@@ -110,6 +111,13 @@ SETS: dict[str, list[str]] = {
     ],
     # §Q (r14, late wave): hybrid fusion + the late-data pin's replay
     "r14b": ["q_text_hybrid_rrf", "q_stream_late_data"],
+    # §R (r15): fixed-|Q| signature probes (per-query cost curve, the
+    # r14 verdict item 6) + the persisted text index build/probe
+    "r15": [
+        "sig_probe_binary_fixedq", "sig_probe_2bit_fixedq",
+        "text_build", "text_probe_bm25",
+        "q_text_bm25_indexed", "q_text_index_incremental",
+    ],
 }
 
 N_FILES = 8  # default replay granularity (--n-files overrides)
@@ -194,6 +202,18 @@ def ks_drift_events(spark, sf_dir):
 # build and the TIMED run is probe-only — the per-query-batch cost a
 # deployment actually pays once the index is persisted.
 _SIG_INDEX_CACHE: dict[str, str] = {}
+_TEXT_INDEX_CACHE: dict[str, str] = {}
+
+
+@atexit.register
+def _drop_cached_scratch() -> None:
+    # Cached scratch dirs may live on /dev/shm tmpfs; a multi-decade
+    # sweep must not leak RAM-disk space past process exit (r14
+    # ADVICE).
+    for cache in (_SIG_INDEX_CACHE, _TEXT_INDEX_CACHE):
+        for d in cache.values():
+            shutil.rmtree(d, ignore_errors=True)
+        cache.clear()
 
 
 def _sig_index_dir(spark, sf_dir: str) -> str:
@@ -205,6 +225,17 @@ def _sig_index_dir(spark, sf_dir: str) -> str:
         build_sig_index(spark, sf_dir, tmp)
         _SIG_INDEX_CACHE[sf_dir] = tmp
     return _SIG_INDEX_CACHE[sf_dir]
+
+
+def _text_index_dir(spark, sf_dir: str) -> str:
+    from skyhookdb_ceph_spark.queries.pipeline17 import build_text_index
+    from skyhookdb_ceph_spark.queries.scans import _scratch_dir
+
+    if sf_dir not in _TEXT_INDEX_CACHE:
+        tmp = tempfile.mkdtemp(prefix="ssmoke_txtidx_", dir=_scratch_dir())
+        build_text_index(spark, sf_dir, tmp)
+        _TEXT_INDEX_CACHE[sf_dir] = tmp
+    return _TEXT_INDEX_CACHE[sf_dir]
 
 
 def sig_build(spark, sf_dir):
@@ -235,11 +266,64 @@ def sig_probe_2bit(spark, sf_dir):
     return probe_2bit(Catalog(spark, sf_dir).embeddings, idx)
 
 
+# Fixed-|Q| probe twins (r14 verdict item 6): §Q.1's probe curves
+# used the audit construction (|Q| = corpus/100, so the workload
+# grows with the decade); these probe a CONSTANT 20-query set — the
+# 20 base-copy vectors gen_scale.py preserves verbatim at every
+# decade — so the curve reads directly as per-query probe cost.
+_FIXED_Q_PRED = "vec_id % 100 = 0 AND vec_id < 2000"
+
+
+def sig_probe_binary_fixedq(spark, sf_dir):
+    from skyhookdb_ceph_spark.queries._util import Catalog
+    from skyhookdb_ceph_spark.queries.pipeline16 import probe_binary
+
+    idx = spark.read.parquet(f"{_sig_index_dir(spark, sf_dir)}/sigs")
+    return probe_binary(
+        Catalog(spark, sf_dir).embeddings, idx, q_pred=_FIXED_Q_PRED
+    )
+
+
+def sig_probe_2bit_fixedq(spark, sf_dir):
+    from skyhookdb_ceph_spark.queries._util import Catalog
+    from skyhookdb_ceph_spark.queries.pipeline16 import probe_2bit
+
+    idx = spark.read.parquet(f"{_sig_index_dir(spark, sf_dir)}/sigs")
+    return probe_2bit(
+        Catalog(spark, sf_dir).embeddings, idx, q_pred=_FIXED_Q_PRED
+    )
+
+
+def text_build(spark, sf_dir):
+    """Inverted-index BUILD cost alone (tokenize + postings shuffle +
+    partitioned write to a fresh dir)."""
+    from skyhookdb_ceph_spark.queries.pipeline17 import build_text_index
+    from skyhookdb_ceph_spark.queries.scans import _scratch_dir
+
+    tmp = tempfile.mkdtemp(prefix="ssmoke_txtbuild_", dir=_scratch_dir())
+    build_text_index(spark, sf_dir, tmp)
+    return spark.read.parquet(f"{tmp}/stats")
+
+
+def text_probe_bm25(spark, sf_dir):
+    """BM25 probe with the build amortized out (memoized index per
+    sf_dir) — the per-query cost a deployment pays once the postings
+    are persisted.  The query-term set is constant by construction,
+    so this is already a fixed-|Q| curve."""
+    from skyhookdb_ceph_spark.queries.pipeline17 import probe_bm25
+
+    return probe_bm25(spark, _text_index_dir(spark, sf_dir))
+
+
 TWINS = {
     "ks_drift_events": ks_drift_events,
     "sig_build": sig_build,
     "sig_probe_binary": sig_probe_binary,
     "sig_probe_2bit": sig_probe_2bit,
+    "sig_probe_binary_fixedq": sig_probe_binary_fixedq,
+    "sig_probe_2bit_fixedq": sig_probe_2bit_fixedq,
+    "text_build": text_build,
+    "text_probe_bm25": text_probe_bm25,
 }
 
 
