@@ -60,6 +60,11 @@ from skyhookdb_ceph_spark.queries.pipeline3 import (
     _BM25_ORACLE,
     _BM25_TERMS,
 )
+from skyhookdb_ceph_spark.queries.pipeline16 import (
+    _RRF_K,
+    _RRF_SHORTLIST,
+    _RRF_TOPK,
+)
 from skyhookdb_ceph_spark.queries.scans import _scratch_dir
 from skyhookdb_ceph_spark.registry import query
 
@@ -122,7 +127,11 @@ def build_text_index(spark, sf_dir: str, path: str) -> None:
 
 
 def probe_bm25(
-    spark, path: str, terms: tuple[str, ...] = _BM25_TERMS, k: int = 10
+    spark,
+    path: str,
+    terms: tuple[str, ...] = _BM25_TERMS,
+    k: int = 10,
+    doc_pred: str | None = None,
 ) -> DataFrame:
     """BM25 top-k over a READ-BACK index: the posting fetch filters
     tok0 (partition prune — only the query terms' first-letter
@@ -131,6 +140,11 @@ def probe_bm25(
     postings (a |terms|-row broadcast).  Document bodies never enter
     the plan — no explode, no split (plan-asserted).  Lazy, same
     output contract as q_text_bm25.
+
+    ``doc_pred`` restricts the CANDIDATE set (e.g. excluding a query
+    document) without changing df — document frequency is a property
+    of the index, corpus-wide, so a probe that excludes candidates
+    must not see different term weights.
 
     At 100 TB the probe reads a few posting lists (KBs–MBs) + the
     doc-length sidecar instead of re-tokenizing the corpus; the dlens
@@ -145,6 +159,8 @@ def probe_bm25(
     dfreq = post.groupBy("token").agg(
         F.count(F.lit(1)).cast("bigint").alias("df")
     )
+    if doc_pred is not None:
+        post = post.filter(doc_pred)
     dl = spark.read.parquet(f"{path}/dlens")
     stats = spark.read.parquet(f"{path}/stats")
     k1, b = _BM25_K1, _BM25_B
@@ -277,3 +293,212 @@ def q_text_index_incremental(spark, sf_dir):
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# hybrid retrieval over BOTH persisted indexes (lexical + vector legs
+# probe-only, RRF fusion) — the end-to-end serving shape
+# ---------------------------------------------------------------------------
+
+
+def _probe_vec_leg(e, idx) -> DataFrame:
+    """Vector leg of the indexed hybrid: the 1-bit cascade probe of
+    pipeline16 run for the single query vector (vec_id 0) with a
+    _RRF_SHORTLIST-deep rerank.  Coarse Hamming touches only the
+    16 B/vector signature columns; the float corpus enters only at
+    the _NCAND-bounded rerank join-back (same guarantee as
+    probe_binary — plan-asserted in tests/test_text_index.py).  Both
+    top-N cuts are distributed TakeOrdered (orderBy+limit); ranking
+    windows see only post-limit rows."""
+    from skyhookdb_ceph_spark.operators import vectors
+    from skyhookdb_ceph_spark.queries.pipeline14 import _NCAND
+
+    sigs = idx.select("vec_id", "sig_lo", "sig_hi")
+    q = (
+        sigs.filter("vec_id = 0")
+        .join(e.selectExpr("vec_id", "embedding AS qv"), "vec_id")
+        .selectExpr("qv", "sig_lo AS q_lo", "sig_hi AS q_hi")
+    )
+    ham = (
+        sigs.crossJoin(F.broadcast(q.drop("qv")))
+        .filter("vec_id <> 0")
+        .selectExpr(
+            "vec_id",
+            "CAST(bit_count(sig_lo ^ q_lo) + bit_count(sig_hi ^ q_hi)"
+            " AS INT) AS ham",
+        )
+    )
+    cand = ham.orderBy(F.asc("ham"), F.asc("vec_id")).limit(_NCAND)
+    rr = (
+        cand.join(e.selectExpr("vec_id", "embedding"), "vec_id")
+        .crossJoin(F.broadcast(q.select("qv")))
+        .selectExpr(
+            "vec_id",
+            f"floor(({vectors.cosine_expr('embedding', 'qv')}) * 1000000"
+            " + 0.5) / 1000000 AS sim",
+        )
+    )
+    top = rr.orderBy(F.desc("sim"), F.asc("vec_id")).limit(_RRF_SHORTLIST)
+    w = Window.orderBy(F.desc("sim"), F.asc("vec_id"))
+    return top.withColumn(
+        "r_vec", F.row_number().over(w).cast("int")
+    ).selectExpr("vec_id AS doc_id", "r_vec")
+
+
+def probe_hybrid_rrf(spark, text_path: str, sig_path: str, e) -> DataFrame:
+    """Hybrid RRF retrieval with BOTH legs probe-only: the lexical
+    leg is probe_bm25 over the persisted postings (df corpus-wide,
+    the query document excluded as a candidate), the vector leg is
+    the persisted-signature cascade for query vector 0; reciprocal-
+    rank fusion combines the two 50-row shortlists.  Lazy — the plan
+    must contain no tokenize pass (explode/split of document text)
+    and no encode pass (posexplode/percentile of embeddings); both
+    ran once at build."""
+    lex = probe_bm25(
+        spark,
+        text_path,
+        terms=("table", "query"),
+        k=_RRF_SHORTLIST,
+        doc_pred="doc_id <> 0",
+    ).selectExpr("doc_id", "rnk AS r_lex")
+    idx = spark.read.parquet(f"{sig_path}/sigs")
+    vec = _probe_vec_leg(e, idx)
+    fused = lex.join(vec, "doc_id", "full").selectExpr(
+        "doc_id",
+        "r_lex",
+        "r_vec",
+        # CAST the literal: both engines parse bare 1.0 as DECIMAL
+        # and the decimal quotient leaks into the output dtype
+        f"floor((coalesce(CAST(1.0 AS DOUBLE) / ({_RRF_K} + r_lex), 0)"
+        f" + coalesce(CAST(1.0 AS DOUBLE) / ({_RRF_K} + r_vec), 0))"
+        " * 1000000 + 0.5) / 1000000 AS rrf",
+    )
+    w = Window.orderBy(F.desc("rrf"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= _RRF_TOPK)
+        .select("doc_id", "r_lex", "r_vec", "rrf", "rnk")
+    )
+
+
+_HYB_IDX_ORACLE_T = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+  FROM documents),
+p AS (
+  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+  FROM toks WHERE token <> '' GROUP BY doc_id, token),
+dl AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+  FROM documents),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, token AS term, tf FROM p
+  WHERE token IN ('table', 'query')),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+lex AS (
+  SELECT doc_id, CAST(row_number() OVER (
+      ORDER BY floor(raw * 1000000 + 0.5) / 1000000 DESC, doc_id)
+    AS INT) AS r_lex
+  FROM (
+    SELECT tf.doc_id,
+      sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+          * tf.tf * ({{k1}} + 1)
+          / (tf.tf + {{k1}} * (1 - {{b}} + {{b}} * dl.dl / s.avgdl)))
+        AS raw
+    FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats s
+    WHERE tf.doc_id <> 0
+    GROUP BY tf.doc_id) sc
+  QUALIFY r_lex <= {_RRF_SHORTLIST}),
+s AS (
+  SELECT vec_id, {{sig_lo}} AS sig_lo, {{sig_hi}} AS sig_hi
+  FROM embeddings),
+qs AS (
+  SELECT s.sig_lo AS q_lo, s.sig_hi AS q_hi, e.embedding AS qv
+  FROM s JOIN embeddings e ON e.vec_id = s.vec_id WHERE s.vec_id = 0),
+h AS (
+  SELECT s.vec_id,
+    CAST(bit_count(xor(s.sig_lo, q.q_lo))
+       + bit_count(xor(s.sig_hi, q.q_hi)) AS INT) AS ham
+  FROM s, qs q WHERE s.vec_id <> 0),
+cand AS (
+  SELECT vec_id FROM h
+  QUALIFY row_number() OVER (ORDER BY ham, vec_id) <= {{ncand}}),
+rr AS (
+  SELECT c.vec_id, floor(({{cos}}) * 1000000 + 0.5) / 1000000 AS sim
+  FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id, qs q),
+vec AS (
+  SELECT vec_id AS doc_id,
+    CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS INT) AS r_vec
+  FROM rr QUALIFY r_vec <= {_RRF_SHORTLIST}),
+fused AS (
+  SELECT coalesce(lex.doc_id, vec.doc_id) AS doc_id, r_lex, r_vec,
+    floor((coalesce(CAST(1.0 AS DOUBLE) / ({_RRF_K} + r_lex), 0)
+         + coalesce(CAST(1.0 AS DOUBLE) / ({_RRF_K} + r_vec), 0))
+        * 1000000 + 0.5)
+      / 1000000 AS rrf
+  FROM lex FULL JOIN vec ON lex.doc_id = vec.doc_id)
+SELECT doc_id, r_lex, r_vec, rrf,
+  CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS INT) AS rnk
+FROM fused QUALIFY rnk <= {_RRF_TOPK}
+"""
+
+
+def _hyb_idx_oracle() -> str:
+    from skyhookdb_ceph_spark.operators import vectors
+    from skyhookdb_ceph_spark.queries.pipeline14 import _NCAND, _sig_duckdb
+
+    return _HYB_IDX_ORACLE_T.format(
+        k1=_BM25_K1,
+        b=_BM25_B,
+        ncand=_NCAND,
+        sig_lo=_sig_duckdb("embedding", 1, 32),
+        sig_hi=_sig_duckdb("embedding", 33, 64),
+        cos=vectors.cosine_duckdb("e.embedding", "q.qv"),
+    )
+
+
+@query(
+    "q_hybrid_rrf_indexed",
+    oracle=_hyb_idx_oracle(),
+    tags=("llm", "retrieval", "text", "layout", "scale-design"),
+)
+def q_hybrid_rrf_indexed(spark, sf_dir):
+    """q_text_hybrid_rrf's serving shape run end-to-end over BOTH
+    persisted indexes — the round-15 lifecycle story closed at the
+    application layer: the lexical leg reads the inverted-postings
+    layout (tok0 prune + token filter, df corpus-wide, query doc 0
+    excluded as a candidate), the vector leg probes the 1-bit
+    signature index (Hamming coarse over 16 B/vector, _NCAND-bounded
+    exact rerank), and RRF fuses the two 50-row shortlists.  No
+    tokenize and no encode pass anywhere in the probe plan
+    (plan-asserted in tests/test_text_index.py) — at 100 TB a query
+    touches a few posting lists + the signature column + ~150 float
+    rows, never a document body or a corpus-wide float scan.
+
+    Contract deltas vs q_text_hybrid_rrf, both index-inherent: BM25
+    statistics (n_docs/avgdl/df) are the INDEX's, corpus-wide —
+    a probe cannot re-derive per-universe statistics without reading
+    bodies; and the vector leg ranks the CASCADE's shortlist (top
+    _RRF_SHORTLIST of the _NCAND Hamming survivors) rather than an
+    exact corpus-wide cosine — that approximation is the entire
+    point of the signature tier.  The oracle mirrors both deltas
+    declaratively.
+
+    Builds run inside the query (fixture lifecycle, same as
+    q_text_bm25_indexed); tools/scale_smoke.py measures the fused
+    probe with both builds amortized out."""
+    from skyhookdb_ceph_spark.queries.pipeline16 import build_sig_index
+
+    e = ensure_parallelism(Catalog(spark, sf_dir).embeddings)
+    tdir = tempfile.mkdtemp(prefix="skyhook_hybt_", dir=_scratch_dir())
+    sdir = tempfile.mkdtemp(prefix="skyhook_hybs_", dir=_scratch_dir())
+    try:
+        build_text_index(spark, sf_dir, tdir)
+        build_sig_index(spark, sf_dir, sdir)
+        out = probe_hybrid_rrf(spark, tdir, sdir, e)
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tdir, ignore_errors=True)
+        shutil.rmtree(sdir, ignore_errors=True)

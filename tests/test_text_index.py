@@ -204,3 +204,55 @@ def test_stats_sidecar_roundtrips(spark, tmp_path):
         .collect()
     )
     assert [tuple(r) for r in stored] == [tuple(r) for r in fresh]
+
+
+# ---------------------------------------------------------------------------
+# round-15 wave 2: hybrid RRF over BOTH persisted indexes
+# ---------------------------------------------------------------------------
+
+_ENCODE_MARKERS = ("shiftleft", "posexplode", "percentile")
+
+
+def test_hybrid_probe_plan_never_tokenizes_or_encodes(spark, tmp_path):
+    """The fused probe's plan contains neither the text build pass
+    (explode/split of document bodies, documents scan) nor the
+    signature encode pass (shiftleft packing, posexplode, percentile
+    probe) — both ran once at build.  At 100 TB a hybrid query
+    touches a few posting lists, the 16 B/vector signature column,
+    and ~_NCAND float rows."""
+    from skyhookdb_ceph_spark.queries.pipeline16 import build_sig_index
+    from skyhookdb_ceph_spark.queries.pipeline17 import probe_hybrid_rrf
+
+    tdir = str(tmp_path / "txt")
+    sdir = str(tmp_path / "sig")
+    build_text_index(spark, SF, tdir)
+    build_sig_index(spark, SF, sdir)
+    e = Catalog(spark, SF).embeddings
+    plan = explain_str(probe_hybrid_rrf(spark, tdir, sdir, e))
+    for marker in _TOKENIZE_MARKERS + _ENCODE_MARKERS:
+        assert marker not in plan, f"hybrid probe rebuilds: {marker}"
+    # both index layouts actually feed the plan
+    assert os.path.basename(tdir) in plan
+    assert os.path.basename(sdir) in plan
+
+
+def test_hybrid_probe_candidate_pred_leaves_df_corpuswide(spark, tmp_path):
+    """probe_bm25's doc_pred excludes candidates WITHOUT changing
+    term weights: df is counted over the unfiltered pruned postings
+    (a property of the index), so scores for surviving docs are
+    byte-identical with and without the exclusion."""
+    tmp = str(tmp_path / "txtidx")
+    build_text_index(spark, SF, tmp)
+    base = {
+        r["doc_id"]: r["bm25"]
+        for r in probe_bm25(spark, tmp, k=50).collect()
+    }
+    excl = {
+        r["doc_id"]: r["bm25"]
+        for r in probe_bm25(
+            spark, tmp, k=50, doc_pred="doc_id <> 0"
+        ).collect()
+    }
+    assert 0 not in excl
+    for d, s in excl.items():
+        assert base[d] == s, f"df shifted under candidate exclusion: {d}"

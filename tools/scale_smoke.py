@@ -115,8 +115,9 @@ SETS: dict[str, list[str]] = {
     # r14 verdict item 6) + the persisted text index build/probe
     "r15": [
         "sig_probe_binary_fixedq", "sig_probe_2bit_fixedq",
-        "text_build", "text_probe_bm25",
+        "text_build", "text_probe_bm25", "hybrid_probe_rrf",
         "q_text_bm25_indexed", "q_text_index_incremental",
+        "q_hybrid_rrf_indexed",
     ],
 }
 
@@ -315,6 +316,22 @@ def text_probe_bm25(spark, sf_dir):
     return probe_bm25(spark, _text_index_dir(spark, sf_dir))
 
 
+def hybrid_probe_rrf(spark, sf_dir):
+    """The fused hybrid probe (lexical postings leg + signature
+    cascade leg + RRF) with BOTH builds amortized out — per-query
+    serving cost of the end-to-end retrieval shape.  Single query
+    (vec 0) + constant terms: already a fixed-|Q| curve."""
+    from skyhookdb_ceph_spark.queries._util import Catalog
+    from skyhookdb_ceph_spark.queries.pipeline17 import probe_hybrid_rrf
+
+    return probe_hybrid_rrf(
+        spark,
+        _text_index_dir(spark, sf_dir),
+        _sig_index_dir(spark, sf_dir),
+        Catalog(spark, sf_dir).embeddings,
+    )
+
+
 TWINS = {
     "ks_drift_events": ks_drift_events,
     "sig_build": sig_build,
@@ -324,6 +341,7 @@ TWINS = {
     "sig_probe_2bit_fixedq": sig_probe_2bit_fixedq,
     "text_build": text_build,
     "text_probe_bm25": text_probe_bm25,
+    "hybrid_probe_rrf": hybrid_probe_rrf,
 }
 
 
