@@ -502,3 +502,124 @@ def q_hybrid_rrf_indexed(spark, sf_dir):
     finally:
         shutil.rmtree(tdir, ignore_errors=True)
         shutil.rmtree(sdir, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# small-file compaction of the postings layout (maintenance)
+# ---------------------------------------------------------------------------
+
+_TXT_CMP_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+  FROM documents),
+p AS (
+  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+  FROM toks WHERE token <> '' GROUP BY doc_id, token),
+c AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_postings,
+    CAST(count(DISTINCT token) AS BIGINT) AS n_tokens,
+    CAST(sum(tf) AS BIGINT) AS sum_tf
+  FROM p)
+SELECT 'compacted' AS phase, n_postings, n_tokens, sum_tf,
+  CAST(1 AS INT) AS single_file_per_tok0
+FROM c
+UNION ALL
+SELECT 'fragmented', n_postings, n_tokens, sum_tf, CAST(0 AS INT)
+FROM c
+ORDER BY phase
+"""
+
+
+def _postings_census(idx: DataFrame):
+    return idx.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_postings"),
+        F.countDistinct("token").cast("bigint").alias("n_tokens"),
+        F.sum("tf").cast("bigint").alias("sum_tf"),
+    )
+
+
+def _max_files_per_tok0(root: str) -> int:
+    """Physical fragmentation metric: max parquet-file count over the
+    tok0 partition directories (driver-side listing — metadata only,
+    the same thing a table format's manifest read is)."""
+    import os
+
+    worst = 0
+    for dirpath, _dirs, files in os.walk(root):
+        if os.path.basename(dirpath).startswith("tok0="):
+            worst = max(
+                worst, sum(1 for f in files if f.endswith(".parquet"))
+            )
+    return worst
+
+
+@query(
+    "q_text_index_compact",
+    oracle=_TXT_CMP_ORACLE,
+    tags=("pipeline", "text", "layout", "maintenance", "scale-design"),
+)
+def q_text_index_compact(spark, sf_dir):
+    """Postings-layout COMPACTION — the maintenance op incremental
+    append makes mandatory (q_maint_compact's story applied to the
+    index): each append lands new row files inside the tok0
+    directories, so after k ingest batches a probe of one token opens
+    O(k) small files.  Compaction reads the fragmented layout once,
+    repartitions BY tok0 (each tok0 hashes to exactly one task, so
+    each partition directory gets exactly ONE output file) with rows
+    sorted by (token, doc_id) inside it — token-range row-group
+    stats then serve the probe's pushed token filter — and writes a
+    NEW layout; the atomic directory swap is the table-format commit
+    step, out of scope here.
+
+    Verdict: census of BOTH layouts (posting count, vocabulary, tf
+    mass — compaction must not change one row) plus the physical
+    invariant measured from the layouts themselves:
+    single_file_per_tok0 = 0 fragmented (base write + delta append
+    guarantee some directory holds >= 2 files), = 1 compacted.  The
+    oracle re-derives the census from raw text and states both
+    invariant constants declaratively — if the writer ever stopped
+    fragmenting or compaction stopped consolidating, the measured
+    column diverges from the declared one and the driver flags it.
+
+    At 100 TB: compaction cost is one read + one shuffle of the
+    POSTINGS (a fraction of corpus text bytes), amortized across the
+    probes it speeds up; probe cost returns to O(terms) file opens."""
+    d = ensure_parallelism(Catalog(spark, sf_dir).documents)
+    base = d.filter(f"NOT ({_TXT_DELTA_PRED})")
+    delta = d.filter(_TXT_DELTA_PRED)
+    tmp = tempfile.mkdtemp(prefix="skyhook_txtcmp_", dir=_scratch_dir())
+    try:
+        frag = f"{tmp}/postings"
+        _with_tok0(_postings(base)).write.mode("overwrite").partitionBy(
+            "tok0"
+        ).parquet(frag)
+        _with_tok0(_postings(delta)).write.mode("append").partitionBy(
+            "tok0"
+        ).parquet(frag)
+        fr = _postings_census(spark.read.parquet(frag)).collect()[0]
+        fr_files = _max_files_per_tok0(frag)
+
+        compacted = f"{tmp}/postings_compacted"
+        (
+            spark.read.parquet(frag)
+            .repartition("tok0")
+            .sortWithinPartitions("token", "doc_id")
+            .write.partitionBy("tok0")
+            .parquet(compacted)
+        )
+        co = _postings_census(spark.read.parquet(compacted)).collect()[0]
+        co_files = _max_files_per_tok0(compacted)
+
+        rows = [
+            ("compacted", co.n_postings, co.n_tokens, co.sum_tf,
+             int(co_files == 1)),
+            ("fragmented", fr.n_postings, fr.n_tokens, fr.sum_tf,
+             int(fr_files == 1)),
+        ]
+        return spark.createDataFrame(
+            rows,
+            "phase string, n_postings bigint, n_tokens bigint,"
+            " sum_tf bigint, single_file_per_tok0 int",
+        ).orderBy("phase")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -76,6 +76,7 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q_text_bm25_indexed",  # new: probe-only BM25 over persisted postings
     "q_text_index_incremental",  # new: frozen-tokenization append
     "q_hybrid_rrf_indexed",  # new: RRF over BOTH persisted indexes
+    "q_text_index_compact",  # new: small-file compaction of postings
     # -- r7-era stamps, ALL 22 (externally checked last in round 7)
     "q_maint_vacuum", "q_observe_metrics", "q_scan_full",
     "q_scan_project", "q_scan_schema_drift", "q_set_except",
@@ -93,15 +94,15 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q_filter_between", "q_filter_eq_point", "q_filter_in",
     "q_filter_like", "q_filter_null", "q_filter_null_safe_eq",
     "q_filter_or_not", "q_filter_regex", "q_fn_array", "q_fn_bitwise",
-    "q_fn_case", "q_fn_cast",
+    "q_fn_case",
     # ---- window boundary (50) — round 16 leads with the r8-era
-    # remainder (q_fn_date, q_fn_date_arith, q_fn_map, q_fn_math,
+    # remainder (q_fn_cast, q_fn_date, q_fn_date_arith, q_fn_map, q_fn_math,
     # q_fn_posexplode, q_fn_regex_extract, q_fn_split, q_fn_sql_udf,
     # q_fn_string, q_graph_components, q_join_skew_adaptive,
     # q_multimodal_resize, q_project_compute, q_scan_ignore_corrupt,
     # q_sql_parameterized, q_stream_full_outer_join,
     # q_stream_outer_join, q_tpch_q10, q_tpch_q3, q_tpch_q5,
-    # q_transform_text, q_vec_ivf_files_pruned — 22 stamps), then the
+    # q_transform_text, q_vec_ivf_files_pruned — 23 stamps), then the
     # r9 era (45 stamps, oldest-first).
 )
 

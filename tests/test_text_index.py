@@ -256,3 +256,45 @@ def test_hybrid_probe_candidate_pred_leaves_df_corpuswide(spark, tmp_path):
     assert 0 not in excl
     for d, s in excl.items():
         assert base[d] == s, f"df shifted under candidate exclusion: {d}"
+
+
+def test_compacted_layout_answers_identically(spark, tmp_path):
+    """Compaction must not change one answer: probe_bm25 over the
+    fragmented (base + appended delta) layout equals probe_bm25 over
+    the compacted rewrite, row for row — and the compacted layout
+    really is one file per tok0 directory."""
+    from skyhookdb_ceph_spark.queries.pipeline17 import (
+        _max_files_per_tok0,
+        _TXT_DELTA_PRED,
+    )
+
+    d = Catalog(spark, SF).documents
+    root = str(tmp_path / "cmp")
+    frag = f"{root}/postings"
+    _with_tok0(
+        _postings(d.filter(f"NOT ({_TXT_DELTA_PRED})"))
+    ).write.mode("overwrite").partitionBy("tok0").parquet(frag)
+    _with_tok0(
+        _postings(d.filter(_TXT_DELTA_PRED))
+    ).write.mode("append").partitionBy("tok0").parquet(frag)
+    comp = f"{root}/postings_compacted"
+    (
+        spark.read.parquet(frag)
+        .repartition("tok0")
+        .sortWithinPartitions("token", "doc_id")
+        .write.partitionBy("tok0")
+        .parquet(comp)
+    )
+    assert _max_files_per_tok0(comp) == 1
+    assert _max_files_per_tok0(frag) > 1
+    # identical probes: point both layouts at the same sidecars
+    build_text_index(spark, SF, f"{root}/full")
+    for tag, src in (("frag", frag), ("comp", comp)):
+        idxdir = f"{root}/idx_{tag}"
+        os.makedirs(idxdir)
+        os.symlink(src, f"{idxdir}/postings")
+        os.symlink(f"{root}/full/dlens", f"{idxdir}/dlens")
+        os.symlink(f"{root}/full/stats", f"{idxdir}/stats")
+    a = sorted(map(tuple, probe_bm25(spark, f"{root}/idx_frag").collect()))
+    b = sorted(map(tuple, probe_bm25(spark, f"{root}/idx_comp").collect()))
+    assert a == b and len(a) == 10
