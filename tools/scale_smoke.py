@@ -117,7 +117,7 @@ SETS: dict[str, list[str]] = {
         "sig_probe_binary_fixedq", "sig_probe_2bit_fixedq",
         "text_build", "text_probe_bm25", "hybrid_probe_rrf",
         "q_text_bm25_indexed", "q_text_index_incremental",
-        "q_hybrid_rrf_indexed",
+        "q_hybrid_rrf_indexed", "q_text_index_compact",
     ],
 }
 
