@@ -33,6 +33,13 @@ lifecycle:
    frozen PARAMETERS — a delta tokenized differently would split
    postings for the same logical term across keys, silently
    corrupting every future lookup.
+4. q_hybrid_rrf_indexed — the serving shape end-to-end: RRF fusion
+   of a probe-only BM25 leg (this index) and a probe-only ANN
+   cascade leg (pipeline16's persisted signature index); no
+   tokenize and no encode pass anywhere in the fused plan.
+5. q_text_index_compact — the maintenance op append makes
+   mandatory: rewrite the fragmented tok0 directories into one
+   sorted file each, answers pinned unchanged.
 
 Scale story: at 100 TB the corpus tokenize+shuffle runs once at
 build; a keyword/BM25 probe reads exactly the query terms' tok0
