@@ -630,3 +630,31 @@ def q_text_index_compact(spark, sf_dir):
         ).orderBy("phase")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def append_text_index(spark, delta_docs: DataFrame, path: str) -> None:
+    """Append a delta corpus into an EXISTING index under the frozen
+    tokenization rule — the full maintenance contract, all three
+    pieces: postings and dlens land as new row files (base files
+    byte-untouched), and the 1-row stats sidecar is REWRITTEN from
+    the combined dlens (the metadata-commit step — stats are index
+    parameters, so they must reflect the post-append corpus or every
+    subsequent BM25 probe scores with stale n_docs/avgdl).  avg(dl)
+    over BIGINT is exact-sum/count in both engines, so the rewritten
+    stats equal a from-scratch build's bit-for-bit (fuzz-certified:
+    tools/fuzz_index.py diffs append-then-probe against
+    rebuild-then-probe and a DuckDB inline scorer per seed)."""
+    _with_tok0(_postings(delta_docs)).write.mode("append").partitionBy(
+        "tok0"
+    ).parquet(f"{path}/postings")
+    _dlens(delta_docs).write.mode("append").parquet(f"{path}/dlens")
+    (
+        spark.read.parquet(f"{path}/dlens")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.avg("dl").alias("avgdl"),
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{path}/stats")
+    )
