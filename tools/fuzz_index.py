@@ -32,7 +32,21 @@ each) cannot:
   stay corpus-wide under all of them (the probe_bm25 contract);
 - compact or not after the append.
 
-Failures land in tools/fuzz_failures/idx_seed_N.json.
+Grammar v5b (same file, separate seed space) fuzzes the SIGNATURE
+index's maintenance path — the asymmetric case where append and
+rebuild legitimately DIFFER by design: delta vectors are encoded
+with the BASE cohort's FROZEN quartile thresholds (re-deriving from
+the grown corpus would silently shift existing plane bits), so the
+reference is DuckDB computing thresholds from the base cohort only
+(interpolated over the quantized `v`, the r14 parity rule) and
+encoding everything with them.  Randomized: delta split
+(vec_id % m = r, m in 2..10) — every seed exercises 192 real-valued
+threshold interpolations + both tiers' bit packing on a different
+base cohort.  The per-cohort popcount census (n_vectors, 1-bit and
+2-bit mass) must match exactly.
+
+Failures land in tools/fuzz_failures/idx_seed_N.json (v5) and
+sigidx_seed_N.json (v5b).
 """
 
 from __future__ import annotations
@@ -292,8 +306,153 @@ def run5(
     return failures
 
 
+# ---------------------------------------------------------------------------
+# grammar v5b — the SIGNATURE-index lifecycle (frozen 2-bit thresholds)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class SigSpec:
+    kind: str  # sig_append
+    mod: int  # delta = vec_id % mod == rem
+    rem: int
+
+
+def gen_case5b(seed: int) -> SigSpec:
+    rng = random.Random((seed + 96_000_023) * 2246822519 % (2**31 - 1))
+    mod = rng.randint(2, 10)
+    return SigSpec(kind="sig_append", mod=mod, rem=rng.randrange(mod))
+
+
+def _duck_sig_census(pred_t: str, sf_dir: str) -> list[tuple]:
+    """DuckDB reference for the append-with-frozen-thresholds census:
+    thresholds interpolated over the quantized `v` of the BASE cohort
+    only (the r14 parity fix), both tiers encoded for ALL vectors,
+    popcount census per cohort.  pred_t carries a {v} placeholder so
+    the delta predicate can be rendered unambiguously in each scope."""
+    from skyhookdb_ceph_spark.queries.pipeline14 import _sig_duckdb
+    from skyhookdb_ceph_spark.queries.pipeline15 import (
+        _PLANES,
+        _THR_DUCK,
+        _VQ,
+        _plane_expr,
+    )
+    from skyhookdb_ceph_spark.queries.pipeline16 import _BITS1, _BITS2
+
+    emb = f"'{sf_dir}/embeddings.parquet'"
+    planes = ", ".join(_plane_expr(k, h, True) for k, h in _PLANES)
+    return duckdb.sql(
+        f"""
+        WITH ex AS (
+          SELECT vec_id, i.pos,
+            {_VQ.format(v='embedding[i.pos]')} AS v
+          FROM {emb}, (SELECT unnest(generate_series(1, 64)) AS pos) i),
+        thr AS (
+          SELECT pos, {_THR_DUCK}
+          FROM ex WHERE NOT ({pred_t.format(v='vec_id')}) GROUP BY pos),
+        s2 AS (
+          SELECT vec_id, {planes}
+          FROM ex JOIN thr USING (pos) GROUP BY vec_id),
+        s1 AS (
+          SELECT vec_id,
+            {_sig_duckdb('embedding', 1, 32)} AS sig_lo,
+            {_sig_duckdb('embedding', 33, 64)} AS sig_hi
+          FROM {emb})
+        SELECT CAST(CASE WHEN {pred_t.format(v='s1.vec_id')} THEN 1
+            ELSE 0 END AS INT) AS is_delta,
+          CAST(count(*) AS BIGINT) AS n_vectors,
+          {_BITS1} AS bits_1bit,
+          {_BITS2} AS bits_2bit
+        FROM s1 JOIN s2 USING (vec_id)
+        GROUP BY 1 ORDER BY 1
+        """
+    ).fetchall()
+
+
+def compare5b(spec: SigSpec, spark, sf_dir: str) -> str | None:
+    from pyspark.sql import functions as F
+
+    from skyhookdb_ceph_spark.operators import ensure_parallelism
+    from skyhookdb_ceph_spark.queries._util import Catalog
+    from skyhookdb_ceph_spark.queries.pipeline16 import (
+        _BITS1,
+        _BITS2,
+        _encode,
+        _exploded,
+        _thresholds,
+    )
+
+    pred_t = f"{{v}} % {spec.mod} = {spec.rem}"
+    pred = pred_t.format(v="vec_id")
+    tmp = tempfile.mkdtemp(prefix="fuzzsig_")
+    _SCRATCH.append(tmp)
+    try:
+        e = ensure_parallelism(Catalog(spark, sf_dir).embeddings)
+        base = e.filter(f"NOT ({pred})")
+        delta = e.filter(pred)
+        thr = _thresholds(_exploded(base))  # FROZEN: base cohort only
+        _encode(_exploded(base), thr).withColumn(
+            "is_delta", F.lit(0)
+        ).write.mode("overwrite").parquet(f"{tmp}/sigs")
+        _encode(_exploded(delta), thr).withColumn(
+            "is_delta", F.lit(1)
+        ).write.mode("append").parquet(f"{tmp}/sigs")
+        got = [
+            tuple(r)
+            for r in spark.read.parquet(f"{tmp}/sigs")
+            .groupBy("is_delta")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+                F.expr(_BITS1).alias("bits_1bit"),
+                F.expr(_BITS2).alias("bits_2bit"),
+            )
+            .orderBy("is_delta")
+            .collect()
+        ]
+        want = [tuple(r) for r in _duck_sig_census(pred_t, sf_dir)]
+    except Exception as exc:  # noqa: BLE001
+        return f"raised {type(exc).__name__}: {exc}"[:400]
+    if got != want:
+        return f"census differs: spark={got} duckdb={want}"
+    return None
+
+
+def run5b(
+    n: int,
+    seed0: int,
+    sf_dir: str,
+    stop_on_fail: bool = False,
+    spark=None,
+    progress_every: int = 25,
+) -> list[tuple[int, str]]:
+    from skyhookdb_ceph_spark.session import get_spark
+
+    if spark is None:
+        spark = get_spark(app_name="fuzz_index", shuffle_partitions=8)
+    failures = []
+    for seed in range(seed0, seed0 + n):
+        spec = gen_case5b(seed)
+        problem = compare5b(spec, spark, sf_dir)
+        if problem is not None:
+            out_dir = Path(__file__).parent / "fuzz_failures"
+            out_dir.mkdir(exist_ok=True)
+            (out_dir / f"sigidx_seed_{seed}.json").write_text(
+                json.dumps(
+                    {"seed": seed, "spec": asdict(spec), "problem": problem},
+                    indent=2,
+                )
+            )
+            print(f"DIVERGE seed={seed} [{spec.kind}] {problem}")
+            failures.append((seed, problem))
+            if stop_on_fail:
+                break
+        elif progress_every and (seed - seed0 + 1) % progress_every == 0:
+            print(f"... {seed - seed0 + 1}/{n} green", flush=True)
+    return failures
+
+
 def main() -> int:
-    n, seed0, stop = 50, 0, False
+    n, seed0, stop, gen = 50, 0, False, "v5"
     sf_dir = "/root/testdata/sf0.001"
     it = iter(sys.argv[1:])
     for a in it:
@@ -305,8 +464,11 @@ def main() -> int:
             sf_dir = next(it)
         elif a == "--stop-on-fail":
             stop = True
-    failures = run5(n, seed0, sf_dir, stop)
-    print(f"\n{n - len(failures)}/{n} agree [v5]")
+        elif a == "--gen":
+            gen = next(it)
+    runner = run5b if gen == "v5b" else run5
+    failures = runner(n, seed0, sf_dir, stop)
+    print(f"\n{n - len(failures)}/{n} agree [{gen}]")
     return 1 if failures else 0
 
 
