@@ -111,6 +111,10 @@ SETS: dict[str, list[str]] = {
     ],
     # §Q (r14, late wave): hybrid fusion + the late-data pin's replay
     "r14b": ["q_text_hybrid_rrf", "q_stream_late_data"],
+    # §R.7 (r15 late wave): the small-file serving penalty compaction
+    # repairs — same probe over fresh / 8-batch-fragmented /
+    # compacted layouts
+    "r15b": ["text_probe_bm25", "text_probe_frag8", "text_probe_compacted"],
     # §R (r15): fixed-|Q| signature probes (per-query cost curve, the
     # r14 verdict item 6) + the persisted text index build/probe
     "r15": [
@@ -211,9 +215,10 @@ def _drop_cached_scratch() -> None:
     # Cached scratch dirs may live on /dev/shm tmpfs; a multi-decade
     # sweep must not leak RAM-disk space past process exit (r14
     # ADVICE).
-    for cache in (_SIG_INDEX_CACHE, _TEXT_INDEX_CACHE):
+    for cache in (_SIG_INDEX_CACHE, _TEXT_INDEX_CACHE, _FRAG_TEXT_CACHE):
         for d in cache.values():
             shutil.rmtree(d, ignore_errors=True)
+            shutil.rmtree(d + "_c", ignore_errors=True)
         cache.clear()
 
 
@@ -316,6 +321,77 @@ def text_probe_bm25(spark, sf_dir):
     return probe_bm25(spark, _text_index_dir(spark, sf_dir))
 
 
+_FRAG_TEXT_CACHE: dict[str, str] = {}
+
+
+def _frag_text_dir(spark, sf_dir: str) -> str:
+    """An 8-batch ingest history: base build on the doc_id % 8 = 0
+    cohort, then seven append_text_index batches — the fragmented
+    layout a streaming ingest leaves behind (each append lands new
+    row files in every touched tok0 directory).  Compacted twin
+    under <dir>_c."""
+    from skyhookdb_ceph_spark.queries._util import Catalog
+    from skyhookdb_ceph_spark.queries.pipeline17 import (
+        _dlens,
+        _postings,
+        _with_tok0,
+        append_text_index,
+    )
+    from skyhookdb_ceph_spark.queries.scans import _scratch_dir
+    from pyspark.sql import functions as F
+
+    if sf_dir not in _FRAG_TEXT_CACHE:
+        tmp = tempfile.mkdtemp(prefix="ssmoke_txtfrag_", dir=_scratch_dir())
+        docs = Catalog(spark, sf_dir).documents
+        base = docs.filter("doc_id % 8 = 0")
+        _with_tok0(_postings(base)).write.mode("overwrite").partitionBy(
+            "tok0"
+        ).parquet(f"{tmp}/postings")
+        bdl = _dlens(base)
+        bdl.write.mode("overwrite").parquet(f"{tmp}/dlens")
+        bdl.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.avg("dl").alias("avgdl"),
+        ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/stats")
+        for r in range(1, 8):
+            append_text_index(
+                spark, docs.filter(f"doc_id % 8 = {r}"), tmp
+            )
+        import os
+
+        comp = f"{tmp}_c"
+        os.makedirs(comp)
+        (
+            spark.read.parquet(f"{tmp}/postings")
+            .repartition("tok0")
+            .sortWithinPartitions("token", "doc_id")
+            .write.partitionBy("tok0")
+            .parquet(f"{comp}/postings")
+        )
+        os.symlink(f"{tmp}/dlens", f"{comp}/dlens")
+        os.symlink(f"{tmp}/stats", f"{comp}/stats")
+        _FRAG_TEXT_CACHE[sf_dir] = tmp
+    return _FRAG_TEXT_CACHE[sf_dir]
+
+
+def text_probe_frag8(spark, sf_dir):
+    """BM25 probe over the 8-batch fragmented layout — what serving
+    pays when compaction is skipped (same query as text_probe_bm25,
+    different physical layout; the answer differs only because the
+    index covers the same corpus assembled incrementally)."""
+    from skyhookdb_ceph_spark.queries.pipeline17 import probe_bm25
+
+    return probe_bm25(spark, _frag_text_dir(spark, sf_dir))
+
+
+def text_probe_compacted(spark, sf_dir):
+    """BM25 probe over the compacted rewrite of the same 8-batch
+    history — the payoff row for q_text_index_compact."""
+    from skyhookdb_ceph_spark.queries.pipeline17 import probe_bm25
+
+    return probe_bm25(spark, _frag_text_dir(spark, sf_dir) + "_c")
+
+
 def hybrid_probe_rrf(spark, sf_dir):
     """The fused hybrid probe (lexical postings leg + signature
     cascade leg + RRF) with BOTH builds amortized out — per-query
@@ -341,6 +417,8 @@ TWINS = {
     "sig_probe_2bit_fixedq": sig_probe_2bit_fixedq,
     "text_build": text_build,
     "text_probe_bm25": text_probe_bm25,
+    "text_probe_frag8": text_probe_frag8,
+    "text_probe_compacted": text_probe_compacted,
     "hybrid_probe_rrf": hybrid_probe_rrf,
 }
 
