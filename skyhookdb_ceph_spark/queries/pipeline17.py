@@ -590,7 +590,17 @@ def q_text_index_compact(spark, sf_dir):
 
     At 100 TB: compaction cost is one read + one shuffle of the
     POSTINGS (a fraction of corpus text bytes), amortized across the
-    probes it speeds up; probe cost returns to O(terms) file opens."""
+    probes it speeds up; probe cost returns to O(terms) file opens.
+    Skew note: repartition("tok0") routes each first-letter's
+    postings through ONE task — fine at fixture scale, but common
+    first letters are hot at 100 TB; the scale remedy is
+    repartitionByRange("tok0", "token") with a size-derived
+    partition count, which keeps files sorted and per-token-
+    contiguous while splitting hot tok0 directories into
+    several right-sized sorted files (the single-file invariant
+    pinned here relaxes to files-per-tok0 = ceil(bytes/target);
+    a probe still opens only the files whose token range covers
+    its terms, which the sort makes a manifest-level check)."""
     d = ensure_parallelism(Catalog(spark, sf_dir).documents)
     base = d.filter(f"NOT ({_TXT_DELTA_PRED})")
     delta = d.filter(_TXT_DELTA_PRED)
