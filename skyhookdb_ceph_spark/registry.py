@@ -67,9 +67,10 @@ _LOADED = False
 # from the CORRECTNESS files this session).  The window stays
 # REGRESSION INSURANCE, new/changed-first then oldest-stamps-first:
 # lead with the round-15 additions (the persisted inverted TEXT
-# index — r14 verdict item 1), then the ENTIRE r7-era remainder (22
-# stamps — clearing the r7 era completely), then the front of the r8
-# era (26 of 47, alphabetical).  Everything outside the window stays
+# index — r14 verdict item 1 — plus the wave-2 hybrid serving and
+# compaction ops), then the ENTIRE r7-era remainder (22 stamps —
+# clearing the r7 era completely), then the front of the r8 era
+# (24 of 47, alphabetical).  Everything outside the window stays
 # covered by tests/test_correctness.py's local oracle diff.
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # -- new in round 15 (§2.11 text-index lifecycle)
@@ -86,7 +87,7 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q_transform_xml", "q_vec_recall_eval", "q_win_ntile_pct",
     "q_win_range_frame", "q_win_rank", "q_win_running",
     "q_win_trailing_hour",
-    # -- r8-era stamps, first 26 of 47 (alphabetical)
+    # -- r8-era stamps, first 24 of 47 (alphabetical)
     "q_agg_avg_stddev", "q_agg_cube", "q_agg_filtered",
     "q_agg_grouping_sets", "q_agg_listagg", "q_agg_percentiles",
     "q_agg_pivot", "q_agg_rollup", "q_dedup_exact", "q_dedup_ngram",
