@@ -53,7 +53,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from skyhookdb_ceph_spark.operators import ensure_parallelism, vectors
-from skyhookdb_ceph_spark.queries._util import Catalog
+from skyhookdb_ceph_spark.queries._util import Catalog, local_df
 from skyhookdb_ceph_spark.queries.pipeline14 import (
     _KNN_BINARY_ORACLE,
     _KNN_K,
@@ -146,13 +146,21 @@ def build_sig_index(spark, sf_dir: str, path: str) -> None:
     any re-encode audit must read them back, not recompute them."""
     e = ensure_parallelism(Catalog(spark, sf_dir).embeddings)
     ex = _exploded(e)
+    # Materialize the 64-row threshold table ONCE.  Left as a lazy
+    # plan it is evaluated twice — once inside the sigs job's
+    # broadcast exchange and once for the params write — and each
+    # evaluation is a full posexplode + percentile pass over the
+    # corpus, the single most expensive step of the build.  The table
+    # is 64 rows at ANY corpus size, so driver materialization is
+    # constant-cost and the rebuilt local frame broadcasts instantly.
     thr = _thresholds(ex)
+    thr_local = local_df(spark, thr.collect(), thr.schema)
     # pin the layout's column order (readers select by name, but a
     # stable on-disk schema keeps appended files byte-compatible)
-    _encode(ex, thr).select("vec_id", *_SIG_COLS).write.mode(
+    _encode(ex, thr_local).select("vec_id", *_SIG_COLS).write.mode(
         "overwrite"
     ).parquet(f"{path}/sigs")
-    thr.coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
+    thr_local.coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
 
 
 # ---------------------------------------------------------------------------
@@ -347,7 +355,7 @@ def q_vec_sig_build(spark, sf_dir):
             )
             .orderBy("shard")
         )
-        return spark.createDataFrame(out.collect(), out.schema)
+        return local_df(spark, out.collect(), out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -382,7 +390,7 @@ def q_sim_knn_binary_indexed(spark, sf_dir):
         build_sig_index(spark, sf_dir, tmp)
         e = ensure_parallelism(Catalog(spark, sf_dir).embeddings)
         out = probe_binary(e, spark.read.parquet(f"{tmp}/sigs"))
-        return spark.createDataFrame(out.collect(), out.schema)
+        return local_df(spark, out.collect(), out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -407,7 +415,7 @@ def q_sim_knn_2bit_indexed(spark, sf_dir):
         build_sig_index(spark, sf_dir, tmp)
         e = ensure_parallelism(Catalog(spark, sf_dir).embeddings)
         out = probe_2bit(e, spark.read.parquet(f"{tmp}/sigs"))
-        return spark.createDataFrame(out.collect(), out.schema)
+        return local_df(spark, out.collect(), out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -471,7 +479,11 @@ def q_vec_sig_incremental(spark, sf_dir):
     e = ensure_parallelism(Catalog(spark, sf_dir).embeddings)
     base = e.filter(f"NOT ({_DELTA_PRED})")
     delta = e.filter(_DELTA_PRED)
-    thr = _thresholds(_exploded(base))  # FROZEN: base cohort only
+    # FROZEN: base cohort only.  Materialized once (64 rows) — left
+    # lazy, the posexplode+percentile pass over the base corpus would
+    # re-run inside BOTH write jobs' broadcast exchanges below.
+    thr_plan = _thresholds(_exploded(base))
+    thr = local_df(spark, thr_plan.collect(), thr_plan.schema)
     tmp = tempfile.mkdtemp(prefix="skyhook_siginc_", dir=_scratch_dir())
     try:
         _encode(_exploded(base), thr).withColumn(
@@ -490,7 +502,7 @@ def q_vec_sig_incremental(spark, sf_dir):
             )
             .orderBy("is_delta")
         )
-        return spark.createDataFrame(out.collect(), out.schema)
+        return local_df(spark, out.collect(), out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -861,7 +873,7 @@ def q_stream_late_data(spark, sf_dir):
             agg, output_mode="append", needs_watermark_batch=True
         )
         out = sink.selectExpr("CAST(window.start AS LONG) AS ws", "cnt")
-        return spark.createDataFrame(out.collect(), out.schema)
+        return local_df(spark, out.collect(), out.schema)
     finally:
         import shutil as _sh
 

@@ -60,7 +60,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from skyhookdb_ceph_spark.operators import ensure_parallelism
-from skyhookdb_ceph_spark.queries._util import Catalog, quantize
+from skyhookdb_ceph_spark.queries._util import Catalog, local_df, quantize
 from skyhookdb_ceph_spark.queries.pipeline3 import (
     _BM25_B,
     _BM25_K1,
@@ -120,9 +120,14 @@ def build_text_index(spark, sf_dir: str, path: str) -> None:
     _with_tok0(_postings(d)).write.mode("overwrite").partitionBy(
         "tok0"
     ).parquet(f"{path}/postings")
-    dl = _dlens(d)
-    dl.write.mode("overwrite").parquet(f"{path}/dlens")
-    dl.agg(
+    _dlens(d).write.mode("overwrite").parquet(f"{path}/dlens")
+    # stats from the WRITTEN sidecar, not a third corpus scan: the
+    # dlens values are already materialized a line above, so deriving
+    # (n_docs, avgdl) from the read-back file replaces a full
+    # re-tokenize of every document body with an aggregate over one
+    # bigint column — the same derivation append_text_index commits
+    # with (fuzz-certified equal to a fresh build, tools/fuzz_index.py)
+    spark.read.parquet(f"{path}/dlens").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.avg("dl").alias("avgdl"),
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
@@ -222,7 +227,7 @@ def q_text_bm25_indexed(spark, sf_dir):
     try:
         build_text_index(spark, sf_dir, tmp)
         out = probe_bm25(spark, tmp)
-        return spark.createDataFrame(out.collect(), out.schema)
+        return local_df(spark, out.collect(), out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -297,7 +302,7 @@ def q_text_index_incremental(spark, sf_dir):
             )
             .orderBy("is_delta")
         )
-        return spark.createDataFrame(out.collect(), out.schema)
+        return local_df(spark, out.collect(), out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -505,7 +510,7 @@ def q_hybrid_rrf_indexed(spark, sf_dir):
         build_text_index(spark, sf_dir, tdir)
         build_sig_index(spark, sf_dir, sdir)
         out = probe_hybrid_rrf(spark, tdir, sdir, e)
-        return spark.createDataFrame(out.collect(), out.schema)
+        return local_df(spark, out.collect(), out.schema)
     finally:
         shutil.rmtree(tdir, ignore_errors=True)
         shutil.rmtree(sdir, ignore_errors=True)
@@ -633,7 +638,8 @@ def q_text_index_compact(spark, sf_dir):
             ("fragmented", fr.n_postings, fr.n_tokens, fr.sum_tf,
              int(fr_files == 1)),
         ]
-        return spark.createDataFrame(
+        return local_df(
+            spark,
             rows,
             "phase string, n_postings bigint, n_tokens bigint,"
             " sum_tf bigint, single_file_per_tok0 int",
