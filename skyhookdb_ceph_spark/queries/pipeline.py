@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 from skyhookdb_ceph_spark.operators import ensure_parallelism
 from skyhookdb_ceph_spark.operators.range_join import banded_interval_join
 from skyhookdb_ceph_spark.operators.skew import salted_sum_count
-from skyhookdb_ceph_spark.queries._util import Catalog, money, quantize, ratio
+from skyhookdb_ceph_spark.queries._util import Catalog, local_df, money, quantize, ratio
 from skyhookdb_ceph_spark.registry import query
 
 # ---------------------------------------------------------------------------
@@ -207,7 +207,7 @@ def q_join_range(spark, sf_dir):
     one keyed shuffle, linear work, any scale (operators/range_join.py;
     same recipe as q_join_theta)."""
     o = Catalog(spark, sf_dir).orders.select("o_orderkey", "o_totalprice")
-    tiers = spark.createDataFrame(_TIERS, ["tier", "lo", "hi"])
+    tiers = local_df(spark, _TIERS, "tier string, lo double, hi double")
     joined = banded_interval_join(
         o, tiers, "o_totalprice", F.col("lo"), F.col("hi"), width=100000.0
     )

@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 from skyhookdb_ceph_spark.operators import minhash, vectors
 from skyhookdb_ceph_spark.queries.llm import FUZZY_CTES, FUZZY_SIG_CTES
 from skyhookdb_ceph_spark.operators.stats import measured_shuffle_width
-from skyhookdb_ceph_spark.queries._util import Catalog, money, quantize
+from skyhookdb_ceph_spark.queries._util import Catalog, local_df, money, quantize
 from skyhookdb_ceph_spark.registry import query
 
 # ---------------------------------------------------------------------------
@@ -605,7 +605,9 @@ def q_agg_incremental_merge(spark, sf_dir):
 
     ev = Catalog(spark, sf_dir).events
     cut = F.lit(_IVM_CUT).cast("timestamp")
-    tmp = tempfile.mkdtemp(prefix="skyhook_ivm_")
+    from skyhookdb_ceph_spark.queries.scans import _scratch_dir
+
+    tmp = tempfile.mkdtemp(prefix="skyhook_ivm_", dir=_scratch_dir())
     try:
         base_state = (
             ev.filter(F.col("ts") < cut)
@@ -641,7 +643,7 @@ def q_agg_incremental_merge(spark, sf_dir):
         ).orderBy("event_type")
         # materialize before the temp dir vanishes (groups-sized)
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -1044,7 +1046,7 @@ def q_vec_ivf_incremental(spark, sf_dir):
             .orderBy("bucket")
         )
         rows = out.collect()  # cell census: bounded by 2^nb
-        return spark.createDataFrame(rows, out.schema)
+        return local_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

@@ -48,7 +48,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from skyhookdb_ceph_spark.queries._util import Catalog, quantize
+from skyhookdb_ceph_spark.queries._util import Catalog, local_df, quantize
 from skyhookdb_ceph_spark.registry import query
 
 # ---------------------------------------------------------------------------
@@ -198,7 +198,9 @@ def q_maint_recluster(spark, sf_dir):
 
     lo = F.lit(_RC_LO).cast("timestamp")
     hi = F.lit(f"{_RC_HI} 23:59:59").cast("timestamp")
-    tmp = tempfile.mkdtemp(prefix="skyhook_recluster_")
+    from skyhookdb_ceph_spark.queries.scans import _scratch_dir
+
+    tmp = tempfile.mkdtemp(prefix="skyhook_recluster_", dir=_scratch_dir())
     try:
         before, after = recluster_layouts(spark, sf_dir, tmp)
         out = (
@@ -212,7 +214,7 @@ def q_maint_recluster(spark, sf_dir):
         )
         # materialize before the temp layouts vanish (2 verdict rows)
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from skyhookdb_ceph_spark.operators.multimodal import frame_sample
 from skyhookdb_ceph_spark.operators.skew import salted_join
 from skyhookdb_ceph_spark.operators.vectors import cosine_duckdb, cosine_expr
-from skyhookdb_ceph_spark.queries._util import Catalog, quantize
+from skyhookdb_ceph_spark.queries._util import Catalog, local_df, quantize
 from skyhookdb_ceph_spark.registry import query
 from skyhookdb_ceph_spark.streaming.replay import drain_to_files, events_stream
 
@@ -379,6 +379,6 @@ def q_stream_filesink(spark, sf_dir):
             quantize(F.sum("value"), 2).alias("sum_value"),
         )
         # Materialize before the scratch dir is removed.
-        return spark.createDataFrame(out.collect(), out.schema)
+        return local_df(spark, out.collect(), out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

@@ -13,7 +13,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from skyhookdb_ceph_spark.operators import ensure_parallelism
-from skyhookdb_ceph_spark.queries._util import Catalog, quantize, quantize2
+from skyhookdb_ceph_spark.queries._util import Catalog, local_df, quantize, quantize2
 from skyhookdb_ceph_spark.registry import query
 
 # ---------------------------------------------------------------------------
@@ -1135,7 +1135,7 @@ def q_scan_partition_prune(spark, sf_dir):
         )
         # Materialize the (days x types)-bounded result before the
         # scratch dir is removed (house pattern, scans.py).
-        return spark.createDataFrame(out.collect(), out.schema)
+        return local_df(spark, out.collect(), out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -1251,7 +1251,7 @@ def q_vec_ivf_build(spark, sf_dir):
             .orderBy(F.col("sim").desc(), "vec_id")
             .limit(5)
         )
-        return spark.createDataFrame(out.collect(), out.schema)
+        return local_df(spark, out.collect(), out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -1793,7 +1793,7 @@ def q_join_dpp(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("cnt"))
             .orderBy("event_date", "event_type")
         )
-        return spark.createDataFrame(out.collect(), out.schema)
+        return local_df(spark, out.collect(), out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

@@ -36,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from skyhookdb_ceph_spark.queries._util import Catalog, quantize, quantize2
+from skyhookdb_ceph_spark.queries._util import Catalog, local_df, quantize, quantize2
 from skyhookdb_ceph_spark.registry import query
 
 # ---------------------------------------------------------------------------
@@ -990,7 +990,7 @@ def q_scan_corrupt_json(spark, sf_dir):
             .alias("sum_chars_good"),
         )
         # Materialize before the scratch dir is removed.
-        return spark.createDataFrame(out.collect(), out.schema)
+        return local_df(spark, out.collect(), out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -1731,7 +1731,7 @@ def q_scan_binary_file(spark, sf_dir):
             .orderBy("file_k")
         )
         # Materialize before the scratch dir is removed.
-        return spark.createDataFrame(out.collect(), out.schema)
+        return local_df(spark, out.collect(), out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -1816,7 +1816,7 @@ def q_stream_resume(spark, sf_dir):
             .orderBy("event_type")
         )
         # Materialize before the scratch dir is removed.
-        return spark.createDataFrame(agg.collect(), agg.schema)
+        return local_df(spark, agg.collect(), agg.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -2206,7 +2206,7 @@ def q_scan_agg_pushdown(spark, sf_dir):
             "max(l_extendedprice) AS max_price",
         )
         # Materialize UNDER the pushdown confs (1 row), then restore.
-        return spark.createDataFrame(out.collect(), out.schema)
+        return local_df(spark, out.collect(), out.schema)
     finally:
         spark.conf.set("spark.sql.parquet.aggregatePushdown", prev_push)
         spark.conf.set("spark.sql.sources.useV1SourceList", prev_v1)

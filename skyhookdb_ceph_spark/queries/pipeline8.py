@@ -45,7 +45,7 @@ from skyhookdb_ceph_spark.operators.skew import (
     SKEW_SHARE_THRESHOLD,
     max_key_share,
 )
-from skyhookdb_ceph_spark.queries._util import Catalog, quantize, ratio
+from skyhookdb_ceph_spark.queries._util import Catalog, local_df, quantize, ratio
 from skyhookdb_ceph_spark.registry import query
 
 # ---------------------------------------------------------------------------
@@ -305,7 +305,7 @@ def q_transform_xml(spark, sf_dir):
             )
             .orderBy("c_mktsegment")
         )
-        return spark.createDataFrame(out.collect(), out.schema)
+        return local_df(spark, out.collect(), out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -509,7 +509,7 @@ def q_stream_backpressure(spark, sf_dir):
             .withColumn("bounded_ingest", F.lit(n_batches >= 4))
             .orderBy("event_type")
         )
-        return spark.createDataFrame(agg.collect(), agg.schema)
+        return local_df(spark, agg.collect(), agg.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -605,7 +605,8 @@ def q_observe_metrics(spark, sf_dir):
     # pipeline would run anyway); metrics piggyback on it.
     observed.agg(F.count(F.lit(1))).collect()
     m = obs.get
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [
             (
                 int(m["n_rows"]),
@@ -683,7 +684,7 @@ def q_maint_compact(spark, sf_dir):
                 "sum_cents",
             )
         )
-        return spark.createDataFrame(agg.collect(), agg.schema)
+        return local_df(spark, agg.collect(), agg.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -734,7 +735,7 @@ def q_scan_schema_drift(spark, sf_dir):
             F.count("n_chars").cast("bigint").alias("n_with_chars"),
             F.sum("n_chars").cast("bigint").alias("sum_chars"),
         )
-        return spark.createDataFrame(agg.collect(), agg.schema)
+        return local_df(spark, agg.collect(), agg.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -820,7 +821,10 @@ def q_stream_python_source(spark, sf_dir):
                 if end.get("chunk") == n_chunks:
                     drained = True
                     break
-            time.sleep(0.1)
+            # 20 ms poll: the drain loop's sleep is pure added latency
+            # on top of each micro-batch commit (4+ polls per drain at
+            # the old 100 ms = up to 0.4 s of idle waiting per run)
+            time.sleep(0.02)
         data_batches = sum(
             1 for p in q.recentProgress if p["numInputRows"] > 0
         )
@@ -843,7 +847,7 @@ def q_stream_python_source(spark, sf_dir):
             .withColumn("bounded_batches", F.lit(data_batches >= n_chunks))
             .orderBy("event_type")
         )
-        return spark.createDataFrame(agg.collect(), agg.schema)
+        return local_df(spark, agg.collect(), agg.schema)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
         shutil.rmtree(tmp, ignore_errors=True)
@@ -1163,6 +1167,6 @@ def q_maint_vacuum(spark, sf_dir):
             F.lit(len(orphans)).cast("bigint").alias("orphans_removed"),
             F.lit(after == used).alias("dir_matches_log"),
         )
-        return spark.createDataFrame(agg.collect(), agg.schema)
+        return local_df(spark, agg.collect(), agg.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

@@ -45,7 +45,7 @@ import math
 from pyspark.sql import functions as F
 
 from skyhookdb_ceph_spark.operators import vectors
-from skyhookdb_ceph_spark.queries._util import Catalog
+from skyhookdb_ceph_spark.queries._util import Catalog, local_df
 from skyhookdb_ceph_spark.registry import query
 
 # ---------------------------------------------------------------------------
@@ -198,7 +198,8 @@ def q_vec_ivf_files_pruned(spark, sf_dir):
                     ),
                 )
             )
-        return spark.createDataFrame(
+        return local_df(
+            spark,
             rows,
             "probe_width int, n_cells_probed bigint, n_cells_total bigint, "
             "files_match_cells boolean, frac_corpus_read double",
@@ -433,7 +434,7 @@ def q_scan_ignore_corrupt(spark, sf_dir):
             )
         )
         # materialize before the tempdir is removed (1 bounded row)
-        return spark.createDataFrame(agg.collect(), agg.schema)
+        return local_df(spark, agg.collect(), agg.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -483,7 +484,7 @@ def q_transform_text(spark, sf_dir):
             F.min(F.length("value")).cast("bigint").alias("min_chars"),
             F.max(F.length("value")).cast("bigint").alias("max_chars"),
         )
-        return spark.createDataFrame(agg.collect(), agg.schema)
+        return local_df(spark, agg.collect(), agg.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

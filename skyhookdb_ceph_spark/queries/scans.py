@@ -21,7 +21,7 @@ import tempfile
 from pyspark.sql import types as T
 
 from skyhookdb_ceph_spark.operators.stats import column_stats
-from skyhookdb_ceph_spark.queries._util import Catalog, F
+from skyhookdb_ceph_spark.queries._util import Catalog, F, local_df
 from skyhookdb_ceph_spark.registry import query
 
 
@@ -101,7 +101,7 @@ def q_transform_format(spark, sf_dir):
             )
         )
         # Materialize before the temp dir can be cleaned up.
-        out = spark.createDataFrame(out.collect(), out.schema)
+        out = local_df(spark, out.collect(), out.schema)
         return out
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -144,7 +144,7 @@ def q_transform_json(spark, sf_dir):
                 .alias("sum_k"),
             )
         )
-        return spark.createDataFrame(out.collect(), out.schema)
+        return local_df(spark, out.collect(), out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -254,6 +254,6 @@ def q_transform_orc(spark, sf_dir):
                 ),
             )
         )
-        return spark.createDataFrame(out.collect(), out.schema)
+        return local_df(spark, out.collect(), out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

@@ -25,7 +25,7 @@ import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from skyhookdb_ceph_spark.queries._util import Catalog
+from skyhookdb_ceph_spark.queries._util import Catalog, local_df
 from skyhookdb_ceph_spark.registry import query
 from skyhookdb_ceph_spark.streaming.replay import drain_to_memory, events_stream
 
@@ -159,7 +159,9 @@ def q_stream_dedup(spark, sf_dir):
     dropDuplicatesWithinWatermark(event_id) must collapse the two
     copies back to the unique event set.  State is keyed by event_id
     and evicted once the watermark passes — bounded memory at scale."""
-    tmp = tempfile.mkdtemp(prefix="skyhook_stream_dedup_")
+    from skyhookdb_ceph_spark.queries.scans import _scratch_dir
+
+    tmp = tempfile.mkdtemp(prefix="skyhook_stream_dedup_", dir=_scratch_dir())
     try:
         # Replay the fixture TWICE via file-level copies — byte copies
         # cost milliseconds where the previous unionAll + parquet
@@ -594,7 +596,7 @@ def q_stream_foreach_batch(spark, sf_dir):
             .orderBy("event_type")
         )
         # Materialize before the scratch dir is removed.
-        return spark.createDataFrame(out.collect(), out.schema)
+        return local_df(spark, out.collect(), out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -1189,7 +1191,9 @@ def _dedup_lsh_pipeline(spark, sf_dir, n_files=1, options=None):
         StorageLevel.MEMORY_AND_DISK
     )
 
-    tmp = tempfile.mkdtemp(prefix="skyhook_stream_lsh_")
+    from skyhookdb_ceph_spark.queries.scans import _scratch_dir
+
+    tmp = tempfile.mkdtemp(prefix="skyhook_stream_lsh_", dir=_scratch_dir())
     try:
         delta = docs.filter("doc_id % 2 = 1").repartition(n_files)
         delta.write.mode("overwrite").parquet(os.path.join(tmp, "delta"))
