@@ -460,9 +460,22 @@ def main() -> int:
     import re as _re
 
     _env_tag = os.environ.get("SPARK_GRAFT_BENCH_ROUND")
+    _tag = None
     if _env_tag:
-        _tag = int(_env_tag)
-    else:
+        # Validate instead of a bare int(): a malformed override (e.g.
+        # 'r15') would otherwise raise AFTER the whole bench ran,
+        # losing the archive the override was meant to control (r15
+        # ADVICE).  Fall back to the glob inference with a warning.
+        if _re.fullmatch(r"\d+", _env_tag.strip()):
+            _tag = int(_env_tag)
+        else:
+            print(
+                f"[bench] ignoring malformed SPARK_GRAFT_BENCH_ROUND="
+                f"{_env_tag!r} (want digits); inferring from BENCH_r* "
+                "files instead",
+                file=sys.stderr,
+            )
+    if _tag is None:
         _rounds = [
             int(m.group(1))
             for p in Path(_REPO).glob("BENCH_r*.json")

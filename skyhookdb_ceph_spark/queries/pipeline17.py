@@ -620,6 +620,20 @@ def q_text_index_compact(spark, sf_dir):
         ).parquet(frag)
         fr = _postings_census(spark.read.parquet(frag)).collect()[0]
         fr_files = _max_files_per_tok0(frag)
+        if fr_files < 2:
+            # The oracle declares single_file_per_tok0 = 0 for this
+            # phase; nothing STRUCTURALLY guarantees the base write +
+            # delta append overlap in at least one tok0 dir at every
+            # scale factor / partition setting (r15 ADVICE).  If the
+            # precondition ever fails, raise a distinguishable error
+            # instead of shipping a row the driver would misread as a
+            # real correctness divergence.
+            raise RuntimeError(
+                "q_text_index_compact: fragmented layout precondition "
+                f"failed (max files per tok0 = {fr_files}, expected >= 2 "
+                "from base write + delta append) — fixture/partitioning "
+                "change, not a compaction bug"
+            )
 
         compacted = f"{tmp}/postings_compacted"
         (

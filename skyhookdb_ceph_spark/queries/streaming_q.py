@@ -1174,14 +1174,20 @@ def _dedup_lsh_pipeline(spark, sf_dir, n_files=1, options=None):
 
     docs = Catalog(spark, sf_dir).documents
     base = docs.filter("doc_id % 2 = 0")
-    base_sh = minhash.shingle_sets(base)
-    # Persist BOTH static consumers: stream-static joins re-evaluate the
-    # static plan on every micro-batch, and base_sh feeds two consumers
-    # (signatures + shingle verify side).  Without these persists each
+    # Persist the shared shingle frame AND both static consumers:
+    # stream-static joins re-evaluate the static plan on every
+    # micro-batch, and base_sh feeds two consumers (signatures +
+    # shingle verify side).  Without the consumer persists each
     # trigger would re-shingle the whole admitted corpus twice — the
     # persist is what makes the docstring's "corpus-sized ONCE, never
     # per batch" claim true in THIS plan, not just in the production
-    # bucketBy-index deployment.
+    # bucketBy-index deployment.  Without the base_sh persist the TWO
+    # consumer materializations each re-ran the shingle pass (explode
+    # + window + collect_set over the whole admitted corpus) — caching
+    # the shingles makes setup one base pass instead of two.
+    base_sh = minhash.shingle_sets(base).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     base_sig = (
         minhash.band_signatures(base_sh)
         .selectExpr("doc_id AS db", "CAST(b AS BIGINT) AS b", "bsig")
@@ -1236,6 +1242,7 @@ def _dedup_lsh_pipeline(spark, sf_dir, n_files=1, options=None):
     finally:
         base_sig.unpersist()
         base_y.unpersist()
+        base_sh.unpersist()
         shutil.rmtree(tmp, ignore_errors=True)
 
 

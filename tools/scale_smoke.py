@@ -208,18 +208,34 @@ def ks_drift_events(spark, sf_dir):
 # deployment actually pays once the index is persisted.
 _SIG_INDEX_CACHE: dict[str, str] = {}
 _TEXT_INDEX_CACHE: dict[str, str] = {}
+# EVERY scratch dir this module mkdtemps, cached or not: the fresh-dir
+# build twins (sig_build, text_build, splits) allocate on /dev/shm
+# tmpfs per invocation — twice per decade under the warm+timed
+# protocol — and previously leaked them past exit (r15 ADVICE).
+_ALL_SCRATCH: list[str] = []
+
+
+def _scratch_mkdtemp(prefix: str) -> str:
+    from skyhookdb_ceph_spark.queries.scans import _scratch_dir
+
+    d = tempfile.mkdtemp(prefix=prefix, dir=_scratch_dir())
+    _ALL_SCRATCH.append(d)
+    return d
 
 
 @atexit.register
 def _drop_cached_scratch() -> None:
     # Cached scratch dirs may live on /dev/shm tmpfs; a multi-decade
     # sweep must not leak RAM-disk space past process exit (r14
-    # ADVICE).
+    # ADVICE; extended to ALL mkdtemp sites per r15 ADVICE).
     for cache in (_SIG_INDEX_CACHE, _TEXT_INDEX_CACHE, _FRAG_TEXT_CACHE):
         for d in cache.values():
             shutil.rmtree(d, ignore_errors=True)
             shutil.rmtree(d + "_c", ignore_errors=True)
         cache.clear()
+    for d in _ALL_SCRATCH:
+        shutil.rmtree(d, ignore_errors=True)
+    _ALL_SCRATCH.clear()
 
 
 def _sig_index_dir(spark, sf_dir: str) -> str:
@@ -227,7 +243,7 @@ def _sig_index_dir(spark, sf_dir: str) -> str:
     from skyhookdb_ceph_spark.queries.scans import _scratch_dir
 
     if sf_dir not in _SIG_INDEX_CACHE:
-        tmp = tempfile.mkdtemp(prefix="ssmoke_sigidx_", dir=_scratch_dir())
+        tmp = _scratch_mkdtemp("ssmoke_sigidx_")
         build_sig_index(spark, sf_dir, tmp)
         _SIG_INDEX_CACHE[sf_dir] = tmp
     return _SIG_INDEX_CACHE[sf_dir]
@@ -238,7 +254,7 @@ def _text_index_dir(spark, sf_dir: str) -> str:
     from skyhookdb_ceph_spark.queries.scans import _scratch_dir
 
     if sf_dir not in _TEXT_INDEX_CACHE:
-        tmp = tempfile.mkdtemp(prefix="ssmoke_txtidx_", dir=_scratch_dir())
+        tmp = _scratch_mkdtemp("ssmoke_txtidx_")
         build_text_index(spark, sf_dir, tmp)
         _TEXT_INDEX_CACHE[sf_dir] = tmp
     return _TEXT_INDEX_CACHE[sf_dir]
@@ -251,7 +267,7 @@ def sig_build(spark, sf_dir):
     from skyhookdb_ceph_spark.queries.pipeline16 import build_sig_index
     from skyhookdb_ceph_spark.queries.scans import _scratch_dir
 
-    tmp = tempfile.mkdtemp(prefix="ssmoke_sigbuild_", dir=_scratch_dir())
+    tmp = _scratch_mkdtemp("ssmoke_sigbuild_")
     build_sig_index(spark, sf_dir, tmp)
     return spark.read.parquet(f"{tmp}/params")
 
@@ -306,7 +322,7 @@ def text_build(spark, sf_dir):
     from skyhookdb_ceph_spark.queries.pipeline17 import build_text_index
     from skyhookdb_ceph_spark.queries.scans import _scratch_dir
 
-    tmp = tempfile.mkdtemp(prefix="ssmoke_txtbuild_", dir=_scratch_dir())
+    tmp = _scratch_mkdtemp("ssmoke_txtbuild_")
     build_text_index(spark, sf_dir, tmp)
     return spark.read.parquet(f"{tmp}/stats")
 
@@ -341,7 +357,7 @@ def _frag_text_dir(spark, sf_dir: str) -> str:
     from pyspark.sql import functions as F
 
     if sf_dir not in _FRAG_TEXT_CACHE:
-        tmp = tempfile.mkdtemp(prefix="ssmoke_txtfrag_", dir=_scratch_dir())
+        tmp = _scratch_mkdtemp("ssmoke_txtfrag_")
         docs = Catalog(spark, sf_dir).documents
         base = docs.filter("doc_id % 8 = 0")
         _with_tok0(_postings(base)).write.mode("overwrite").partitionBy(
@@ -492,7 +508,7 @@ def split_events(sf_dir: str, n_files: int = N_FILES) -> str:
 
     from skyhookdb_ceph_spark.queries.scans import _scratch_dir
 
-    out = tempfile.mkdtemp(prefix="ssmoke_split_", dir=_scratch_dir())
+    out = _scratch_mkdtemp("ssmoke_split_")
     t = pq.read_table(f"{sf_dir}/events.parquet")
     t = t.take(pc.sort_indices(t, sort_keys=[("ts", "ascending")]))
     n = t.num_rows
