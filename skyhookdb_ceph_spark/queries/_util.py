@@ -55,6 +55,7 @@ def local_df(spark, rows, schema):
         T.BooleanType,
         T.DateType,
         T.TimestampType,
+        T.TimestampNTZType,
         T.DecimalType,
     )
     fields = schema.fields
@@ -82,6 +83,8 @@ def local_df(spark, rows, schema):
             return f"CAST('{v}' AS {ddl})"
         if isinstance(f.dataType, T.DateType):
             return f"DATE '{v.isoformat()}'"
+        if isinstance(f.dataType, T.TimestampNTZType):
+            return f"TIMESTAMP_NTZ '{v.isoformat(sep=' ')}'"
         if isinstance(f.dataType, T.TimestampType):
             return f"TIMESTAMP '{v.isoformat(sep=' ')}'"
         # string: base64-armored so no quoting/escape dialect applies

@@ -38,6 +38,8 @@ def test_round_trip_all_supported_types(spark):
           timestamp'2024-01-02 03:04:05.123456'
             + make_interval(0, 0, 0, 0, 0, 0, id) AS ts,
           date'2024-03-04' AS dt, CAST(NULL AS DOUBLE) AS nd,
+          timestamp_ntz'2031-05-06 07:08:09.000001'
+            + make_interval(0, 0, 0, 0, 0, 0, id) AS tsn,
           CAST(1.23 AS DECIMAL(10,2)) AS dec
         FROM range(5)
         """
