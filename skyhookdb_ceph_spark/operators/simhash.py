@@ -137,7 +137,13 @@ def simhash_pairs(
     # twice more (measured 3.7s -> 2.9s at sf0.1).  Cost: candidate
     # shuffle rows carry two 64-char strings (~128 bytes) — fine at any
     # scale vs two extra corpus scans.
-    sigs = simhash_signatures(docs, text_col, id_col)
+    # Materialize the signature pass ONCE: both sides of the band
+    # self-join below derive from it under different aliases, so
+    # Catalyst cannot reuse the exchange and would run the md5-pair +
+    # 64-way vote fold (the dominant cost) twice.  Same localCheckpoint
+    # pattern as cluster_labels / q_text_edit_distance; the frame is
+    # one (id, 64-char sig) row per doc.
+    sigs = simhash_signatures(docs, text_col, id_col).localCheckpoint()
     bands = sigs.selectExpr(
         id_col,
         "sig",

@@ -200,6 +200,10 @@ def bucketed_pairs(emb: DataFrame, id_col: str = "vec_id") -> DataFrame:
     """(a < b) vector pairs colliding in ANY LSH band.  Shape:
     band-join on (id, bucket) → distinct id pairs → re-join embeddings.
     The distinct sees only 8-byte id pairs; vectors join back after."""
+    # (r16 A/B: localCheckpoint-ing cells measured a wash here — the
+    # banded-cells projection is cheap relative to the checkpoint's
+    # eager materialization job, unlike the simhash/edit-distance
+    # fingerprint passes — so it stays lazy.)
     cells = banded_cells(emb, id_col)
     a = cells.selectExpr(f"{id_col} AS va", "bucket")
     b = cells.selectExpr(f"{id_col} AS vb", "bucket AS bucket2")

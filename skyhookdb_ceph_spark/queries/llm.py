@@ -160,6 +160,10 @@ def q_dedup_ngram(spark, sf_dir):
         "array_min(transform(sequence(1, greatest(length(text) - 7, 1), 4), "
         "i -> md5(substring(text, i, 8)))) AS fp8",
     )
+    # materialize the winnowed-fingerprint pass once (self-join sides
+    # carry different aliases - no exchange reuse; q_text_edit_distance
+    # precedent)
+    fp = fp.localCheckpoint()
     a = fp.selectExpr("doc_id AS doc_a", "words AS wa", "fp8")
     c = fp.selectExpr("doc_id AS doc_b", "words AS wb", "fp8 AS fp8b")
     return (
@@ -582,6 +586,14 @@ def q_text_edit_distance(spark, sf_dir):
         "array_min(transform(hs, h -> substring(h, 17, 8))), "
         "array_min(transform(hs, h -> substring(h, 25, 8)))) AS fp8",
     )
+    # Materialize the fingerprint pass ONCE: the self-join's two sides
+    # carry different aliases, so Catalyst cannot reuse the exchange
+    # and would run the per-8-gram md5 transform (the dominant cost —
+    # |text| digests per doc) twice.  Same localCheckpoint pattern as
+    # cluster_labels; the checkpointed frame is (doc_id, text, fp8),
+    # corpus-sized, which a deployment would checkpoint to shared
+    # storage exactly like the LSH edge list.
+    fp = fp.localCheckpoint()
     a = fp.selectExpr("doc_id AS doc_a", "text AS ta", "fp8")
     c = fp.selectExpr("doc_id AS doc_b", "text AS tb", "fp8 AS fp8b")
     return (
