@@ -25,6 +25,22 @@ from skyhookdb_ceph_spark.queries._util import Catalog, quantize
 from skyhookdb_ceph_spark.queries.scans import _scratch_dir
 from skyhookdb_ceph_spark.registry import query
 
+# q_schema_evolve's merged-snapshot dir lives for the process (the
+# returned DataFrame reads it) and is reclaimed here at exit so tmpfs
+# scratch never accumulates one dir per process.
+_EVOLVE_OUT_DIRS: set[str] = set()
+
+
+def _cleanup_evolve_out() -> None:
+    for d in _EVOLVE_OUT_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
+    _EVOLVE_OUT_DIRS.clear()
+
+
+import atexit  # noqa: E402
+
+atexit.register(_cleanup_evolve_out)
+
 # ---------------------------------------------------------------------------
 # Time-series gap-fill: dense hourly grid + zero-fill + LOCF
 # ---------------------------------------------------------------------------
@@ -403,6 +419,11 @@ def q_schema_evolve(spark, sf_dir):
             _scratch_dir(), f"skyhook_evolve_out_{os.getpid()}"
         )
         merged.write.mode("overwrite").parquet(out)
+        # Process-lived by design (the returned frame reads it), but it
+        # MUST NOT outlive the process: on tmpfs scratch one leaked dir
+        # per process accumulates in RAM (the r14/r15 ADVICE leak
+        # class, found here by a /dev/shm census this round).
+        _EVOLVE_OUT_DIRS.add(out)
         return spark.read.parquet(out).select("doc_id", "lang", "source")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
